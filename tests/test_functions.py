@@ -1,0 +1,109 @@
+"""Unit tests for scalar/hash/text functions and multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bigdata_homed_spark.functions.hashing import (
+    hash64,
+    hash64_sql,
+    hyperplane_weights,
+    minhash_signature,
+    shingle_hashes,
+    xor_keys,
+)
+from bigdata_homed_spark.functions.maps import ext, json_get, kv_string_to_map
+from bigdata_homed_spark.functions.multimodal import attach_binary_payload, decode_features
+from bigdata_homed_spark.functions.text import (
+    fingerprint,
+    lang_guess,
+    quality_score,
+    token_count,
+    tokens,
+    word_shingles,
+)
+
+
+def test_hash64_matches_python_md5(spark):
+    df = spark.createDataFrame([("hello",), ("",), ("Ω unicode",)], ["s"])
+    got = {r.s: r.h for r in df.select("s", hash64("s", 7).alias("h")).collect()}
+    for s in got:
+        expect = int(hashlib.md5(("7" + s).encode()).hexdigest()[:15], 16)
+        assert got[s] == expect
+
+
+def test_hash64_sql_matches_spark(spark):
+    import duckdb
+
+    df = spark.createDataFrame([("abc",)], ["s"])
+    spark_v = df.select(hash64("s", "x").alias("h")).collect()[0].h
+    duck_v = duckdb.sql(f"select {hash64_sql(chr(39) + 'abc' + chr(39), 'x')}").fetchone()[0]
+    assert spark_v == duck_v
+
+
+def test_minhash_signature_properties(spark):
+    df = spark.createDataFrame([(["a b c", "b c d"],), (["a b c", "b c d"],)], ["sh"])
+    out = df.withColumn("hs", shingle_hashes(F.col("sh"))).select(
+        minhash_signature(F.col("hs"), 4).alias("sig")
+    ).collect()
+    assert out[0].sig == out[1].sig  # deterministic
+    assert len(out[0].sig) == 4
+    assert len(set(out[0].sig)) > 1  # XOR keys actually vary the permutation
+    keys = xor_keys(4)
+    assert len(set(keys)) == 4
+
+
+def test_hyperplane_weights_deterministic():
+    a = hyperplane_weights(2, 8)
+    b = hyperplane_weights(2, 8)
+    assert a == b
+    assert all(w in (1.0, -1.0) for row in a for w in row)
+    assert hyperplane_weights(2, 8, seed_offset=100) != a
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("The quick, QUICK fox!",)], ["text"])
+    r = df.select(
+        tokens("text").alias("t"),
+        token_count("text").alias("n"),
+        word_shingles("text", 2).alias("sh"),
+        fingerprint("text").alias("fp"),
+    ).collect()[0]
+    assert r.t == ["the", "quick", "quick", "fox"]
+    assert r.n == 4
+    assert set(r.sh) == {"the quick", "quick quick", "quick fox"}
+    # fingerprint is order/dup-insensitive
+    df2 = spark.createDataFrame([("fox quick the",)], ["text"])
+    fp2 = df2.select(fingerprint("text").alias("fp")).collect()[0].fp
+    assert r.fp == fp2
+
+
+def test_quality_and_lang(spark):
+    good = "the cat sat on the mat and it was a good day for all of the cats"
+    bad = "x9 !!! ??? @@@@ zz"
+    df = spark.createDataFrame([(good,), (bad,)], ["text"])
+    rows = df.select(
+        "text", quality_score("text").alias("q"), lang_guess("text").alias("lg")
+    ).collect()
+    by = {r.text: r for r in rows}
+    assert by[good].q > by[bad].q
+    assert by[good].lg == "en"
+    assert by[bad].lg == "other"
+
+
+def test_maps(spark):
+    df = spark.createDataFrame([("DA 5,DeviceId 9", '{"k": 3}')], ["kv", "js"])
+    r = df.select(
+        kv_string_to_map("kv", ",", " ").alias("m"), json_get("js", "k").alias("k")
+    ).select(ext("m", "DA").alias("da"), "k").collect()[0]
+    assert r.da == "5" and r.k == "3"
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    out = decode_features(attach_binary_payload(df)).collect()[0]
+    assert out.payload_bytes == 11
+    assert out.header_hex == "68656c6c"  # 'hell'
+    assert out.n_frames == 11 % 7

@@ -1,0 +1,159 @@
+"""Unit tests for the operator library on small inline frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_homed_spark.operators.aggregate import (
+    keep_latest,
+    multi_grain_rollup,
+    tier_counts,
+    top_n_per_group,
+)
+from bigdata_homed_spark.operators.enrich import (
+    bucketed_interval_join,
+    interval_join,
+    normalize_join_key,
+)
+from bigdata_homed_spark.operators.sessionize import (
+    cap_session_end,
+    pair_start_end,
+    sessionize_by_gap,
+    stitch_heartbeats,
+)
+from bigdata_homed_spark.operators.setops import anti_join, split_by_predicate, union_grains
+from bigdata_homed_spark.operators.timegrid import explode_time_grid
+
+
+def test_sessionize_by_gap(spark):
+    df = spark.createDataFrame(
+        [("u1", 0, 1), ("u1", 100, 2), ("u1", 2000, 3), ("u2", 50, 4)],
+        ["user", "sec", "id"],
+    )
+    out = sessionize_by_gap(df, ["user"], "sec", 1000, "id").collect()
+    sess = {(r.user, r.sec): r.session_seq for r in out}
+    assert sess[("u1", 0)] == 1
+    assert sess[("u1", 100)] == 1
+    assert sess[("u1", 2000)] == 2  # gap 1900 > 1000
+    assert sess[("u2", 50)] == 1
+
+
+def test_pair_start_end(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", 0, "Success", 1),
+            ("u1", 60, "Finished", 2),
+            ("u1", 120, "Success", 3),
+            ("u1", 130, "Success", 4),  # unmatched start (next is a start)
+            ("u1", 200, "Finished", 5),
+        ],
+        ["user", "sec", "kind", "id"],
+    )
+    out = pair_start_end(df, ["user"], "sec", "kind", ["Success"], ["Finished"], "id")
+    rows = {r.start_ts: r.end_ts for r in out.collect()}
+    assert rows[0] == 60
+    assert rows[120] is None  # next event was another Success
+    assert rows[130] == 200
+
+
+def test_cap_session_end(spark):
+    df = spark.createDataFrame(
+        [("u1", 0, 500, 1), ("u1", 100, 900, 2), ("u1", 1000, None, 3)],
+        "user string, start_ts long, end_ts long, id long",
+    )
+    out = cap_session_end(df, ["user"], "start_ts", "end_ts", "id", default_duration=60)
+    rows = {r.start_ts: (r.end_ts, r.duration_sec) for r in out.collect()}
+    assert rows[0] == (100, 100)  # capped at next start (LogDelayPatch semantics)
+    assert rows[100] == (900, 800)  # untouched
+    assert rows[1000] == (1060, 60)  # open session closed by default duration
+
+
+def test_stitch_heartbeats(spark):
+    # 3 heartbeats 60s apart, then a 500s gap, then 1 more (interval=60 → break at >120)
+    df = spark.createDataFrame(
+        [("u1", 0, 1), ("u1", 60, 2), ("u1", 120, 3), ("u1", 620, 4)],
+        ["user", "sec", "id"],
+    )
+    out = stitch_heartbeats(df, ["user"], "sec", 60, "id").orderBy("session_seq").collect()
+    assert len(out) == 2
+    assert out[0].n_heartbeats == 3 and out[0].online_sec == 180
+    assert out[1].n_heartbeats == 1 and out[1].online_sec == 60
+
+
+def test_explode_time_grid(spark):
+    df = spark.createDataFrame([(1700, 3700, 1)], "s long, e long, id long")
+    out = explode_time_grid(df, "s", "e", 1800).orderBy("slot_start").collect()
+    assert [(r.slot_start, r.overlap_sec) for r in out] == [(0, 100), (1800, 1800), (3600, 100)]
+    # boundary-exclusive end: session ending exactly at 3600 stays out of slot 3600
+    df2 = spark.createDataFrame([(1700, 3600, 1)], "s long, e long, id long")
+    out2 = explode_time_grid(df2, "s", "e", 1800).orderBy("slot_start").collect()
+    assert [(r.slot_start, r.overlap_sec) for r in out2] == [(0, 100), (1800, 1800)]
+    # zero-length session lands in its slot with overlap 0
+    df3 = spark.createDataFrame([(100, 100, 1)], "s long, e long, id long")
+    out3 = explode_time_grid(df3, "s", "e", 1800).collect()
+    assert [(r.slot_start, r.overlap_sec) for r in out3] == [(0, 0)]
+
+
+def test_interval_join(spark):
+    left = spark.createDataFrame([(1, 5), (1, 100), (2, 5)], "k long, t long")
+    right = spark.createDataFrame([(1, 0, 10, "a"), (1, 90, 110, "b")], "k long, lo long, hi long, tag string")
+    out = interval_join(left, right, [("k", "k")], "t", "lo", "hi").select("t", "tag").collect()
+    assert sorted((r.t, r.tag) for r in out) == [(5, "a"), (100, "b")]
+
+
+def test_bucketed_interval_join(spark):
+    left = spark.createDataFrame([(5,), (100,), (2500,)], "t long")
+    right = spark.createDataFrame([(0, 10, "a"), (90, 2600, "b")], "lo long, hi long, tag string")
+    out = bucketed_interval_join(left, right, "t", "lo", "hi", bucket_width=1000)
+    got = sorted((r.t, r.tag) for r in out.select("t", "tag").collect())
+    assert got == [(5, "a"), (100, "b"), (2500, "b")]
+
+
+def test_normalize_join_key(spark):
+    df = spark.createDataFrame([("340000",), ("340100",), ("340104",), ("12",)], ["code"])
+    out = {r.code: r.fixed for r in normalize_join_key(df, "code", "fixed").collect()}
+    assert out["340000"] == "340101"  # province → +101
+    assert out["340100"] == "340101"  # city → +1
+    assert out["340104"] == "340104"  # concrete area unchanged
+    assert out["12"] is None  # malformed
+
+
+def test_keep_latest_and_topn(spark):
+    df = spark.createDataFrame(
+        [("u1", 10, 1, 5.0), ("u1", 20, 2, 7.0), ("u1", 20, 3, 9.0), ("u2", 5, 4, 1.0)],
+        ["k", "ts", "id", "v"],
+    )
+    latest = {r.k: r.id for r in keep_latest(df, ["k"], "ts", "id").collect()}
+    assert latest == {"u1": 3, "u2": 4}  # tie on ts=20 broken by id desc
+    top = top_n_per_group(df, ["k"], [F.col("v").desc()], 2, dense=False)
+    assert sorted(r.id for r in top.where(F.col("k") == "u1").collect()) == [2, 3]
+
+
+def test_multi_grain_rollup(spark):
+    df = spark.createDataFrame(
+        [("east", "a", 1), ("east", "b", 2), ("west", "c", 4)], ["prov", "city", "v"]
+    )
+    out = multi_grain_rollup(df, ["prov", "city"], [F.sum("v").alias("v")])
+    rows = {(r.prov, r.city): r.v for r in out.collect()}
+    assert rows[("east", "a")] == 1
+    assert rows[("east", "-1")] == 3  # city rolled up
+    assert rows[("-1", "-1")] == 7  # grand total
+
+
+def test_tier_counts(spark):
+    df = spark.createDataFrame([("g", 1), ("g", 5), ("g", 50)], ["k", "v"])
+    out = tier_counts(
+        df, ["k"], F.col("v"), [("low", F.col("v") < 10), ("high", F.col("v") >= 10)]
+    ).collect()[0]
+    assert out.low == 2 and out.high == 1
+
+
+def test_setops(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)], ["id", "t"])
+    yes, no = split_by_predicate(df, F.col("t") == "a")
+    assert [r.id for r in yes.collect()] == [1]
+    assert sorted(r.id for r in no.collect()) == [2, 3]  # null predicate → complement
+    right = spark.createDataFrame([(2,)], ["id"])
+    assert sorted(r.id for r in anti_join(df, right, ["id"]).collect()) == [1, 3]
+    u = union_grains([df.select("id"), right])
+    assert u.count() == 4
