@@ -55,3 +55,5 @@ from . import text_pipeline  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
+from . import lifecycle  # noqa: E402,F401
+from . import etl_queries  # noqa: E402,F401

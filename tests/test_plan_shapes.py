@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the properties that matter at 100 TB.
+
+These tests pin the *plan shape*, not the result: filters reach the parquet
+scan (pushdown), projections prune columns, dim joins broadcast, partition
+filters prune directories, and aggregations keep a partial (map-side) phase.
+A regression here is invisible at sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bigdata_homed_spark.operators.enrich import dim_join
+from bigdata_homed_spark.sources.sinks import write_partitioned_fact
+from bigdata_homed_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.where(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_quantity")
+    plan = formatted(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = formatted(df)
+    # ReadSchema must carry only the projected columns, not all 11
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = dim_join(orders, cust, orders["o_custkey"] == cust["c_custkey"], "inner")
+    assert "BroadcastHashJoin" in plan_of(joined)
+
+
+def test_interval_join_is_not_nested_loop(spark, sf_dir):
+    """The EPG-style equi+range join must plan as a hash join with the range
+    as residual — not BroadcastNestedLoopJoin (which dies at scale)."""
+    from bigdata_homed_spark.plans.core_relational import interval_join_ship_window
+
+    plan = plan_of(interval_join_ship_window(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_partition_pruning_on_fact(spark, sf_dir):
+    path = os.path.join(tempfile.mkdtemp(prefix="prune_"), "fact")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.timestamp_seconds(F.col("ts_sec")), "yyyyMMdd")
+    )
+    write_partitioned_fact(ev, path, ["day"])
+    scan = spark.read.parquet(path).where(F.col("day") == "20240105")
+    plan = formatted(scan)
+    # the day predicate must land in PartitionFilters (directory pruning),
+    # not in the data Filter (post-scan)
+    assert "PartitionFilters" in plan
+    pf_line = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "20240105" in pf_line
+
+
+def test_aggregate_has_partial_phase(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    plan = plan_of(agg)
+    # Catalyst plans partial + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, sf_dir):
+    from bigdata_homed_spark.plans.text_pipeline import token_stats
+
+    plan = plan_of(token_stats(spark, sf_dir))
+    # '*(n)' marks a WholeStageCodegen stage in the executed-plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_knn_broadcasts_queries_not_candidates(spark, sf_dir):
+    from bigdata_homed_spark.plans.similarity import embedding_knn
+
+    plan = plan_of(embedding_knn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
