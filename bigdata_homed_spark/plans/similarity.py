@@ -144,7 +144,7 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "similarity" threshold is scaled to the data; real near-dup corpora sit
 # at ≥0.9 where a single table suffices.)
 ANN_TABLES = 3
-ANN_PLANES = 4
+ANN_PLANES = 6  # 64 buckets/table: ~n/64 per block keeps candidate pairs ~linear
 ANN_THRESHOLD = 0.3
 _WT = [hyperplane_weights(ANN_PLANES, DIMS, seed_offset=t * 100) for t in range(ANN_TABLES)]
 
@@ -195,33 +195,33 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an OR residual — the plan shape that survives 100×."""
     from ..sources.tables import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = emb.select(
         "vec_id",
         "embedding",
         _norm("embedding").alias("norm"),
         *[_table_bucket_col(t).alias(f"b{t}") for t in range(ANN_TABLES)],
-    )
+    ).cache()
+    # candidate generation carries ONLY the id pair — the 64-float vectors
+    # would otherwise be shuffled through every bucket join and the dedup
+    keys = b.select("vec_id", *[f"b{t}" for t in range(ANN_TABLES)])
     cands = None
     for t in range(ANN_TABLES):
-        a = b.select(
-            F.col("vec_id").alias("d1"),
-            F.col("embedding").alias("e1"),
-            F.col("norm").alias("n1"),
-            F.col(f"b{t}").alias("bk"),
-        )
-        c = b.select(
-            F.col("vec_id").alias("d2"),
-            F.col("embedding").alias("e2"),
-            F.col("norm").alias("n2"),
-            F.col(f"b{t}").alias("bk2"),
-        )
+        a = keys.select(F.col("vec_id").alias("d1"), F.col(f"b{t}").alias("bk"))
+        c = keys.select(F.col("vec_id").alias("d2"), F.col(f"b{t}").alias("bk2"))
         p = a.join(c, (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2"))).select(
-            "d1", "d2", "e1", "e2", "n1", "n2"
+            "d1", "d2"
         )
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.dropDuplicates(["d1", "d2"])
+    # fetch vectors back for the verified candidates only (broadcast: the
+    # vector table is the small side by construction of LSH blocking)
+    e1 = b.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1"))
+    e2 = b.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), F.col("norm").alias("n2"))
+    joined = cands.join(F.broadcast(e1), "d1").join(F.broadcast(e2), "d2")
     cos = _dot("e1", "e2") / (F.col("n1") * F.col("n2"))
-    return cands.where(cos >= ANN_THRESHOLD).select(
+    return joined.where(cos >= ANN_THRESHOLD).select(
         "d1", "d2", F.round(cos, 6).alias("cosine_r")
     )

@@ -18,6 +18,48 @@ from .registry import query
 
 
 @query(
+    "stream_sliding_window_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value, epoch_us(ts)//1000000 AS sec FROM events
+    ),
+    w AS (
+      SELECT event_type, value,
+             unnest([(sec//3600)*3600, (sec//3600)*3600 - 3600]) AS win_start
+      FROM ev
+    )
+    SELECT win_start, event_type,
+           count(*) AS n_events,
+           cast(sum(cast(value as decimal(27,6))) as double) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 sliding variant: 2-hour windows sliding hourly — every event lands
+    in exactly two windows (the reference had no sliding windows; this is
+    the Structured-Streaming-native generalization of its wall-clock
+    ``timerange`` buckets)."""
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("event_time", "2 hours")
+        .groupBy(F.window("event_time", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").cast("bigint").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
     "stream_hourly_event_counts",
     oracle="""
     SELECT ((epoch_us(ts)//1000000)//3600)*3600 AS hour_start,

@@ -342,6 +342,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode doc × token-hash × bit, two hash aggregations.  (A
+    shuffle-free 60-array-fold per-row spelling was measured 4× slower —
+    the 60-term expression tree costs more than the narrow shuffles, which
+    AQE coalesces; keep the explode.)  Repartition spreads the CPU-bound
+    md5 work off the single input file split."""
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")

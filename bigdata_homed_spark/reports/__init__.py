@@ -1,3 +1,3 @@
-from . import video_play_etl
+from . import channel_report, video_play_etl
 
-__all__ = ["video_play_etl"]
+__all__ = ["channel_report", "video_play_etl"]

@@ -29,6 +29,85 @@ def test_hourly_counts_match_batch(spark, sf_dir):
     assert s == b
 
 
+def test_stream_static_join(spark, sf_dir):
+    """J9: micro-batch stream joined to a static dim (the reference reloaded
+    MySQL dims per batch; Spark joins the static side natively)."""
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = ev.join(cust, ev["user_id"] + 1 == cust["c_custkey"], "inner")
+    agg = joined.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    out = run_stream_to_memory(agg, "complete")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(cust, F.col("user_id") + 1 == F.col("c_custkey"), "inner")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r.c_nationkey, r.n) for r in out.collect()} == {
+        (r.c_nationkey, r.n) for r in batch.collect()
+    }
+
+
+def test_stream_watermarked_dedup(spark, sf_dir):
+    """T3: dropDuplicates within the watermark — one row per (user, hour)."""
+    ev = read_events_stream(spark, sf_dir)
+    dedup = (
+        ev.withColumn("hour", F.expr("ts div 1000000000 div 3600"))
+        .withWatermark("event_time", "2 hours")
+        .dropDuplicates(["user_id", "hour"])
+    )
+    out = run_stream_to_memory(dedup, "append")
+    batch_n = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("ts_sec div 3600").alias("hour"))
+        .distinct()
+        .count()
+    )
+    assert out.count() == batch_n
+
+
+def test_foreachbatch_upsert_state(spark, sf_dir, tmp_path):
+    """T8/S10: foreachBatch + upsert_by_key maintains a keyed state table
+    (the Phoenix-overwrite-by-PK analog) across micro-batches."""
+    import os
+
+    from bigdata_homed_spark.sources.sinks import upsert_by_key
+
+    state_dir = os.path.join(str(tmp_path), "state")
+    ev = read_events_stream(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.expr("ts div 1000000000")).alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+    def sink(batch_df, epoch_id):
+        if os.path.exists(state_dir):
+            existing = batch_df.sparkSession.read.parquet(state_dir)
+            merged = upsert_by_key(existing, batch_df, ["user_id"])
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(state_dir + "_tmp")
+        roundtrip = batch_df.sparkSession.read.parquet(state_dir + "_tmp")
+        roundtrip.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        per_user.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(state_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts_sec").alias("last_seen"), F.count(F.lit(1)).alias("n_events"))
+    )
+    assert {(r.user_id, r.last_seen, r.n_events) for r in state.collect()} == {
+        (r.user_id, r.last_seen, r.n_events) for r in batch.collect()
+    }
+
+
 def test_online_user_state_totals(spark, sf_dir):
     out = run_stream_to_memory(
         online_user_state(read_events_stream(spark, sf_dir)), "update"
