@@ -269,6 +269,18 @@ def day_clamped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A7 scale path — HLL approximate distinct (rows-only check: DuckDB's
+# approx_count_distinct uses a different sketch, so no value oracle exists;
+# tests assert the estimate lands within the configured rsd of exact).
+@query("distinct_users_approx_daily")
+def distinct_users_approx_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import distinct_users_approx
+
+    ev = events_sec(spark, sf_dir).withColumn("day_num", F.expr("sec div 86400"))
+    return distinct_users_approx(ev, ["day_num"], "user_id", out_col="users_approx")
+
+
+# --------------------------------------------------------------------------
 # A5 (true pivot spelling) — groupBy().pivot() with a fixed column list
 # (the reference hand-wrote per-terminal CASE pivots, ChannelReport.scala:
 # 1349-1417; fixed values keep the plan single-pass, no distinct-scan).

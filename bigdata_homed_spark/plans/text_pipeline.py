@@ -322,6 +322,59 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# End-to-end dedup decision: exact dups + minhash near-dups feed one greedy
+# keeper policy (drop any doc with an equal-or-near duplicate of smaller
+# id), then a per-source retention report — the shape of a real pretraining
+# data-pruning pass (candidates → verify → decide → account).
+@query(
+    "dedup_decisions",
+    oracle=f"""
+    WITH docsh AS (
+      SELECT doc_id, source, {SHINGLES3} AS sh
+      FROM (SELECT doc_id, source, text, {TOKS} AS toks FROM documents)
+    ),
+    sigs AS (SELECT doc_id, sh, {_minhash_sql()} AS sig FROM docsh),
+    bands AS (
+      SELECT doc_id, sh, b.band_idx,
+             md5(cast(sig[b.band_idx*{BAND_ROWS}+1] as varchar) || '_' ||
+                 cast(sig[b.band_idx*{BAND_ROWS}+2] as varchar)) AS band_key
+      FROM sigs, (SELECT unnest(generate_series(0, {NUM_BANDS - 1})) AS band_idx) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    near AS (
+      SELECT c.d1, c.d2
+      FROM cands c JOIN docsh x ON x.doc_id = c.d1 JOIN docsh y ON y.doc_id = c.d2
+      WHERE cast(len(list_intersect(x.sh, y.sh)) as double)
+            / cast(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) as double) >= 0.5
+    ),
+    dropped AS (SELECT DISTINCT d2 AS doc_id FROM near)
+    SELECT d.source,
+           count(*) AS n_docs,
+           cast(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           cast(sum(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) as bigint) AS n_dropped
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = minhash_lsh_pairs(spark, sf_dir)  # (d1 < d2, jaccard >= 0.5)
+    dropped = near.select(F.col("d2").alias("doc_id")).distinct()
+    marked = docs.join(dropped.withColumn("is_dup", F.lit(1)), "doc_id", "left")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("is_dup").isNull(), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash signatures: 60-bit set-simhash from portable token hashes.
 @query(
     "simhash_docs",

@@ -20,10 +20,32 @@ def test_query_runs(spark, sf_dir, name):
         assert len(rows) > 0, f"{name} returned no rows"
 
 
+# genuinely non-SQL-expressible results (different sketch implementations);
+# the driver records a rows-only check for these
+ROWS_ONLY = {"distinct_users_approx_daily"}
+
+
 def test_oracle_coverage():
-    missing = set(QUERIES) - set(ORACLES)
-    # every query ships an oracle today; keep the invariant explicit
+    missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     assert not missing, f"queries without oracle: {missing}"
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.plans.homed_behavior import events_sec
+
+    ev = events_sec(spark, sf_dir).withColumn("day_num", F.expr("sec div 86400"))
+    exact = {
+        r.day_num: r.n
+        for r in ev.groupBy("day_num").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r.day_num: r.users_approx
+        for r in QUERIES["distinct_users_approx_daily"](spark, sf_dir).collect()
+    }
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])
 
 
 def test_entry(spark):
