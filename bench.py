@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "embedding_knn",
     "embedding_ann_pairs",
     "stream_hourly_event_counts",
+    "video_play_report",
+    "channel_report",
+    "dedup_decisions",
+    "online_rate_halfhour",
+    "session_window_spans",
 ]
 
 

@@ -106,6 +106,40 @@ def bucketed_interval_join(
     return lb.join(rb, cond, "inner").drop("__bucket")
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    other_key: str,
+    row_col: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi join: rows of the skewed side spread across
+    ``salt_buckets`` sub-keys, the other side replicated across all salts.
+    AQE's skew-join split (enabled in session.py) handles moderate skew
+    automatically; this is the explicit tool for pathological keys (the
+    reference's string-concat grouping keys invited exactly that,
+    SURVEY §4 'skew handling: none').
+
+    The salt derives from ``row_col`` (any roughly-unique column), NOT from
+    the key — every row of a hot key must land in a different bucket — and
+    not from rand(), so replays/retries are deterministic.
+    """
+    salted = skewed.withColumn(
+        "__salt", (F.crc32(F.col(row_col).cast("string")) % salt_buckets).cast("int")
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted.join(
+        replicated,
+        (salted[key] == replicated[other_key]) & (salted["__salt"] == replicated["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
 def normalize_join_key(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
     """J8: region-code fixup before the join.
 

@@ -154,8 +154,15 @@ def terminal_of_device(col: F.Column) -> F.Column:
 
 
 def build_video_play(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Steps 1-8 composed: the orc_video_play analog."""
-    events = load_table(spark, sf_dir, "events")
+    """Steps 1-8 composed: the orc_video_play analog.
+
+    The single-file synthetic input yields one scan split; the regex/
+    timestamp parse is CPU-bound, so spread it across cores up front (on a
+    real HDFS log directory the reference got this for free from many
+    input files — `repartition(nums)` RunLogParser.scala:192 did the same)."""
+    events = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     parsed = parse_lines(filter_blacklist(build_raw_lines(events)))
     play, _behavior = split_play_behavior(parsed)
     sessions = pair_start_end(

@@ -109,6 +109,32 @@ def test_bucketed_interval_join(spark):
     assert got == [(5, "a"), (100, "b"), (2500, "b")]
 
 
+def test_salted_join_matches_plain_join(spark):
+    from bigdata_homed_spark.operators.enrich import salted_join
+
+    # one pathologically hot key
+    left = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 100), (3, 101)], ["k", "row_id"]
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], ["rk", "tag"])
+    plain = left.join(right, left["k"] == right["rk"], "inner").select("k", "row_id", "tag")
+    salted = salted_join(left, right, "k", "rk", "row_id", salt_buckets=4).select(
+        "k", "row_id", "tag"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the hot key really is spread across salt buckets
+    from pyspark.sql import functions as F
+
+    spread = (
+        left.withColumn("__salt", (F.crc32(F.col("row_id").cast("string")) % 4).cast("int"))
+        .where(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread > 1
+
+
 def test_normalize_join_key(spark):
     df = spark.createDataFrame([("340000",), ("340100",), ("340104",), ("12",)], ["code"])
     out = {r.code: r.fixed for r in normalize_join_key(df, "code", "fixed").collect()}
