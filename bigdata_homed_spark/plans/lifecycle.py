@@ -269,6 +269,74 @@ def day_clamped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact percentiles (linear interpolation) per group — an operator family
+# the reference LACKED entirely (SURVEY §2.4: "No median/percentile");
+# Spark's exact `percentile` and DuckDB's `quantile_cont` share the linear
+# interpolation definition, so this is oracle-checkable bit-for-bit.
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE over (terminal, event_type) with grouping_id — the full grouping-set
+# lattice in one pass (the reference emulated every grain with separate
+# aggregations + unionAll, A6/SURVEY §2.4 note "no grouping sets anywhere").
+@query(
+    "cube_terminal_event",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN (event_id * 37) % 100000 < 50000 THEN 'tv' ELSE 'mobile' END AS terminal,
+             event_type, value
+      FROM events
+    )
+    SELECT coalesce(terminal, '-1') AS terminal,
+           coalesce(event_type, '-1') AS event_type,
+           cast(grouping(terminal) * 2 + grouping(event_type) as bigint) AS grouping_lvl,
+           count(*) AS n_events,
+           cast(sum(cast(value as decimal(27,6))) as double) AS sum_value
+    FROM ev GROUP BY CUBE (terminal, event_type)
+    """,
+)
+def cube_terminal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when((F.col("event_id") * 37) % 100000 < 50000, "tv")
+        .otherwise("mobile")
+        .alias("terminal"),
+        "event_type",
+        "value",
+    )
+    out = ev.cube("terminal", "event_type").agg(
+        F.grouping_id().cast("bigint").alias("grouping_lvl"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "sum_value"),
+    )
+    return out.select(
+        F.coalesce("terminal", F.lit("-1")).alias("terminal"),
+        F.coalesce("event_type", F.lit("-1")).alias("event_type"),
+        "grouping_lvl",
+        "n_events",
+        "sum_value",
+    )
+
+
+# --------------------------------------------------------------------------
 # A7 scale path — HLL approximate distinct (rows-only check: DuckDB's
 # approx_count_distinct uses a different sketch, so no value oracle exists;
 # tests assert the estimate lands within the configured rsd of exact).

@@ -99,6 +99,113 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# IVF-style ANN: 16 deterministic centroids (vec_id < 16), every vector
+# assigned to its nearest centroid list (argmax cosine, ties→smaller id);
+# queries probe their 4 nearest lists and rank candidates exactly.
+# This is the inverted-file index shape: at scale the assignment is a
+# shuffle on centroid id (co-locating each list), probing touches 4/16 of
+# the data, and the exact re-rank runs only inside probed lists.
+N_CENTROIDS = 16
+N_PROBES = 4
+
+
+@query(
+    "embedding_knn_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_dot_sql('e.embedding', 'c.ce')}
+               / (sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql('c.ce', 'c.ce')})) AS cs
+      FROM embeddings e, cent c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored WHERE vec_id < 10
+      ) WHERE rn <= {N_PROBES}
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, q.qe, a.embedding AS ce
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid
+      JOIN qv q ON q.query_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             {_dot_sql('qe', 'ce')}
+               / (sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('ce', 'ce')})) AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r,
+           cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) as bigint) AS rnk
+    FROM ranked
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5
+    """,
+)
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cs",
+            _dot("embedding", "ce") / (_norm("embedding") * _norm("ce")),
+        )
+        .select("vec_id", "embedding", "cid", "cs")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    probes = (
+        scored.where(F.col("vec_id") < 10)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= N_PROBES)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    qv = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = (
+        probes.join(assigned, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qe", F.col("embedding").alias("ce"))
+    )
+    ranked = cand.withColumn(
+        "cosine", _dot("qe", "ce") / (_norm("qe") * _norm("ce"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine_r"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 def _weights_sql(h: int) -> str:
     return "[" + ",".join(str(w) for w in _W[h]) + "]"
 
@@ -205,17 +312,27 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[_table_bucket_col(t).alias(f"b{t}") for t in range(ANN_TABLES)],
     ).cache()
     # candidate generation carries ONLY the id pair — the 64-float vectors
-    # would otherwise be shuffled through every bucket join and the dedup
-    keys = b.select("vec_id", *[f"b{t}" for t in range(ANN_TABLES)])
-    cands = None
-    for t in range(ANN_TABLES):
-        a = keys.select(F.col("vec_id").alias("d1"), F.col(f"b{t}").alias("bk"))
-        c = keys.select(F.col("vec_id").alias("d2"), F.col(f"b{t}").alias("bk2"))
-        p = a.join(c, (F.col("bk") == F.col("bk2")) & (F.col("d1") < F.col("d2"))).select(
-            "d1", "d2"
+    # would otherwise be shuffled through every bucket join and the dedup.
+    # One posexplode + one self-join on (table_idx, bucket) replaces three
+    # joins + union: fewer stages, one shuffle key, identical candidates.
+    keys = b.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(ANN_TABLES)])).alias(
+            "t", "bucket"
+        ),
+    )
+    a = keys.select(F.col("vec_id").alias("d1"), "t", "bucket")
+    c = keys.select(F.col("vec_id").alias("d2"), F.col("t").alias("t2"), F.col("bucket").alias("bucket2"))
+    cands = (
+        a.join(
+            c,
+            (F.col("t") == F.col("t2"))
+            & (F.col("bucket") == F.col("bucket2"))
+            & (F.col("d1") < F.col("d2")),
         )
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.dropDuplicates(["d1", "d2"])
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
     # fetch vectors back for the verified candidates only (broadcast: the
     # vector table is the small side by construction of LSH blocking)
     e1 = b.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1"))
