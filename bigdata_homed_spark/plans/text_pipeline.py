@@ -375,6 +375,157 @@ def dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PII scrubbing: regexp-based email/URL redaction.  Patterns use only
+# constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, +, no lookaround.  The synthetic corpus has
+# no PII, so the query plants deterministic PII first and then proves the
+# scrubber removes exactly what was planted.
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+_URL_RE = "http://[a-z0-9./]+"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             text || ' contact user' || cast(doc_id as varchar) || '@mail.com or http://x.io/p/'
+                  || cast(doc_id as varchar) AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, source,
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_URL_RE}', '<URL>', 'g') AS clean
+      FROM planted
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           cast(sum(len(regexp_extract_all(clean, '<EMAIL>'))) as bigint) AS n_emails,
+           cast(sum(len(regexp_extract_all(clean, '<URL>'))) as bigint) AS n_urls,
+           cast(sum(CASE WHEN regexp_matches(clean, '{_EMAIL_RE}') OR regexp_matches(clean, '{_URL_RE}')
+                         THEN 1 ELSE 0 END) as bigint) AS n_leaks
+    FROM scrubbed GROUP BY source
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.com or http://x.io/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    scrubbed = planted.select("doc_id", "source", clean.alias("clean"))
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.expr("regexp_extract_all(clean, '<EMAIL>', 0)")))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.sum(F.size(F.expr("regexp_extract_all(clean, '<URL>', 0)")))
+        .cast("bigint")
+        .alias("n_urls"),
+        F.sum(
+            F.when(
+                F.col("clean").rlike(_EMAIL_RE) | F.col("clean").rlike(_URL_RE), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_leaks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram frequency: top-20 trigrams by document frequency — the
+# frequency table a tokenizer/contamination pipeline builds.  Shuffle moves
+# (shingle, doc) pairs, never documents.
+@query(
+    "ngram_frequency_topk",
+    oracle=f"""
+    WITH docsh AS (
+      SELECT doc_id, {SHINGLES3} AS sh
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    ),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docsh),
+    df AS (SELECT shingle, count(*) AS doc_freq FROM sh GROUP BY shingle)
+    SELECT shingle, doc_freq, cast(rnk as bigint) AS rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY doc_freq DESC, shingle) AS rnk FROM df
+    ) WHERE rnk <= 20
+    """,
+)
+def ngram_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("shingle"))
+    return (
+        df_counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .withColumn("rnk", F.col("rnk").cast("bigint"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs sharing any 5-gram with a
+# "benchmark" set (here: doc_id < 5).  The join moves 16-byte md5 keys, and
+# the benchmark side broadcasts — the standard web-scale decontamination
+# shape (exact n-gram overlap via hash semi-join).
+@query(
+    "decontamination",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks)-4, 1)),
+                    i -> md5(array_to_string(list_slice(toks, i, i+4), ' '))))) AS g
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM grams WHERE doc_id >= 5 AND g IN (SELECT g FROM bench)
+    )
+    SELECT count(*) AS n_train_docs,
+           cast(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_contaminated
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id >= 5
+    """,
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(F.transform(word_shingles("text", 5), F.md5)).alias("g")
+    )
+    bench = grams.where(F.col("doc_id") < 5).select("g").distinct()
+    contaminated = (
+        grams.where(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = docs.where(F.col("doc_id") >= 5).select("doc_id")
+    marked = train.join(contaminated.withColumn("hit", F.lit(1)), "doc_id", "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash signatures: 60-bit set-simhash from portable token hashes.
 @query(
     "simhash_docs",

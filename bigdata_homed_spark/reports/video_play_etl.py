@@ -112,16 +112,21 @@ def parse_lines(lines: DataFrame) -> DataFrame:
     ).where(F.col("keyword") != "")
     # pair delimiter is a regex in Spark's str_to_map — ", *" absorbs the
     # grammar's comma-space separation
+    # try_cast/try_to_timestamp: raw logs are untrusted input — under
+    # Spark 4's default ANSI mode a malformed number/timestamp would fail
+    # the whole batch with a plain cast
     kv = parsed.withColumn("kv", kv_string_to_map(F.col("body"), ", *", " "))
     return kv.select(
         "event_id",
-        F.unix_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss").alias("sec"),
+        F.unix_timestamp(
+            F.expr("try_to_timestamp(ts_str, 'yyyy-MM-dd HH:mm:ss')")
+        ).alias("sec"),
         "keyword",
-        F.col("kv").getItem("DA").cast("bigint").alias("user_id"),
-        F.col("kv").getItem("DeviceId").cast("bigint").alias("device_id"),
+        F.col("kv").getItem("DA").try_cast("bigint").alias("user_id"),
+        F.col("kv").getItem("DeviceId").try_cast("bigint").alias("device_id"),
         F.col("kv").getItem("ProgramMethod").alias("method"),
-        F.col("kv").getItem("ProgramID").cast("bigint").alias("program_id"),
-        F.col("kv").getItem("PlayS").cast("bigint").alias("plays"),
+        F.col("kv").getItem("ProgramID").try_cast("bigint").alias("program_id"),
+        F.col("kv").getItem("PlayS").try_cast("bigint").alias("plays"),
     )
 
 

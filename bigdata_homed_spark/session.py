@@ -52,6 +52,10 @@ def get_spark(
         # the synthetic events table carries TIMESTAMP(NANOS) parquet,
         # which Spark 4 only reads as a long (see sources/tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # raw logs repeat k-v keys (e.g. DeviceID/DeviceId spelling drift,
+        # reference RunLogParser.scala:514); keep the lenient last-wins
+        # semantics instead of failing the batch
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

@@ -37,6 +37,40 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
+def kafka_stream_options(
+    brokers: str, topics: str, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """S6: the Kafka source options the production path uses (the reference:
+    `KafkaUtils.createDirectStream` with a broker list + topic set,
+    `homed/realtime/ChannelLiveByRunLogRealTime.scala:53-56`).  Gated — no
+    broker or kafka-sql jar in this container; `read_kafka_stream` wires
+    them when available.  Offset management is Spark checkpointing (the
+    reference's hand-rolled ZK saver, `utils/KafkaOffsetManager.scala`, was
+    written but never wired in — SURVEY T7)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+
+
+def read_kafka_stream(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
+    """Kafka line stream → the same (event_time, line) shape the file-replay
+    source yields, so every downstream job is source-agnostic."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .options(**kafka_stream_options(brokers, topics))
+        .load()
+    )
+    return raw.select(
+        F.col("timestamp").alias("event_time"),
+        F.col("value").cast("string").alias("line"),
+    )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based replay source (Kafka stand-in, T1).  One parquet file =
     one micro-batch under availableNow."""

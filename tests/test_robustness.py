@@ -1,0 +1,54 @@
+"""Malformed-input robustness: the parse path must drop garbage, not throw
+(the reference's log files carried binary junk, duplicate-spelling keys and
+truncated lines — RunLogParser blacklists + regex guards)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_homed_spark.functions.maps import kv_string_to_map
+from bigdata_homed_spark.reports.video_play_etl import filter_blacklist, parse_lines
+from bigdata_homed_spark.streaming.jobs import kafka_stream_options
+
+
+def test_parse_drops_malformed_lines(spark):
+    lines = spark.createDataFrame(
+        [
+            (1, "[123]2024-01-05 10:00:00 - [INFO] - Success, DA 7, DeviceId 5, ProgramMethod live, ProgramID 3, PlayS 60"),
+            (2, "no header at all"),
+            (3, "[9]bad-date - [INFO] - Success, DA 7"),
+            (4, ""),
+            (5, "[1]2024-01-05 10:00:00 - [INFO] - BINARYC, DA 1, DeviceId 2"),  # blacklist
+            (6, "[5]2024-01-05 11:00:00 - [INFO] - Finished, DA 7, DeviceId 5, ProgramMethod live, ProgramID 3, PlayS 61"),
+        ],
+        ["event_id", "line"],
+    )
+    parsed = parse_lines(filter_blacklist(lines))
+    rows = parsed.collect()
+    assert sorted(r.event_id for r in rows) == [1, 6]
+    good = [r for r in rows if r.event_id == 1][0]
+    assert good.user_id == 7 and good.device_id == 5 and good.plays == 60
+    assert good.sec == 1704448800  # 2024-01-05 10:00:00 UTC
+
+
+def test_str_to_map_handles_missing_and_dup_keys(spark):
+    # session factory sets mapKeyDedupPolicy=LAST_WIN (Spark default throws
+    # on duplicate keys — real logs repeat keys, so lenient wins)
+    df = spark.createDataFrame(
+        [("DA 1, DA 2, DeviceId x",), ("",), ("novalue",)], ["body"]
+    )
+    kv = kv_string_to_map(F.col("body"), ", *", " ")
+    rows = df.select(
+        kv.getItem("DA").alias("da"),
+        # try_cast: ANSI mode (Spark 4 default) makes plain cast THROW on
+        # non-numeric input — untrusted fields must go through try_cast
+        kv.getItem("DeviceId").try_cast("bigint").alias("dev"),
+    ).collect()
+    assert rows[0].da == "2"  # last occurrence wins
+    assert all(r.dev is None for r in rows)  # non-numeric → null, no throw
+
+
+def test_kafka_options_shape():
+    opts = kafka_stream_options("b1:9092,b2:9092", "runlog,userlog")
+    assert opts["kafka.bootstrap.servers"].count(":") == 2
+    assert opts["subscribe"] == "runlog,userlog"
