@@ -57,12 +57,18 @@ def main() -> None:
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        # run twice: first pays whole-stage-codegen compile (~1-3s for wide
+        # expression trees), second is the steady-state cost that matters at
+        # scale; report the warm run, log both
         t0 = time.time()
         n = fn(spark, SF_DIR).count()
+        cold = time.time() - t0
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: warm {dt:.2f}s / cold {cold:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

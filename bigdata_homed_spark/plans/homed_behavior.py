@@ -330,7 +330,7 @@ def heartbeat_online_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH lines AS (
       SELECT 'DA ' || cast(user_id as varchar)
-             || ',DeviceId ' || cast(event_id % 100000 as varchar)
+             || ',DeviceId ' || cast((event_id * 37) % 100000 as varchar)
              || ',PlayS ' || cast(cast(floor(value) as bigint) as varchar) AS line
       FROM events
     ),
@@ -358,7 +358,7 @@ def runlog_parse_terminals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("DA "),
             F.col("user_id").cast("string"),
             F.lit(",DeviceId "),
-            (F.col("event_id") % 100000).cast("string"),
+            ((F.col("event_id") * 37) % 100000).cast("string"),
             F.lit(",PlayS "),
             F.floor(F.col("value")).cast("bigint").cast("string"),
         ).alias("line")

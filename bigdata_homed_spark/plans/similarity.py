@@ -333,6 +333,10 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )
+    # AQE coalesces the byte-small candidate list to 1 partition, which
+    # would serialize the (CPU-heavy) cosine stage — spread it back out:
+    # partition count should track candidate count, not candidate bytes
+    cands = cands.repartition(spark.sparkContext.defaultParallelism)
     # fetch vectors back for the verified candidates only (broadcast: the
     # vector table is the small side by construction of LSH blocking)
     e1 = b.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1"))

@@ -108,6 +108,39 @@ def test_foreachbatch_upsert_state(spark, sf_dir, tmp_path):
     }
 
 
+def test_state_accumulates_across_microbatches(spark, sf_dir, tmp_path):
+    """T4 contract: keyed state survives micro-batch boundaries.  Split the
+    events into two files, force one file per trigger, and check the FINAL
+    emitted totals equal the batch aggregate over everything."""
+    import os
+
+    src = os.path.join(str(tmp_path), "multi_batch_src")
+    ev = load_table(spark, sf_dir, "events")
+    # two deterministic halves, written as separate files
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    from bigdata_homed_spark.streaming.jobs import EVENTS_STREAM_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = run_stream_to_memory(online_user_state(stream), "update")
+    # multiple rows per user (one per batch) — keep the final (max) totals
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    got = {r.user_id: r.n_events for r in final.collect()}
+    want = {r.user_id: r.n_events for r in batch.collect()}
+    assert got == want
+    # and the stream really ran >1 micro-batch: some user emitted twice
+    emits = out.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert emits >= 2
+
+
 def test_online_user_state_totals(spark, sf_dir):
     out = run_stream_to_memory(
         online_user_state(read_events_stream(spark, sf_dir)), "update"
