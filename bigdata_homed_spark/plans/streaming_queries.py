@@ -60,6 +60,58 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_channel_hourly_uv",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 10 AS channel_id,
+             ((epoch_us(ts)//1000000)//3600)*3600 AS hour_start
+      FROM events
+    ),
+    bounds AS (SELECT max(hour_start) AS last_hour FROM ev),
+    dedup AS (SELECT DISTINCT hour_start, channel_id, user_id FROM ev)
+    SELECT d.hour_start, d.channel_id, count(*) AS uv
+    FROM dedup d, bounds b
+    WHERE d.hour_start < b.last_hour  -- only windows closed by the watermark
+    GROUP BY 1, 2
+    """,
+)
+def stream_channel_hourly_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChannelLiveByRunLogRealTime parity (SURVEY §3.3): per-channel
+    per-hour distinct viewers, as CHAINED stateful streaming operators —
+    first a streaming user-grain aggregation (the keep-latest/dedup step the
+    reference did with reduceByKey per batch), then the channel-grain count,
+    in append mode with a zero-lateness watermark.
+
+    Append mode only emits CLOSED windows (window_end <= watermark =
+    max event time), so the final, still-open hour is withheld — the oracle
+    excludes it the same way (`hour_start < last_hour`).  This is the
+    documented contract difference vs the batch queries, which see all data.
+    """
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, sf_dir)
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    user_grain = (
+        events.withColumn("channel_id", k % 10)
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(
+            F.window("event_time", "1 hour"), F.col("channel_id"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    channel_grain = user_grain.groupBy("window", "channel_id").agg(
+        F.count(F.lit(1)).alias("uv")
+    )
+    out = channel_grain.select(
+        F.unix_timestamp("window.start").cast("bigint").alias("hour_start"),
+        "channel_id",
+        "uv",
+    )
+    return run_stream_to_memory(out, output_mode="append")
+
+
+@query(
     "stream_hourly_event_counts",
     oracle="""
     SELECT ((epoch_us(ts)//1000000)//3600)*3600 AS hour_start,
