@@ -305,34 +305,46 @@ def clickers_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # U1 — grain union with placeholder keys (the reference's 88 unionAll
 # sites, e.g. ChannelReport.scala:448-451): day-grain ∪ month-grain rows
 # in one report table.
+_PERIODS = ("day", "week", "month", "quarter", "year")
+
+
+def _grain_sql(grain: str) -> str:
+    trunc = (
+        "o_orderdate" if grain == "day" else f"date_trunc('{grain}', o_orderdate)"
+    )
+    return f"""
+    SELECT '{grain}' AS grain, strftime({trunc}, '%Y-%m-%d') AS period,
+           count(*) AS n_orders,
+           cast(sum(cast(o_totalprice as decimal(27,6))) as double) AS total_price
+    FROM orders GROUP BY 2
+    """
+
+
 @query(
-    "union_day_month_grains",
-    oracle="""
-    SELECT 'day' AS grain, strftime(o_orderdate, '%Y-%m-%d') AS period,
-           count(*) AS n_orders,
-           cast(sum(cast(o_totalprice as decimal(27,6))) as double) AS total_price
-    FROM orders GROUP BY 2
-    UNION ALL
-    SELECT 'month' AS grain, strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS period,
-           count(*) AS n_orders,
-           cast(sum(cast(o_totalprice as decimal(27,6))) as double) AS total_price
-    FROM orders GROUP BY 2
-    """,
+    "union_period_grains",
+    oracle=" UNION ALL ".join(_grain_sql(g) for g in _PERIODS),
 )
-def union_day_month_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+def union_period_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's report-table period families (`*_by_day/_week/_month/
+    _quarter/_year`, common/Tables.scala:119-128 etc.; period starts from
+    DateUtils.getFirstDateOfWeek/Month/Quarter/Year:295-325) — one scan per
+    grain, grain-unioned.  Both engines truncate weeks to ISO Monday."""
     from ..operators.setops import union_grains
 
     orders = load_table(spark, sf_dir, "orders")
-    day = (
-        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("period"))
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "total_price"))
-        .withColumn("grain", F.lit("day"))
-    )
-    month = (
-        orders.groupBy(
-            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("period")
+    frames = []
+    for grain in _PERIODS:
+        period = (
+            F.col("o_orderdate")
+            if grain == "day"
+            else F.date_trunc(grain, F.col("o_orderdate"))
         )
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "total_price"))
-        .withColumn("grain", F.lit("month"))
-    )
-    return union_grains([day, month]).select("grain", "period", "n_orders", "total_price")
+        frames.append(
+            orders.groupBy(F.date_format(period, "yyyy-MM-dd").alias("period"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum(F.col("o_totalprice"), "total_price"),
+            )
+            .withColumn("grain", F.lit(grain))
+        )
+    return union_grains(frames).select("grain", "period", "n_orders", "total_price")
