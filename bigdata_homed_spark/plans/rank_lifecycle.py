@@ -1,0 +1,353 @@
+"""Rank-list, revenue/open-account, online-time and monitor report families.
+
+Reference jobs covered (SURVEY §0 packages `cn.ipanel.rank`,
+`cn.ipanel.homed.repots`, `cn.ipanel.homed.general`, `cn.ipanel.monitor`):
+
+- StarRank.scala:40-50,113-124 — dense_rank top-100 rank list, serialized
+  rank entries (Redis hset payload shape).
+- SetFavoriteRank.scala:94-95 — sourceType/rankType id-range classification
+  feeding per-type rank lists.
+- RevenueReport.scala:98 — row_number()=1 latest revenue record per account,
+  then per-segment revenue roll-up.
+- PersonalOpenAccount.scala / NewAnalysis.scala — "account open" = first
+  order per customer; daily new-account counts per segment.
+- OnlineUsersAndTime.scala:181 / OnlineUsersAndTimeNew.scala:391
+  (`get_online_times` UDF) — per-day online seconds for sessions that span
+  day boundaries, re-expressed as sequence()+explode over day numbers
+  (no UDF; stays in whole-stage codegen).
+- VisitOverview.scala:73 — regexp_replace key cleanup + daily visit/uv/avg
+  duration overview.
+- MediaRepertory.scala — media-inventory counts per brand/type family.
+- monitor/MonitorApp.scala:16-48 — per-day report-completeness flags over an
+  expected-report calendar (calendar × expected list, left join actuals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.enrich import dim_join
+from ..sources.tables import load_table
+from .core_relational import dsum
+from .homed_behavior import EV_SEC, events_sec
+from .registry import query
+
+# --------------------------------------------------------------------------
+# StarRank: global dense_rank top-100 with a serialized per-row rank entry.
+# Rank subject = supplier, score = lineitem revenue (the reference ranked
+# stars by play count; the operator chain — agg, dense_rank, <=100 filter,
+# '&'-packed entry — is identical).
+@query(
+    "star_rank_top100",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_suppkey, s.s_name,
+             cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(27,6))) as double) AS revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_suppkey, s.s_name
+    ),
+    ranked AS (
+      SELECT *, dense_rank() OVER (ORDER BY revenue DESC, s_suppkey) AS f_rank
+      FROM rev
+    )
+    SELECT f_rank, s_suppkey, s_name, revenue,
+           concat(f_rank, '&', s_suppkey, '&',
+                  cast(cast(round(revenue * 100) as bigint) as varchar)) AS rank_entry
+    FROM ranked WHERE f_rank <= 100
+    """,
+)
+def star_rank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        dim_join(li, supp, li["l_suppkey"] == supp["s_suppkey"], "inner")
+        .groupBy("s_suppkey", "s_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
+    ranked = rev.withColumn("f_rank", F.dense_rank().over(w)).where(F.col("f_rank") <= 100)
+    return ranked.select(
+        "f_rank",
+        "s_suppkey",
+        "s_name",
+        "revenue",
+        F.concat_ws(
+            "&", "f_rank", "s_suppkey", F.round(F.col("revenue") * 100).cast("bigint")
+        ).alias("rank_entry"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SetFavoriteRank: integer-range classification of an id into a source type
+# (sourceType/rankType UDFs, SetFavoriteRank.scala:94-95), then a per-type
+# row_number top-10 rank list.  Classification is a when-chain on
+# (p_partkey % 1000) ranges — native expressions, no UDF (SURVEY P6/P7).
+@query(
+    "favorite_rank_by_source",
+    oracle="""
+    WITH classified AS (
+      SELECT p_partkey, p_name, p_retailprice,
+             CASE WHEN p_partkey % 1000 < 300 THEN 'video'
+                  WHEN p_partkey % 1000 < 700 THEN 'audio'
+                  ELSE 'channel' END AS source_type
+      FROM part
+    )
+    SELECT source_type, f_rank, p_partkey, p_name, p_retailprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source_type
+                 ORDER BY p_retailprice DESC, p_partkey) AS f_rank
+      FROM classified
+    ) WHERE f_rank <= 10
+    """,
+)
+def favorite_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    bucket = F.col("p_partkey") % 1000
+    classified = part.select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        F.when(bucket < 300, "video")
+        .when(bucket < 700, "audio")
+        .otherwise("channel")
+        .alias("source_type"),
+    )
+    w = Window.partitionBy("source_type").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        classified.withColumn("f_rank", F.row_number().over(w))
+        .where(F.col("f_rank") <= 10)
+        .select("source_type", "f_rank", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# RevenueReport: keep only the LATEST order per customer (row_number()=1
+# over date desc — RevenueReport.scala:98), then roll latest-order revenue
+# up to market segment.
+@query(
+    "revenue_latest_order",
+    oracle="""
+    WITH latest AS (
+      SELECT c.c_mktsegment, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      QUALIFY row_number() OVER (PARTITION BY o.o_custkey
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           cast(sum(cast(o_totalprice as decimal(27,6))) as double) AS latest_revenue
+    FROM latest GROUP BY c_mktsegment
+    """,
+)
+def revenue_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = orders.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    latest = dim_join(latest, cust, latest["o_custkey"] == cust["c_custkey"], "inner")
+    return latest.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("o_totalprice"), "latest_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PersonalOpenAccount / NewAnalysis: "account open" = a customer's FIRST
+# order; daily open counts per segment.  min/argmin per key, then count —
+# the first-seen lifecycle primitive.
+@query(
+    "open_account_daily",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, min(o_orderdate) AS open_date
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT strftime(f.open_date, '%Y-%m-%d') AS open_day,
+           c.c_mktsegment,
+           count(*) AS n_new_accounts
+    FROM first_order f JOIN customer c ON f.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def open_account_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    first = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("open_date"))
+    first = dim_join(first, cust, first["o_custkey"] == cust["c_custkey"], "inner")
+    return first.groupBy(
+        F.date_format("open_date", "yyyy-MM-dd").alias("open_day"), "c_mktsegment"
+    ).agg(F.count(F.lit(1)).alias("n_new_accounts"))
+
+
+# --------------------------------------------------------------------------
+# OnlineUsersAndTime `get_online_times`: a session [start, start+dur) may
+# cross midnight; credit each day with its overlap seconds.  The reference
+# did this row-at-a-time in a Scala UDF; here the day range is generated
+# with sequence()+explode and the overlap is a least/greatest expression —
+# distributed, codegen'd, and linear in (rows × days spanned).
+@query(
+    "daily_online_seconds",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    sess AS (
+      SELECT user_id, sec AS start_sec,
+             sec + cast(floor(value * 500) as bigint) AS end_sec
+      FROM ev WHERE floor(value * 500) > 0
+    ),
+    split AS (
+      SELECT user_id, start_sec, end_sec,
+             unnest(generate_series(start_sec//86400, (end_sec-1)//86400)) AS day_num
+      FROM sess
+    )
+    SELECT day_num,
+           cast(sum(least(end_sec, (day_num+1)*86400) - greatest(start_sec, day_num*86400)) as bigint)
+             AS online_sec,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_slices
+    FROM split GROUP BY day_num
+    """,
+)
+def daily_online_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir)
+    dur = F.floor(F.col("value") * 500).cast("bigint")
+    sess = ev.select(
+        "user_id",
+        F.col("sec").alias("start_sec"),
+        (F.col("sec") + dur).alias("end_sec"),
+    ).where(dur > 0)
+    split = sess.select(
+        "user_id",
+        "start_sec",
+        "end_sec",
+        F.explode(
+            F.sequence(
+                F.expr("start_sec div 86400"), F.expr("(end_sec - 1) div 86400")
+            )
+        ).alias("day_num"),
+    )
+    overlap = F.least(F.col("end_sec"), (F.col("day_num") + 1) * 86400) - F.greatest(
+        F.col("start_sec"), F.col("day_num") * 86400
+    )
+    return split.groupBy("day_num").agg(
+        F.sum(overlap).cast("bigint").alias("online_sec"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_slices"),
+    )
+
+
+# --------------------------------------------------------------------------
+# VisitOverview: regexp_replace key cleanup (VisitOverview.scala:73) +
+# daily visits / uv / average-duration overview.  The average is computed
+# as exact-decimal sum ÷ count then rounded, so it is order-independent
+# and bit-identical across engines.
+@query(
+    "visit_overview",
+    oracle=f"""
+    WITH ev AS ({EV_SEC})
+    SELECT sec//86400 AS day_num,
+           regexp_replace(event_type, '[^a-z]', '', 'g') AS visit_kind,
+           count(*) AS n_visits,
+           count(DISTINCT user_id) AS n_users,
+           round(cast(sum(cast(value as decimal(27,6))) as double) / count(*), 4) AS avg_duration
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def visit_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.expr("sec div 86400").alias("day_num"),
+            F.regexp_replace("event_type", "[^a-z]", "").alias("visit_kind"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_duration"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MediaRepertory: media-inventory roll-up — item counts, size spread, and
+# catalogue value per (brand, type family), type family = first token of
+# the type string (split()).
+@query(
+    "media_inventory",
+    oracle="""
+    SELECT p_brand,
+           split_part(p_type, ' ', 1) AS type_family,
+           count(*) AS n_items,
+           count(DISTINCT p_size) AS n_sizes,
+           cast(sum(cast(p_retailprice as decimal(27,6))) as double) AS catalogue_value
+    FROM part GROUP BY 1, 2
+    """,
+)
+def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            "p_brand", F.split(F.col("p_type"), " ").getItem(0).alias("type_family")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("p_size").alias("n_sizes"),
+            dsum(F.col("p_retailprice"), "catalogue_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MonitorApp: report-completeness check — build the full expected calendar
+# (every day in the data's range × every expected report kind, one extra
+# kind that never occurs), left-join actual daily counts, flag gaps.
+# The calendar is generated distributedly from the data's own min/max day
+# (sequence+explode on a 1-row aggregate — no driver collect).
+@query(
+    "report_completeness_monitor",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    actual AS (
+      SELECT sec//86400 AS day_num, event_type, count(*) AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(sec//86400) AS mn, max(sec//86400) AS mx FROM ev),
+    days AS (SELECT unnest(generate_series(mn, mx)) AS day_num FROM bounds),
+    kinds AS (SELECT unnest(['click','view','purchase','signup','error','heartbeat']) AS event_type)
+    SELECT d.day_num, k.event_type,
+           cast(coalesce(a.n, 0) as bigint) AS n_rows,
+           CASE WHEN a.n IS NULL THEN 0 ELSE 1 END AS f_complete
+    FROM days d CROSS JOIN kinds k
+    LEFT JOIN actual a ON a.day_num = d.day_num AND a.event_type = k.event_type
+    """,
+)
+def report_completeness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir).withColumn("day_num", F.expr("sec div 86400"))
+    actual = ev.groupBy("day_num", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    days = (
+        ev.agg(F.min("day_num").alias("mn"), F.max("day_num").alias("mx"))
+        .select(F.explode(F.sequence("mn", "mx")).alias("day_num"))
+    )
+    kinds = F.array(
+        *[F.lit(k) for k in ("click", "view", "purchase", "signup", "error", "heartbeat")]
+    )
+    expected = days.select("day_num", F.explode(kinds).alias("event_type"))
+    joined = expected.join(actual, ["day_num", "event_type"], "left")
+    return joined.select(
+        "day_num",
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_rows"),
+        F.when(F.col("n").isNull(), 0).otherwise(1).alias("f_complete"),
+    )
