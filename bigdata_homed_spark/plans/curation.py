@@ -1,0 +1,309 @@
+"""Dataset-curation operators: set-merge arrays, request profiles,
+repetition quality signals, rolling-hash fingerprints, stratified sampling.
+
+Reference parity covered here:
+
+- `merge` UDF (etl/UserAgregate.scala:146-150) — set-union of `|`-joined
+  string sets across rows.  Re-expressed as
+  ``flatten(collect_list(split(...)))`` + ``array_distinct`` — native
+  expressions, no UDF, stays in whole-stage codegen.
+- NginxLogParseForLabel.scala:66 (SURVEY O4) — per-user time-ordered
+  request arrays, driver-side `Sorting.quickSort` replaced by
+  ``array_sort(collect_list(struct(ts, ...)))`` — distributed, and
+  deterministic because the struct carries a unique tiebreaker.
+
+Training-data-pipeline operators (100 TB north star):
+
+- **repetition signals** (Gopher-style quality): duplicate-token ratio and
+  top-bigram fraction per document.  The bigram mode is computed by
+  explode → two-level groupBy — per-doc work is bounded and the shuffle
+  key is (doc_id, bigram-hash-sized string), never the document text.
+- **rolling-hash fingerprint** — order-sensitive Rabin–Karp polynomial
+  hash over the token stream (mod 1e9+7, base 131).  Unlike the sorted
+  token-set fingerprint (text_pipeline.fingerprint_dedup) this
+  distinguishes permutations; it is a pure per-row ``aggregate()`` over
+  the token array — a narrow projection that scales with the scan.
+- **stratified sampling** — deterministic hash-based per-stratum
+  sampling: keep iff hash(doc_id) mod 1000 < rate(stratum).  No
+  ``rand()``: re-runs and retried tasks pick identical rows, which is
+  what makes sampled 100 TB pipelines reproducible and auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..functions.text import tokens
+from .homed_behavior import EV_SEC, events_sec
+from .registry import query
+from .text_pipeline import TOKS
+
+RK_MOD = 1_000_000_007
+RK_BASE = 131
+
+
+# --------------------------------------------------------------------------
+# merge-UDF parity: per-(user, day) '|'-packed distinct event-type sets,
+# then a per-user set-union across days (UserAgregate.scala:146-150).
+@query(
+    "user_event_set_merge",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    daily AS (
+      SELECT user_id, sec//86400 AS day_num,
+             array_to_string(list_sort(list_distinct(list(event_type))), '|') AS day_set
+      FROM ev GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT user_id, count(*) AS n_days,
+             list_sort(list_distinct(flatten(list(string_split(day_set, '|'))))) AS s
+      FROM daily GROUP BY 1
+    )
+    SELECT user_id, n_days,
+           cast(len(s) as int) AS n_types,
+           array_to_string(s, '|') AS merged_set
+    FROM merged
+    """,
+)
+def user_event_set_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir)
+    daily = ev.groupBy("user_id", F.expr("sec div 86400").alias("day_num")).agg(
+        F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias("day_set")
+    )
+    merged = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.split("day_set", "\\|"))))
+        ).alias("s"),
+    )
+    return merged.select(
+        "user_id",
+        "n_days",
+        F.size("s").alias("n_types"),
+        F.concat_ws("|", "s").alias("merged_set"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-user request profile: first-10 time-ordered event sequence + dominant
+# event label (NginxLogParseForLabel).  The sequence is deterministic: the
+# collected structs carry (sec, event_id) and are array_sort'ed before
+# truncation, so executor arrival order is irrelevant.
+@query(
+    "user_request_profile",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    seq AS (
+      SELECT user_id, count(*) AS n_events,
+             array_to_string(list_slice(list(event_type ORDER BY sec, event_id), 1, 10), '>')
+               AS first_events
+      FROM ev GROUP BY 1
+    ),
+    dom AS (
+      SELECT user_id, event_type AS dominant_event, count(*) AS dominant_n
+      FROM ev GROUP BY 1, 2
+      QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY count(*) DESC, event_type) = 1
+    )
+    SELECT s.user_id, s.n_events, s.first_events, d.dominant_event, d.dominant_n
+    FROM seq s JOIN dom d USING (user_id)
+    """,
+)
+def user_request_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("sec", "event_id", "event_type"))),
+                    1,
+                    10,
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("first_events"),
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("dominant_n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("dominant_n").desc(), "event_type")
+    dom = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("dominant_event"), "dominant_n")
+    )
+    return seq.join(dom, "user_id")
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition quality signals per document: duplicate-token
+# ratio and top-bigram fraction.  Bigram mode via explode + groupBy so the
+# per-row cost is linear (no O(n²) array scans); docs with <2 tokens get
+# fraction 0 through the left join.
+@query(
+    "repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             cast(len(toks) as bigint) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN cast(len(list_distinct(toks)) as double) / cast(len(toks) as double)
+                  ELSE 0.0 END AS distinct_token_ratio
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM toks
+    ),
+    bgc AS (
+      SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2
+    ),
+    bgs AS (
+      SELECT doc_id, cast(sum(n) as bigint) AS n_bigrams, max(n) AS top_n
+      FROM bgc GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tokens, b.distinct_token_ratio,
+           cast(coalesce(s.n_bigrams, 0) as bigint) AS n_bigrams,
+           CASE WHEN s.n_bigrams IS NULL THEN 0.0
+                ELSE cast(s.top_n as double) / cast(s.n_bigrams as double) END
+             AS top_bigram_fraction
+    FROM base b LEFT JOIN bgs s USING (doc_id)
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    base = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.when(
+            F.size("toks") > 0,
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("distinct_token_ratio"),
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.expr("slice(toks, 1, size(toks)-1)"),
+                    F.expr("slice(toks, 2, size(toks)-1)"),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    bgc = bigrams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    bgs = bgc.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"), F.max("n").alias("top_n")
+    )
+    out = base.join(bgs, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_ratio",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.when(F.col("n_bigrams").isNull(), F.lit(0.0))
+        .otherwise(F.col("top_n").cast("double") / F.col("n_bigrams").cast("double"))
+        .alias("top_bigram_fraction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-sensitive rolling-hash (Rabin–Karp) document fingerprint: a pure
+# per-row fold over the token array — no shuffle, no UDF, identical 64-bit
+# integer arithmetic on both engines.
+@query(
+    "rolling_hash_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, cast(len(toks) as bigint) AS n_tokens,
+             list_transform(toks, t -> {hash64_sql("t", "rk")} % {RK_MOD}) AS th
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           list_reduce(list_prepend(cast(0 as bigint), th),
+                       (acc, x) -> (acc * {RK_BASE} + x) % {RK_MOD}) AS fingerprint
+    FROM hashed
+    """,
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    th = F.transform(F.col("toks"), lambda t: hash64(t, "rk") % RK_MOD)
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            th,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * RK_BASE + x) % RK_MOD,
+        ).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: per-language target rates in permille,
+# keep iff hash(doc_id) mod 1000 < rate.  Reported per (source, lang) so the
+# achieved rate is audit-checkable against the target.
+SAMPLE_RATES = {"en": 300, "zh": 800}  # permille; other langs 500
+DEFAULT_RATE = 500
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             {hash64_sql("cast(doc_id as varchar)", "samp")} % 1000 AS bucket,
+             CASE lang WHEN 'en' THEN {SAMPLE_RATES["en"]}
+                       WHEN 'zh' THEN {SAMPLE_RATES["zh"]}
+                       ELSE {DEFAULT_RATE} END AS rate_permille
+      FROM documents
+    )
+    SELECT source, lang, any_value(rate_permille) AS target_permille,
+           count(*) AS n_total,
+           cast(sum(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           cast(sum(CASE WHEN bucket < rate_permille THEN n_chars ELSE 0 END) as bigint)
+             AS kept_chars
+    FROM d GROUP BY 1, 2
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", SAMPLE_RATES["en"])
+        .when(F.col("lang") == "zh", SAMPLE_RATES["zh"])
+        .otherwise(DEFAULT_RATE)
+    )
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        (hash64("doc_id", "samp") % 1000).alias("bucket"),
+        rate.alias("rate_permille"),
+    )
+    kept = F.col("bucket") < F.col("rate_permille")
+    return d.groupBy("source", "lang").agg(
+        F.any_value("rate_permille").alias("target_permille"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("bigint").alias("kept_chars"),
+    )
