@@ -112,6 +112,47 @@ def stream_channel_hourly_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_segment_hourly",
+    oracle="""
+    SELECT ((epoch_us(e.ts)//1000000)//3600)*3600 AS hour_start,
+           c.c_mktsegment,
+           count(*) AS n_events,
+           cast(sum(cast(e.value as decimal(27,6))) as double) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_segment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 stream-static join (UserStatusByRunLog.scala:182-186): each
+    micro-batch joins the event stream against a static dimension snapshot
+    — Spark re-plans the static side per batch, broadcasting it (dim is
+    under the auto-broadcast threshold), so the streaming side never
+    shuffles for the join.  The reference re-read MySQL dims every batch by
+    hand; here it's the built-in stream-static join contract."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(cust, events["user_id"] == cust["c_custkey"])
+    agg = (
+        joined.groupBy(F.window("event_time", "1 hour"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").cast("bigint").alias("hour_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
     "stream_hourly_event_counts",
     oracle="""
     SELECT ((epoch_us(ts)//1000000)//3600)*3600 AS hour_start,

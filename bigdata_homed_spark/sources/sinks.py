@@ -72,3 +72,28 @@ def write_jdbc(
     df.coalesce(num_partitions).write.mode(mode).jdbc(
         url, table, properties=properties or {}
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed, bucket-sorted table write (saveAsTable).
+
+    This is the 100 TB co-location strategy the reference never had: two
+    facts bucketed on their join key with the same bucket count join with
+    ZERO shuffle — each task zips bucket i with bucket i — and, with
+    ``sort_cols`` on the key, zero sort too.  At scale this turns the
+    nightly fact-fact joins (session × repair, play × behavior) from a
+    full-network pass into a local merge.  The same layout serves
+    repeated groupBy on the bucket key.  Spark reads it back
+    shuffle-free whenever ``spark.sql.sources.bucketing.enabled`` (default
+    true) and bucket counts line up."""
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
