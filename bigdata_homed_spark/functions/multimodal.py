@@ -69,3 +69,41 @@ def decode_features(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_CHARS = 64
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frame sampling over a media payload: slice the payload into
+    fixed-size frames and keep every ``FRAME_STRIDE``-th one — the video
+    frame-sampling batch shape, where ``mapInPandas`` emits a DIFFERENT
+    (larger or smaller) number of rows than it receives.  A real pipeline
+    swaps the slicing for an ffmpeg keyframe extractor; the Spark contract
+    (schema, Arrow batches, row fan-out, partition preservation) is
+    identical.  Frames are hashed so the content, not just the count, is
+    verified against the oracle."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, s in zip(pdf["doc_id"], pdf[text_col]):
+                n_frames = len(s) // FRAME_CHARS
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    frame = s[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return docs.select("doc_id", text_col).mapInPandas(run, FRAME_SCHEMA)

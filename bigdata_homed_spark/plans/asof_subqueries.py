@@ -1,0 +1,188 @@
+"""As-of join and subquery-shaped queries (semi-join, scalar subquery,
+share-of-total).
+
+The reference has no as-of join (SURVEY §2.3: "latest state" is done with
+full-outer merges, nearest-key with interval containment) and no subquery
+machinery (its "frontend" is hard-coded jobs).  A complete engine needs
+both; each is expressed Spark-first:
+
+- **as-of join** — ``operators/enrich.py::asof_join`` union+forward-fill
+  (one key shuffle, no range explosion); oracle uses DuckDB's native
+  ``ASOF LEFT JOIN`` — an independent implementation, so the test is a
+  genuine cross-engine check of the semantics.
+- **EXISTS / semi-join** — ``left_semi`` join (Catalyst turns correlated
+  EXISTS into exactly this); no row duplication, no distinct needed.
+- **scalar aggregate subquery** — per-group aggregate joined back
+  (Q17 shape); the per-part limit table is small → broadcast.
+- **share-of-total** — a 1-row global aggregate cross-joined (broadcast)
+  against the per-group aggregate (Q11 shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.enrich import asof_join, dim_join
+from ..sources.tables import load_table
+from .core_relational import dsum
+from .homed_behavior import EV_SEC, events_sec
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# As-of join: each purchase event picks up the latest heartbeat value of
+# the same user at-or-before its timestamp ('<=' backward semantics).
+@query(
+    "purchase_asof_heartbeat",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    hb AS (
+      SELECT user_id, sec AS hb_sec, arg_max(value, event_id) AS hb_value
+      FROM ev WHERE event_type = 'heartbeat' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, event_id, sec, value
+      FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.sec, p.value, hb.hb_sec, hb.hb_value
+    FROM p ASOF LEFT JOIN hb
+      ON p.user_id = hb.user_id AND p.sec >= hb.hb_sec
+    """,
+)
+def purchase_asof_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir)
+    quotes = (
+        ev.where(F.col("event_type") == "heartbeat")
+        .groupBy("user_id", F.col("sec").alias("hb_sec"))
+        .agg(F.max_by("value", "event_id").alias("hb_value"))
+    )
+    points = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "sec", "value"
+    )
+    return asof_join(
+        points, quotes, ["user_id"], "sec", "hb_sec", ["hb_sec", "hb_value"]
+    ).select("user_id", "event_id", "sec", "value", "hb_sec", "hb_value")
+
+
+# --------------------------------------------------------------------------
+# EXISTS semi-join (TPC-H Q4 shape, adapted to this schema): count orders
+# per priority that had at least one late line (shipped >90 days after the
+# order date).  left_semi: no duplication from multi-line orders.
+@query(
+    "late_orders_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY 1
+    """,
+)
+def late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# Scalar aggregate subquery (Q17 shape): revenue from lines whose quantity
+# is below 20% of that part's average quantity.  The per-part limit table
+# is a small aggregate → broadcast back onto the fact.
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH lim AS (
+      SELECT l_partkey,
+             0.2 * (cast(sum(cast(l_quantity as decimal(27,6))) as double) / count(*))
+               AS qty_limit
+      FROM lineitem GROUP BY 1
+    )
+    SELECT cast(count(*) as bigint) AS n_lines,
+           round(cast(sum(cast(l.l_extendedprice as decimal(27,6))) as double) / 7.0, 4)
+             AS avg_yearly
+    FROM lineitem l JOIN lim ON l.l_partkey = lim.l_partkey
+    WHERE l.l_quantity < lim.qty_limit
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lim = li.groupBy("l_partkey").agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_limit")
+    )
+    joined = li.join(F.broadcast(lim), "l_partkey").where(
+        F.col("l_quantity") < F.col("qty_limit")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double") / 7.0, 4
+        ).alias("avg_yearly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Share-of-total (Q11 shape): the top-20 parts by revenue with their share
+# of the global total.  The global total is a 1-row aggregate, broadcast-
+# cross-joined — the scalar-subquery plan Catalyst produces for
+# `> (SELECT sum(...) ...)`; topN instead of a fixed threshold so the
+# result is non-empty and stable at every scale factor.
+@query(
+    "part_share_of_total",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(27,6))) as double)
+               AS revenue
+      FROM lineitem GROUP BY 1
+    ),
+    total AS (
+      SELECT cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(27,6))) as double)
+               AS total_revenue
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, l_partkey) AS f_rank
+      FROM per_part
+    )
+    SELECT r.f_rank, r.l_partkey, r.revenue,
+           round(r.revenue / t.total_revenue, 9) AS share
+    FROM ranked r, total t WHERE r.f_rank <= 20
+    """,
+)
+def part_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(rev, "revenue"))
+    total = li.agg(dsum(rev, "total_revenue"))
+    w = Window.orderBy(F.col("revenue").desc(), "l_partkey")
+    ranked = per_part.withColumn("f_rank", F.row_number().over(w)).where(
+        F.col("f_rank") <= 20
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "f_rank",
+        "l_partkey",
+        "revenue",
+        F.round(F.col("revenue") / F.col("total_revenue"), 9).alias("share"),
+    )

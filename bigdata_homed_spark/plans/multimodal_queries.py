@@ -31,3 +31,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_features(attach_binary_payload(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, cast(length(text)//64 - 1 as bigint), 4))
+               AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           md5(substr(text, cast(frame_idx*64 + 1 as bigint), 64)) AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video keyframe batch shape): mapInPandas fans each
+    payload out to every 4th 64-char frame with a content hash.  The oracle
+    recomputes the frames with codepoint arithmetic — DuckDB substr and
+    Python slicing agree on code points, and md5 runs over the UTF-8 bytes
+    in both engines."""
+    from ..functions.multimodal import sample_frames
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(docs)
