@@ -186,3 +186,56 @@ def part_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / F.col("total_revenue"), 9).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS (A6 exact parity): the reference computed
+# region/city/province grains by re-aggregating and unioning with '-1'
+# placeholders (ChannelReport.scala:266-273,448-451).  One-pass grouping
+# sets with grouping() flags is the Spark-native spelling; irregular sets
+# (both-keys, each-key, grand-total) are exactly what rollup/cube can't
+# express.
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(r.r_name, '-1') AS region_name,
+           coalesce(o.o_orderpriority, '-1') AS priority,
+           grouping(r.r_name)*2 + grouping(o.o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           cast(sum(cast(o.o_totalprice as decimal(27,6))) as double) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name, o.o_orderpriority), (r.r_name),
+                            (o.o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        dim_join(orders, cust, orders["o_custkey"] == cust["c_custkey"], "inner")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    grouped = joined.groupingSets(
+        [["r_name", "o_orderpriority"], ["r_name"], ["o_orderpriority"], []],
+        "r_name",
+        "o_orderpriority",
+    ).agg(
+        (F.grouping("r_name") * 2 + F.grouping("o_orderpriority")).alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+    return grouped.select(
+        F.coalesce("r_name", F.lit("-1")).alias("region_name"),
+        F.coalesce("o_orderpriority", F.lit("-1")).alias("priority"),
+        "gid",
+        "n_orders",
+        "revenue",
+    )

@@ -382,3 +382,33 @@ def runlog_parse_terminals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("plays").cast("bigint").alias("total_play_sec"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# from_json with an explicit schema — the scalable JSON spelling: ONE parse
+# per row into a typed struct (vs one get_json_object tree-walk per field,
+# props_kv_extract above).  At 100 TB with wide props this is the
+# difference between 1 and N parses of every payload.
+@query(
+    "props_struct_parse",
+    oracle="""
+    SELECT event_type,
+           cast(json_extract_string(props, '$.k') as bigint) % 2 AS k_parity,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           cast(sum(cast(value as decimal(27,6))) as double) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def props_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy(
+        "event_type", (F.col("p.k") % 2).alias("k_parity")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value"), "sum_value"),
+    )

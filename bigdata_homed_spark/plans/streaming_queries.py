@@ -166,3 +166,26 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     agg = hourly_event_counts(events)
     return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query("stream_online_user_state")  # rows-only: custom keyed state, no SQL twin
+def stream_online_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 keyed state (UserStatusByRunLog parity) as a registry entry: the
+    applyInPandasWithState job runs to completion and the final per-user
+    snapshot is returned (keep-latest over the update-mode emissions).
+    Genuinely non-SQL-expressible (driver records the weaker rows-only
+    check): the state fold's float accumulation order is batch-dependent,
+    but the row set — one final row per user — is deterministic."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..streaming.jobs import online_user_state
+
+    events = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(online_user_state(events), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
