@@ -107,3 +107,38 @@ def sample_frames(docs: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
 
     return docs.select("doc_id", text_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+THUMB_STRIDE = 3
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb_len", T.LongType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def downsample_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Resize/downsample stub: keep every ``THUMB_STRIDE``-th unit of the
+    payload — the strided-subsampling shape of an image resize or audio
+    downmix (real pipelines swap the stride slice for PIL.resize /
+    torchaudio.resample; the Arrow batch contract is identical).  Emits a
+    content hash so the oracle verifies the bytes, not just the size."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [s[::THUMB_STRIDE] for s in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "thumb_len": [len(t) for t in thumbs],
+                    "thumb_md5": [
+                        hashlib.md5(t.encode("utf-8")).hexdigest() for t in thumbs
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, THUMB_SCHEMA)

@@ -58,3 +58,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(docs)
+
+
+@query(
+    "multimodal_thumbnail",
+    oracle="""
+    SELECT doc_id,
+           cast((length(text) + 2) // 3 as bigint) AS thumb_len,
+           md5(array_to_string(list_transform(
+                 generate_series(1, cast(length(text) as bigint), 3),
+                 i -> substr(text, cast(i as bigint), 1)), '')) AS thumb_md5
+    FROM documents
+    """,
+)
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample stub (image thumbnail / audio downmix shape):
+    strided subsampling in mapInPandas, content-hash-verified — DuckDB
+    recomputes the same stride with codepoint arithmetic."""
+    from ..functions.multimodal import downsample_payload
+    from ..sources.tables import load_table
+
+    return downsample_payload(load_table(spark, sf_dir, "documents"))

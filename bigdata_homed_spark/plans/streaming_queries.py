@@ -189,3 +189,34 @@ def stream_online_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "stream_dedup_hourly_users",
+    oracle="""
+    WITH dedup AS (
+      SELECT DISTINCT user_id, ((epoch_us(ts)//1000000)//3600)*3600 AS hour_start
+      FROM events
+    )
+    SELECT hour_start, count(*) AS uv FROM dedup GROUP BY 1
+    """,
+)
+def stream_dedup_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 per-batch keep-latest as the streaming-native dropDuplicates
+    within a watermark: first occurrence of each (user, hour) survives,
+    duplicates are discarded from state as the watermark passes — the
+    bounded-state spelling of the reference's per-batch reduceByKey dedup
+    (ChannelLiveByRunLogRealTime.scala:151-157)."""
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, sf_dir)
+    dedup = (
+        events.withColumn(
+            "hour_start",
+            (F.unix_timestamp(F.date_trunc("hour", "event_time"))).cast("bigint"),
+        )
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicates(["user_id", "hour_start"])
+    )
+    agg = dedup.groupBy("hour_start").agg(F.count(F.lit(1)).alias("uv"))
+    return run_stream_to_memory(agg, output_mode="complete")
