@@ -1,0 +1,259 @@
+"""User-analysis report families (cn.ipanel.homed.repots analysis jobs)
+re-expressed over the synthetic tables.
+
+Reference jobs covered here:
+
+- ``NewAnalysis.scala`` — new vs returning users per day (first-login
+  derivation at NewAnalysis.scala:131: ``min(f_create_time)`` per account).
+- ``ActiveAnalysis.scala`` — per-user activity profile: per-playtype time
+  sums and counts (ActiveAnalysis.scala:102-114 conditional sums) plus an
+  activity tier (the browse/hobby/steady tiering of ChannelReport.scala:169).
+- ``BindAnalysis.scala`` — account↔device binding degrees
+  (BindAnalysis.scala:57-58); here the customer↔supplier bipartite degree
+  distribution, the same two-stage distinct-count + histogram shape.
+- ``PlayCount.scala`` — day × playtype × content-provider play counts with
+  null-CP coalesced to 'other' (PlayCount.scala:117,127-129).
+- ``RecommendSuccessRate.scala`` / ``HitAnalysis.scala`` — conversion rate:
+  views followed by a purchase by the same user within a tolerance window.
+
+Scale notes (100 TB): every query below is one or two hash aggregations on
+a single shuffle key plus (for the conversion query) one equi-join on
+``user_id`` with a time-range residual — no cross joins, no driver
+collection, no UDFs.  ``new_vs_returning`` reuses the ``user_id``
+partitioning across distinct → min → join, so AQE plans a single exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core_relational import dsum
+from .homed_behavior import EV_SEC, events_sec
+from .registry import query
+
+DAY = 86400
+
+
+def _with_day(df: DataFrame) -> DataFrame:
+    return df.withColumn("day", (F.col("sec") / DAY).cast("bigint") * DAY)
+
+
+# --------------------------------------------------------------------------
+# NewAnalysis — per day: users first seen that day vs returning users.
+@query(
+    "new_vs_returning",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    daily AS (
+      SELECT DISTINCT user_id, (sec//{DAY})*{DAY} AS day FROM ev
+    ),
+    first_seen AS (
+      SELECT user_id, min(day) AS first_day FROM daily GROUP BY user_id
+    )
+    SELECT d.day,
+           cast(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) as bigint) AS n_new,
+           cast(sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) as bigint) AS n_returning
+    FROM daily d JOIN first_seen f USING (user_id)
+    GROUP BY d.day
+    """,
+)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily split (NewAnalysis.scala:131 ``min(create
+    time)`` per account).  distinct → groupBy → join all share the
+    ``user_id`` hash partitioning, so Catalyst plans one exchange and the
+    self-join is co-partitioned (no second shuffle of the big side)."""
+    daily = _with_day(events_sec(spark, sf_dir)).select("user_id", "day").distinct()
+    first_seen = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ActiveAnalysis — per-user activity profile with conditional per-type sums.
+@query(
+    "user_activity_profile",
+    oracle=f"""
+    WITH ev AS ({EV_SEC})
+    SELECT user_id,
+           cast(count(*) as bigint) AS n_events,
+           cast(count(DISTINCT (sec//{DAY})*{DAY}) as bigint) AS active_days,
+           min(sec) AS first_sec,
+           max(sec) AS last_sec,
+           cast(sum(CASE WHEN event_type = 'view'
+                         THEN cast(value as decimal(27,6)) ELSE 0 END) as double) AS view_time,
+           cast(sum(CASE WHEN event_type = 'click'
+                         THEN cast(value as decimal(27,6)) ELSE 0 END) as double) AS click_time,
+           cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS n_purchases,
+           CASE WHEN count(DISTINCT (sec//{DAY})*{DAY}) >= 15 THEN 'steady'
+                WHEN count(DISTINCT (sec//{DAY})*{DAY}) >= 5 THEN 'hobby'
+                ELSE 'browse' END AS tier
+    FROM ev GROUP BY user_id
+    """,
+)
+def user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile (ActiveAnalysis.scala:102-114): conditional
+    per-playtype sums in ONE pass — the reference chained two groupBys
+    (user,device,playType then user,device); Catalyst's partial aggregation
+    makes the single-pass spelling strictly cheaper at scale."""
+    ev = _with_day(events_sec(spark, sf_dir))
+    active_days = F.countDistinct("day")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        active_days.cast("bigint").alias("active_days"),
+        F.min("sec").alias("first_sec"),
+        F.max("sec").alias("last_sec"),
+        dsum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0), "view_time"),
+        dsum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0), "click_time"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.when(active_days >= 15, "steady")
+        .when(active_days >= 5, "hobby")
+        .otherwise("browse")
+        .alias("tier"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BindAnalysis — bipartite degree histogram (account↔device ↦ cust↔supplier).
+@query(
+    "bind_degree_histogram",
+    oracle="""
+    WITH deg AS (
+      SELECT o.o_custkey AS custkey,
+             cast(count(DISTINCT l.l_suppkey) as bigint) AS degree
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    )
+    SELECT degree, cast(count(*) as bigint) AS n_customers
+    FROM deg GROUP BY degree
+    """,
+)
+def bind_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct suppliers each customer bought from, then the
+    degree histogram (BindAnalysis.scala:57-58 account↔device degrees).
+    Fact-fact join on ``l_orderkey`` — at 100 TB this is the bucketed-join
+    candidate (see sinks.write_bucketed); the distinct-count re-keys once
+    on custkey, and the tiny histogram agg is map-side combinable."""
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    deg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+# --------------------------------------------------------------------------
+# PlayCount — day × playtype × content-provider rollup, null CP → 'other'.
+@query(
+    "play_count_cp",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             value,
+             ((epoch_us(ts)//1000000)//{DAY})*{DAY} AS day,
+             coalesce(cast(cast(json_extract_string(props, '$.k') as bigint) % 7 as varchar),
+                      'other') AS cp_id
+      FROM events
+    )
+    SELECT day, event_type, cp_id,
+           cast(count(*) as bigint) AS n_plays,
+           cast(sum(cast(value as decimal(27,6))) as double) AS total_time
+    FROM ev GROUP BY day, event_type, cp_id
+    """,
+)
+def play_count_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PlayCount.scala:127-129 ``groupBy(playtypes, day, f_cp_id)`` with the
+    null-CP → 'other' coalesce of PlayCount.scala:117.  One hash
+    aggregation; the CP id comes out of the ``props`` JSON the same way the
+    reference pulled ``exts['...']``."""
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        ((F.col("ts_sec") / DAY).cast("bigint") * DAY).alias("day"),
+        F.coalesce(
+            (F.get_json_object("props", "$.k").cast("bigint") % 7).cast("string"),
+            F.lit("other"),
+        ).alias("cp_id"),
+    )
+    return ev.groupBy("day", "event_type", "cp_id").agg(
+        F.count(F.lit(1)).alias("n_plays"),
+        dsum(F.col("value"), "total_time"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RecommendSuccessRate / HitAnalysis — view→purchase conversion within 600 s.
+CONV_TOLERANCE = 600
+
+
+@query(
+    "view_to_purchase_conversion",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    views AS (
+      SELECT user_id, event_id, sec FROM ev WHERE event_type = 'view'
+    ),
+    purchases AS (
+      SELECT user_id, sec FROM ev WHERE event_type = 'purchase'
+    ),
+    conv AS (
+      SELECT v.user_id, v.event_id, v.sec,
+             max(CASE WHEN p.sec IS NOT NULL THEN 1 ELSE 0 END) AS converted
+      FROM views v LEFT JOIN purchases p
+        ON v.user_id = p.user_id
+       AND p.sec >= v.sec AND p.sec <= v.sec + {CONV_TOLERANCE}
+      GROUP BY v.user_id, v.event_id, v.sec
+    )
+    SELECT (sec//{DAY})*{DAY} AS day,
+           cast(count(*) as bigint) AS n_views,
+           cast(sum(converted) as bigint) AS n_converted,
+           cast(sum(converted) as double) / count(*) AS conv_rate
+    FROM conv GROUP BY 1
+    """,
+)
+def view_to_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did a view convert to a purchase within 10 minutes?
+    (RecommendSuccessRate.scala's search→play success ratio.)  Equi-join on
+    ``user_id`` with a time-range residual — a hash join, NOT a nested
+    loop, because the equi key carries it; per-user event counts bound the
+    worst-case pair fan-out, and the aggregate collapses it immediately."""
+    ev = events_sec(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select("user_id", "event_id", "sec")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("sec").alias("p_sec"))
+    )
+    conv = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_sec") >= F.col("sec"))
+            & (F.col("p_sec") <= F.col("sec") + CONV_TOLERANCE),
+            "left",
+        )
+        .groupBy("user_id", "event_id", "sec")
+        .agg(F.max(F.when(F.col("p_sec").isNotNull(), 1).otherwise(0)).alias("converted"))
+    )
+    return conv.groupBy(((F.col("sec") / DAY).cast("bigint") * DAY).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_views"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("conv_rate"),
+    )

@@ -63,3 +63,4 @@ from . import window_frames  # noqa: E402,F401
 from . import rank_lifecycle  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import asof_subqueries  # noqa: E402,F401
+from . import analysis_queries  # noqa: E402,F401

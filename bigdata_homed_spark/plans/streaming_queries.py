@@ -220,3 +220,52 @@ def stream_dedup_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = dedup.groupBy("hour_start").agg(F.count(F.lit(1)).alias("uv"))
     return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_session_gap_spans",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts)//1000000 AS sec FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ),
+    bounds AS (SELECT max(sec) AS max_sec FROM ev)
+    SELECT user_id, min(sec) AS session_start, max(sec) + 1800 AS session_end,
+           cast(count(*) as bigint) AS n_events
+    FROM sess, bounds
+    GROUP BY user_id, session_seq, max_sec
+    HAVING max(sec) + 1800 <= max_sec
+    """,
+)
+def stream_session_gap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window — the stateful generalization the reference
+    never had (its sessions were nightly batch, SURVEY §2.9 note): per-user
+    30-min-gap sessions maintained as merging state, emitted in append mode
+    once the (zero-lateness) watermark passes the session end.  The oracle
+    is the batch gap-sessionization truth restricted to watermark-closed
+    sessions (`session_end <= max event time`) — the same closed-window
+    contract as stream_channel_hourly_uv."""
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, sf_dir)
+    sess = (
+        events.withWatermark("event_time", "0 seconds")
+        .groupBy(F.session_window("event_time", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").cast("bigint").alias("session_start"),
+            F.unix_timestamp("session_window.end").cast("bigint").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(sess, output_mode="append")
