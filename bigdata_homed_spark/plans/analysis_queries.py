@@ -257,3 +257,170 @@ def view_to_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("bigint").alias("n_converted"),
         (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("conv_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# DemandWatch — completion-ratio buckets (watched / duration histograms).
+@query(
+    "demand_completion_buckets",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand,
+             cast(floor(l.l_extendedprice / (p.p_retailprice * l.l_quantity) * 10) as bigint)
+               AS ratio_bucket
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT p_brand, ratio_bucket, cast(count(*) as bigint) AS n_items
+    FROM j GROUP BY p_brand, ratio_bucket
+    """,
+)
+def demand_completion_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DemandWatch completion-rate histogram shape: per-item ratio of
+    realized to nominal value, floored into tenth buckets, counted per
+    brand.  The part dim broadcasts; the only shuffle is the final tiny
+    (brand × bucket) hash agg with map-side partials."""
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand",
+        F.floor(
+            F.col("l_extendedprice") / (F.col("p_retailprice") * F.col("l_quantity")) * 10
+        )
+        .cast("bigint")
+        .alias("ratio_bucket"),
+    )
+    return j.groupBy("p_brand", "ratio_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items")
+    )
+
+
+# --------------------------------------------------------------------------
+# LiveChannelStatisticByTimerange — per-slot channel share of viewing.
+@query(
+    "timerange_channel_share",
+    oracle="""
+    WITH ev AS (
+      SELECT DISTINCT user_id,
+             coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 10 AS channel_id,
+             ((epoch_us(ts)//1000000)//1800)*1800 AS slot_start
+      FROM events
+    ),
+    agg AS (
+      SELECT slot_start, channel_id, cast(count(*) as bigint) AS uv
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT slot_start, channel_id, uv,
+           cast(uv as double) / sum(uv) OVER (PARTITION BY slot_start) AS share
+    FROM agg
+    """,
+)
+def timerange_channel_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LiveChannelStatisticByTimerange.scala audience-share: per half-hour
+    slot, each channel's distinct viewers and its share of the slot's
+    viewing.  The share is a window sum OVER the already-aggregated
+    (slot × channel) frame — thousands of rows, not the raw fact — so the
+    second pass is negligible at any scale."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)) % 10)
+            .alias("channel_id"),
+            ((F.col("ts_sec") / 1800).cast("bigint") * 1800).alias("slot_start"),
+        )
+        .distinct()
+    )
+    agg = ev.groupBy("slot_start", "channel_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("uv")
+    )
+    w = Window.partitionBy("slot_start")
+    return agg.withColumn("share", F.col("uv").cast("double") / F.sum("uv").over(w))
+
+
+# --------------------------------------------------------------------------
+# TotalUserStatistics — cumulative registered-user snapshot by day.
+@query(
+    "cumulative_user_snapshot",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    first_seen AS (
+      SELECT user_id, min((sec//{DAY})*{DAY}) AS first_day FROM ev GROUP BY user_id
+    ),
+    daily_new AS (
+      SELECT first_day AS day, cast(count(*) as bigint) AS n_new
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, n_new,
+           cast(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) as bigint) AS cum_users
+    FROM daily_new
+    """,
+)
+def cumulative_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TotalUserStatistics cumulative-accounts snapshot: daily first-seen
+    counts plus a running total.  The global ordered window runs over the
+    ~one-row-per-day aggregate, not the fact table — a deliberate
+    single-partition window on a tiny frame (the reference kept this
+    snapshot in MySQL and added to it daily)."""
+    from pyspark.sql import Window
+
+    ev = _with_day(events_sec(spark, sf_dir))
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# AdInfo / ClickUpload — per-ad views, clicks, click-through rate.
+@query(
+    "ad_click_ctr",
+    oracle="""
+    WITH ev AS (
+      SELECT coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 20 AS ad_id,
+             event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    )
+    SELECT ad_id,
+           cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_views,
+           cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n_clicks,
+           CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as double)
+                     / sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) END AS ctr
+    FROM ev GROUP BY ad_id
+    """,
+)
+def ad_click_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdInfo/ClickUpload ad report: impressions, clicks, CTR per ad slot.
+    The type filter reaches the parquet scan (PushedFilters), the agg is a
+    single map-side-combinable pass, and the CTR division happens on the
+    20-row result."""
+    from ..sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .select(
+            (F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)) % 20)
+            .alias("ad_id"),
+            "event_type",
+        )
+    )
+    views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+    clicks = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+    return ev.groupBy("ad_id").agg(
+        views.cast("bigint").alias("n_views"),
+        clicks.cast("bigint").alias("n_clicks"),
+        F.when(views == 0, F.lit(None).cast("double"))
+        .otherwise(clicks.cast("double") / views)
+        .alias("ctr"),
+    )

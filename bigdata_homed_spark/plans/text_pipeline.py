@@ -628,3 +628,229 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.where(hamming <= 3).select(
         "d1", "d2", hamming.cast("bigint").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language ID, n-gram flavor (the prompt's "language-ID (n-gram heuristic)"):
+# fixed character-bigram marker profiles per language, score = total marker
+# occurrences, argmax with a deterministic tie order.  Pure narrow projection
+# (zero shuffles before the tiny confusion-matrix agg); the marker table is a
+# compile-time constant, so both engines compute the identical function.
+LID_MARKERS: dict[str, list[str]] = {
+    "en": ["th", "he", "in"],
+    "de": ["sc", "ch", "de"],
+    "es": ["es", "os", "ar"],
+    "fr": ["le", "re", "ou"],
+    "zh": ["sh", "ng", "zh"],
+}
+LID_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def _lid_score_sql(lang: str) -> str:
+    terms = [
+        f"(length(text) - length(replace(text, '{m}', ''))) // {len(m)}"
+        for m in LID_MARKERS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lid_pred_sql() -> str:
+    cases = []
+    for lang in LID_ORDER:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in LID_ORDER if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases[:-1]) + f" ELSE '{LID_ORDER[-1]}' END"
+
+
+@query(
+    "lang_id_ngram",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {", ".join(f"{_lid_score_sql(lang)} AS s_{lang}" for lang in LID_ORDER)}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang, {_lid_pred_sql()} AS predicted FROM scored
+    )
+    SELECT lang, predicted, cast(count(*) as bigint) AS n_docs
+    FROM pred GROUP BY lang, predicted
+    """,
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID over the labeled corpus, reported as a
+    (actual, predicted) confusion table.  Marker-profile scoring is the
+    classic n-gram LID shape (real pipelines swap the 3 bigrams/lang for a
+    few hundred trigram frequencies — identical plan: per-row projection,
+    argmax, tiny agg)."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def score(lang: str):
+        c = F.lit(0)
+        for m in LID_MARKERS[lang]:
+            c = c + (F.length("text") - F.length(F.replace(F.col("text"), F.lit(m)))) / len(m)
+        return c.cast("bigint")
+
+    scored = docs.select(
+        "lang", *[score(lang).alias(f"s_{lang}") for lang in LID_ORDER]
+    )
+    expr = None
+    for lang in LID_ORDER[:-1]:
+        cond = None
+        for other in LID_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    predicted = expr.otherwise(LID_ORDER[-1]).alias("predicted")
+    return (
+        scored.select("lang", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document-frequency table — the TF-IDF building block over the corpus.
+@query(
+    "word_doc_frequency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS word FROM documents
+    ),
+    n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents)
+    SELECT word,
+           cast(count(*) as bigint) AS df,
+           cast(count(*) as double) / (SELECT n_docs FROM n) AS doc_frac
+    FROM toks GROUP BY word
+    """,
+)
+def word_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document frequency per word: explode distinct tokens per doc,
+    count docs per word, normalize by the corpus size (broadcast 1-row
+    total — the part_share_of_total pattern).  At 100 TB the shuffle key is
+    the word (compact, heavy-tailed but bounded by vocabulary); partial
+    aggregation absorbs the skew before the exchange."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("word"))
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    df = toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return df.crossJoin(F.broadcast(total)).select(
+        "word", "df", (F.col("df").cast("double") / F.col("n_docs")).alias("doc_frac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (integer-exact scoring: tf * N / df).
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKS}) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, cast(count(*) as bigint) AS tf FROM toks GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, cast(count(*) as bigint) AS df
+      FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY word
+    ),
+    n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             cast(tf.tf * (SELECT n_docs FROM n) as double) / df.df AS score
+      FROM tf JOIN df USING (word)
+    )
+    SELECT doc_id, word, tf, df, score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  IDF is kept as the exact rational
+    ``N / df`` (one IEEE division — bit-identical across engines, unlike
+    ``ln``, whose libm rounding differs).  Plan: tf agg keyed on
+    (doc_id, word), df agg keyed on word joined back (word is broadcastable
+    once aggregated — vocabulary-sized), then a per-doc top-k window."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df = (
+        toks.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "word", "tf", "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-outlier banding — per-language exact-percentile thresholds, then a
+# broadcast join classifies every document (the curation "length filter").
+@query(
+    "doc_length_bands",
+    oracle="""
+    WITH th AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CASE WHEN d.n_chars < th.lo THEN 'short'
+                WHEN d.n_chars > th.hi THEN 'long'
+                ELSE 'ok' END AS band,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(cast(d.n_chars as decimal(27,6))) as double) AS total_chars
+    FROM documents d JOIN th ON d.lang = th.lang
+    GROUP BY 1, 2
+    """,
+)
+def doc_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-outlier banding (p5/p95 exact percentiles →
+    broadcast threshold join → classify + count).  The percentile agg runs
+    over the lang key (5 groups); its 5-row result broadcasts back onto the
+    corpus scan, so the classification pass is shuffle-free."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    banded = docs.join(F.broadcast(th), "lang").select(
+        "lang",
+        F.when(F.col("n_chars") < F.col("lo"), "short")
+        .when(F.col("n_chars") > F.col("hi"), "long")
+        .otherwise("ok")
+        .alias("band"),
+        "n_chars",
+    )
+    return banded.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        dsum(F.col("n_chars"), "total_chars"),
+    )
