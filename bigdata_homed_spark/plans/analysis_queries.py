@@ -424,3 +424,118 @@ def ad_click_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(clicks.cast("double") / views)
         .alias("ctr"),
     )
+
+
+# --------------------------------------------------------------------------
+# cn.ipanel.customization — pluggable site hooks (hunan/wuhu).
+DA_LO, DA_HI = 30, 120  # "normal DA range" analog (HNLogParser.scala:25)
+
+
+@query(
+    "site_filtered_visits",
+    oracle=f"""
+    WITH real_users AS (
+      SELECT user_id, cast(user_id as bigint) AS region_key
+      FROM events WHERE user_id BETWEEN {DA_LO} AND {DA_HI}
+    ),
+    guests AS (
+      SELECT e.user_id, coalesce(c.c_nationkey, -1) AS region_key
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.user_id NOT BETWEEN {DA_LO} AND {DA_HI}
+    ),
+    unioned AS (
+      SELECT 'real' AS cohort, region_key FROM real_users
+      UNION ALL
+      SELECT 'guest' AS cohort, region_key FROM guests
+    )
+    SELECT cohort, region_key, cast(count(*) as bigint) AS n_visits
+    FROM unioned GROUP BY cohort, region_key
+    """,
+)
+def site_filtered_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-customization hook parity (cn.ipanel.customization): the hunan
+    guest rule keeps ids OUTSIDE the normal DA range and remaps them
+    through a left join with a default fallback (HNLogParser.scala:21-41
+    ``nvl(c.region_id, default)``); wuhu inner-joins to effective users
+    (wuhu/etl/LogProcess.scala:12-14).  Expressed as a split → per-cohort
+    enrichment → unionByName — the hook is a predicate + join, not a UDF."""
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    in_range = F.col("user_id").between(DA_LO, DA_HI)
+    real = ev.where(in_range).select(
+        F.lit("real").alias("cohort"), F.col("user_id").cast("bigint").alias("region_key")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    guests = (
+        ev.where(~in_range)
+        .join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "left")
+        .select(
+            F.lit("guest").alias("cohort"),
+            F.coalesce(F.col("c_nationkey").cast("bigint"), F.lit(-1)).alias("region_key"),
+        )
+    )
+    return (
+        real.unionByName(guests)
+        .groupBy("cohort", "region_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_visits"))
+    )
+
+
+# --------------------------------------------------------------------------
+# ColumnAndVideoReport.get_end_times — schedule end arithmetic + overlap scan.
+@query(
+    "program_schedule_relations",
+    oracle="""
+    WITH sched AS (
+      SELECT coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 10 AS channel_id,
+             event_id,
+             epoch_us(ts)//1000000 AS start_sec,
+             epoch_us(ts)//1000000 + cast(floor(value) as bigint) * 60 AS end_sec
+      FROM events WHERE event_type = 'purchase'
+    ),
+    nexted AS (
+      SELECT *, lead(start_sec) OVER (PARTITION BY channel_id
+                                      ORDER BY start_sec, event_id) AS next_start
+      FROM sched
+    )
+    SELECT channel_id,
+           CASE WHEN next_start IS NULL THEN 'last'
+                WHEN next_start < end_sec THEN 'overlap'
+                WHEN next_start = end_sec THEN 'adjacent'
+                ELSE 'gap' END AS relation,
+           cast(count(*) as bigint) AS n_programs
+    FROM nexted GROUP BY 1, 2
+    """,
+)
+def program_schedule_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPG end-time arithmetic (ColumnAndVideoReport.scala:337
+    ``get_end_times`` = start + duration) plus the lead()-based
+    next-program comparison the reference used to cap sessions — here
+    classifying each program's relation to its successor (overlap / gap /
+    adjacent).  One window shuffle on the channel key, then a tiny agg."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    sched = ev.select(
+        (F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)) % 10)
+        .alias("channel_id"),
+        "event_id",
+        F.col("ts_sec").alias("start_sec"),
+        (F.col("ts_sec") + F.floor("value").cast("bigint") * 60).alias("end_sec"),
+    )
+    w = Window.partitionBy("channel_id").orderBy("start_sec", "event_id")
+    nexted = sched.withColumn("next_start", F.lead("start_sec").over(w))
+    relation = (
+        F.when(F.col("next_start").isNull(), "last")
+        .when(F.col("next_start") < F.col("end_sec"), "overlap")
+        .when(F.col("next_start") == F.col("end_sec"), "adjacent")
+        .otherwise("gap")
+    )
+    return (
+        nexted.select("channel_id", relation.alias("relation"))
+        .groupBy("channel_id", "relation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_programs"))
+    )

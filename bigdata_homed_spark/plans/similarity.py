@@ -346,3 +346,103 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(cos >= ANN_THRESHOLD).select(
         "d1", "d2", F.round(cos, 6).alias("cosine_r")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids — the k-means/IVF "train" step as a distributed agg.
+@query(
+    "label_centroids",
+    oracle=f"""
+    SELECT e.label, d.i - 1 AS dim,
+           cast(count(*) as bigint) AS n_vecs,
+           cast(sum(cast(cast(e.embedding[d.i] as double) as decimal(27,6))) as double)
+             / count(*) AS mean_val
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(generate_series(1, {DIMS})) AS i) d
+    GROUP BY e.label, d.i
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dimension mean — the centroid-update step of k-means /
+    IVF training, as a pure distributed aggregation: posexplode the vector
+    (64 rows per vec), hash-agg on the compact (label, dim) key with
+    map-side partials, exact decimal sums for order-independence.  No
+    driver round-trips — at 100 TB this is one shuffle of 64×n tiny rows."""
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Centroid-distance outliers — embedding quality filtering.
+@query(
+    "embedding_outliers",
+    oracle=f"""
+    WITH cent AS (
+      SELECT e.label, d.i AS i,
+             cast(sum(cast(cast(e.embedding[d.i] as double) as decimal(27,6))) as double)
+               / count(*) AS mean_val
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(1, {DIMS})) AS i) d
+      GROUP BY e.label, d.i
+    ),
+    cvec AS (
+      SELECT label, list(mean_val ORDER BY i) AS centroid FROM cent GROUP BY label
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label,
+             sqrt(list_reduce(list_transform(generate_series(1, {DIMS}),
+                    i -> (cast(e.embedding[i] as double) - c.centroid[i])
+                         * (cast(e.embedding[i] as double) - c.centroid[i])),
+                  (x, y) -> x + y)) AS dist
+      FROM embeddings e JOIN cvec c ON e.label = c.label
+    )
+    SELECT vec_id, label, dist
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn
+      FROM dists
+    ) WHERE rn <= 5
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 farthest vectors from their label centroid — the embedding
+    quality/outlier filter of a curation pipeline.  Centroids (|labels|
+    rows) re-pack into arrays and BROADCAST back onto the vector scan, so
+    the distance pass is shuffle-free; only the tiny per-label top-k
+    windows shuffle.  Distance folds left-to-right (bit-identical in both
+    engines)."""
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+    joined = emb.join(F.broadcast(cvec), "label")
+    diffs = F.zip_with(
+        F.col("embedding"), F.col("centroid"), lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+    )
+    dist = F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v))
+    dists = joined.select("vec_id", "label", dist.alias("dist"))
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5).drop("rn")
