@@ -269,3 +269,133 @@ def stream_session_gap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(sess, output_mode="append")
+
+
+@query(
+    "stream_stream_view_purchase",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts)//1000000 AS sec FROM events
+    ),
+    v AS (SELECT user_id, event_id AS view_id, sec AS view_sec FROM ev WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, sec AS purchase_sec FROM ev WHERE event_type = 'purchase')
+    SELECT v.user_id, v.view_id, p.purchase_id, v.view_sec, p.purchase_sec
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_sec >= v.view_sec
+     AND p.purchase_sec <= v.view_sec + 600
+    """,
+)
+def stream_stream_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the Structured Streaming capability the
+    reference's DStream stack could not express at all (it fell back to
+    per-batch full-outer joins against Phoenix state, SURVEY §2.9 T4).
+    Both sides carry watermarks and the join condition bounds purchase time
+    to [view, view+10min], so each side's buffered state is evicted once
+    the other side's watermark passes the bound — bounded memory at any
+    scale.  Inner-join emission is eager (not watermark-gated), so the
+    oracle is the full batch interval join."""
+    from pyspark.sql import functions as F
+
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", "10 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_time >= view_time AND
+            purchase_time <= view_time + interval 10 minutes
+            """
+        ),
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.unix_timestamp("view_time").cast("bigint").alias("view_sec"),
+        F.unix_timestamp("purchase_time").cast("bigint").alias("purchase_sec"),
+    )
+    return run_stream_to_memory(joined, output_mode="append")
+
+
+@query(
+    "stream_foreachbatch_latest",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts)//1000000 AS sec FROM events
+    )
+    SELECT user_id, event_id, event_type, value, sec
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY sec DESC, event_id DESC) AS rn
+      FROM ev
+    ) WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/T8 as a driven pipeline: every micro-batch upserts its per-user
+    latest event into a parquet state table via ``foreachBatch`` +
+    ``upsert_by_key`` — the reference's Phoenix overwrite-by-PK contract
+    (UserStatusByRunLog.scala:296-300) with at-least-once batch semantics
+    (idempotent because the upsert is keyed).  The oracle is global
+    keep-latest per user."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import upsert_by_key
+
+    state_dir = tempfile.mkdtemp(prefix="upsert_state_")
+    empty = spark.createDataFrame(
+        [], "user_id bigint, event_id bigint, event_type string, value double, sec bigint"
+    )
+    empty.write.mode("overwrite").parquet(state_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("sec"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        existing = sess.read.parquet(state_dir)
+        merged = upsert_by_key(existing, latest, ["user_id"]).localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        (F.unix_timestamp("event_time")).cast("bigint").alias("sec"),
+    )
+    q = (
+        events.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir)
