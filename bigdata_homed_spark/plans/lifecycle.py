@@ -375,3 +375,19 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("click", "view", "purchase", "signup", "error"):
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("bigint"))
     return out
+
+
+@query("value_percentiles_approx")  # rows-only: sketch result, no exact SQL twin
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for percentiles: `approx_percentile` (KLL-style sketch,
+    mergeable across partitions — one pass, bounded memory, no global
+    sort).  At 100 TB exact `percentile` materializes every value per
+    group; the sketch is the only tractable spelling.  Accuracy is pinned
+    by `test_approx_percentile_tolerance` against the exact values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.9, 1000)").alias("p90"),
+        F.expr("approx_percentile(value, 0.99, 1000)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -183,3 +183,39 @@ def test_setops(spark):
     assert sorted(r.id for r in anti_join(df, right, ["id"]).collect()) == [1, 3]
     u = union_grains([df.select("id"), right])
     assert u.count() == 4
+
+
+def test_approx_percentile_tolerance(spark, sf_dir):
+    """The sketch percentiles must land within 2% relative error of the
+    exact ones (accuracy=1000 bounds rank error at 1/1000)."""
+    from bigdata_homed_spark.plans.lifecycle import (
+        value_percentiles,
+        value_percentiles_approx,
+    )
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.tables import load_table
+
+    approx = {r["event_type"]: r for r in value_percentiles_approx(spark, sf_dir).collect()}
+    exact = {r["event_type"]: r for r in value_percentiles(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    # rank-error bound: approx pQ must land between exact p(Q-1%) and p(Q+1%)
+    bounds = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.49)").alias("p50_lo"),
+            F.expr("percentile(value, 0.51)").alias("p50_hi"),
+            F.expr("percentile(value, 0.89)").alias("p90_lo"),
+            F.expr("percentile(value, 0.91)").alias("p90_hi"),
+            F.expr("percentile(value, 0.98)").alias("p99_lo"),
+            F.expr("percentile(value, 1.0)").alias("p99_hi"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        b = bounds[et]
+        for c in ("p50", "p90", "p99"):
+            assert b[f"{c}_lo"] <= a[c] <= b[f"{c}_hi"], (et, c, a[c], b[f"{c}_lo"], b[f"{c}_hi"])

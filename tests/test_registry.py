@@ -22,7 +22,11 @@ def test_query_runs(spark, sf_dir, name):
 
 # genuinely non-SQL-expressible results (different sketch implementations);
 # the driver records a rows-only check for these
-ROWS_ONLY = {"distinct_users_approx_daily", "stream_online_user_state"}
+ROWS_ONLY = {
+    "distinct_users_approx_daily",
+    "stream_online_user_state",
+    "value_percentiles_approx",
+}
 
 
 def test_oracle_coverage():

@@ -158,3 +158,37 @@ def test_online_user_state_totals(spark, sf_dir):
     s = {r.user_id: (r.n_events, r.last_seen) for r in latest.collect()}
     b = {r.user_id: (r.n_events, r.last_seen) for r in batch.collect()}
     assert s == b
+
+
+def test_transform_with_state_v2(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas spelling of the keyed-state job.
+    Skips when the container lacks python protobuf (the v2 runner's
+    control-channel dependency); on a full cluster image it runs."""
+    import pytest
+
+    from bigdata_homed_spark.streaming.stateful_v2 import (
+        online_user_state_v2,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("python protobuf not available in this container")
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(online_user_state_v2(events), output_mode="update")
+    batch = (
+        events.sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # final snapshot per user must match the batch totals
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    joined = final.join(batch, "user_id")
+    assert joined.where(F.col("n_events") != F.col("n")).count() == 0
