@@ -539,3 +539,219 @@ def program_schedule_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel_id", "relation")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_programs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Lookback family — daily channel report + the *Period re-aggregation.
+@query(
+    "lookback_channel_grains",
+    oracle=f"""
+    WITH lb AS (
+      SELECT user_id,
+             coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 10 AS channel_id,
+             ((epoch_us(ts)//1000000)//{DAY})*{DAY} AS day,
+             value
+      FROM events WHERE event_type = 'error'
+    ),
+    daily AS (
+      SELECT day, channel_id,
+             cast(count(*) as bigint) AS vv,
+             cast(count(DISTINCT user_id) as bigint) AS uv,
+             cast(sum(cast(value as decimal(27,6))) as double) AS total_time
+      FROM lb GROUP BY day, channel_id
+    ),
+    weekly AS (
+      SELECT (day // {7 * DAY}) * {7 * DAY} AS day, channel_id,
+             cast(sum(vv) as bigint) AS vv,
+             cast(count(*) as bigint) AS uv_days,
+             cast(sum(cast(total_time as decimal(27,6))) as double) AS total_time
+      FROM daily GROUP BY 1, channel_id
+    )
+    SELECT 'day' AS grain, day, channel_id, vv,
+           uv AS uv_or_updays, total_time FROM daily
+    UNION ALL
+    SELECT 'week' AS grain, day, channel_id, vv,
+           uv_days AS uv_or_updays, total_time FROM weekly
+    """,
+)
+def lookback_channel_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookback report family (LookBackReport.scala + LookbackReportPeriod
+    .scala): the daily channel report, then the WEEK grain re-aggregated
+    FROM THE DAILY REPORT, not from the fact table — the reference's
+    period-report pattern (re-read yesterday's report table, roll it up,
+    SURVEY §2.4 A7).  The weekly pass touches |days × channels| rows, so at
+    100 TB it is free compared to a second fact scan.  (Weekly user-days,
+    not distinct users — same as the reference's period tables, which could
+    not re-distinct either; exact multi-period distinct lives in
+    multi_period_distinct_users.)"""
+    from ..sources.tables import load_table
+
+    lb = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            (F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)) % 10)
+            .alias("channel_id"),
+            ((F.col("ts_sec") / DAY).cast("bigint") * DAY).alias("day"),
+            "value",
+        )
+    )
+    daily = lb.groupBy("day", "channel_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vv"),
+        F.countDistinct("user_id").cast("bigint").alias("uv"),
+        dsum(F.col("value"), "total_time"),
+    )
+    weekly = (
+        daily.groupBy(
+            ((F.col("day") / (7 * DAY)).cast("bigint") * (7 * DAY)).alias("day"),
+            F.col("channel_id"),
+        )
+        .agg(
+            F.sum("vv").cast("bigint").alias("vv"),
+            F.count(F.lit(1)).cast("bigint").alias("uv_days"),
+            dsum(F.col("total_time"), "total_time"),
+        )
+    )
+    d = daily.select(
+        F.lit("day").alias("grain"), "day", "channel_id", "vv",
+        F.col("uv").alias("uv_or_updays"), "total_time",
+    )
+    w = weekly.select(
+        F.lit("week").alias("grain"), "day", "channel_id", "vv",
+        F.col("uv_days").alias("uv_or_updays"), "total_time",
+    )
+    return d.unionByName(w)
+
+
+# --------------------------------------------------------------------------
+# OnlineUsersAndDevices — per-slot per-terminal concurrency with ALL rollup.
+@query(
+    "online_users_devices",
+    oracle="""
+    WITH ev AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN (event_id * 37) % 100000 < 50000 THEN 'tv' ELSE 'mobile' END AS terminal,
+             ((epoch_us(ts)//1000000)//1800)*1800 AS slot_start
+      FROM events
+    )
+    SELECT slot_start, coalesce(terminal, 'ALL') AS terminal,
+           cast(count(*) as bigint) AS n_user_terminals
+    FROM ev GROUP BY GROUPING SETS ((slot_start, terminal), (slot_start))
+    """,
+)
+def online_users_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OnlineUsersAndDevices.scala: per half-hour online user counts split
+    by terminal class plus the ALL row — one-pass GROUPING SETS where the
+    reference aggregated each grain separately and unioned (A6).  NB the
+    ALL row counts (user × terminal) pairs, as the reference's summed rows
+    did."""
+    from ..sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.when((F.col("event_id") * 37) % 100000 < 50000, "tv")
+            .otherwise("mobile")
+            .alias("terminal"),
+            ((F.col("ts_sec") / 1800).cast("bigint") * 1800).alias("slot_start"),
+        )
+        .distinct()
+    )
+    grouped = ev.groupingSets(
+        [["slot_start", "terminal"], ["slot_start"]], "slot_start", "terminal"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_user_terminals"))
+    return grouped.select(
+        "slot_start",
+        F.coalesce("terminal", F.lit("ALL")).alias("terminal"),
+        "n_user_terminals",
+    )
+
+
+# --------------------------------------------------------------------------
+# NginxLogParseForLabel — URL parsing with the parse_url built-in.
+@query(
+    "nginx_url_parse",
+    oracle="""
+    WITH req AS (
+      SELECT 'cdn' || cast(coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 3 as varchar)
+               || '.example.com' AS host,
+             '/video/' || cast(event_id % 50 as varchar) AS path,
+             cast(user_id as varchar) AS quser
+      FROM events
+    )
+    SELECT host, path,
+           cast(count(*) as bigint) AS n_requests,
+           cast(count(DISTINCT quser) as bigint) AS n_users
+    FROM req GROUP BY host, path
+    """,
+)
+def nginx_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nginx access-log URL analysis (etl/NginxLogParseForLabel.scala:25-35
+    pulls k-v params out of request URLs).  The engine side BUILDS the URL
+    string and then actually parses it with Spark's `parse_url`
+    (HOST/PATH/QUERY:user) — the oracle reconstructs the components
+    directly, so the parse itself is what's being verified.  Pure
+    projection + one compact-key agg."""
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("http://cdn"),
+        (F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)) % 3).cast("string"),
+        F.lit(".example.com/video/"),
+        (F.col("event_id") % 50).cast("string"),
+        F.lit("?user="),
+        F.col("user_id").cast("string"),
+    )
+    req = ev.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("user")).alias("quser"),
+    )
+    return req.groupBy("host", "path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_requests"),
+        F.countDistinct("quser").cast("bigint").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DemandUser — 7-day cohort retention from the daily-active grain.
+@query(
+    "weekly_cohort_retention",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    daily AS (SELECT DISTINCT user_id, (sec//{DAY})*{DAY} AS day FROM ev)
+    SELECT a.day AS cohort_day,
+           cast(count(*) as bigint) AS n_active,
+           cast(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_retained,
+           cast(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) as double)
+             / count(*) AS retention_rate
+    FROM daily a LEFT JOIN daily b
+      ON a.user_id = b.user_id AND b.day = a.day + {7 * DAY}
+    GROUP BY a.day
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+7 retention per activity cohort (DemandUser.scala's
+    repeat-demand-user analysis): the daily-active grain self-joins onto
+    itself shifted a week — both sides hash-partition on ``user_id``, so
+    the self-join reuses one exchange; the retention division runs on the
+    per-day aggregate."""
+    daily = _with_day(events_sec(spark, sf_dir)).select("user_id", "day").distinct()
+    future = daily.select(
+        F.col("user_id").alias("b_user"), F.col("day").alias("b_day")
+    )
+    joined = daily.join(
+        future,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_day") == F.col("day") + 7 * DAY),
+        "left",
+    )
+    retained = F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0))
+    return joined.groupBy(F.col("day").alias("cohort_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        retained.cast("bigint").alias("n_retained"),
+        (retained.cast("double") / F.count(F.lit(1))).alias("retention_rate"),
+    )
