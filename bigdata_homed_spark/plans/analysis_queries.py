@@ -755,3 +755,114 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         retained.cast("bigint").alias("n_retained"),
         (retained.cast("double") / F.count(F.lit(1))).alias("retention_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# BusinessRevenue — monthly revenue with month-over-month movement.
+@query(
+    "monthly_revenue_mom",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             cast(count(*) as bigint) AS n_orders,
+             cast(sum(cast(o_totalprice as decimal(27,6))) as double) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           revenue - lag(revenue) OVER (ORDER BY month) AS mom_delta
+    FROM m
+    """,
+)
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BusinessRevenue.scala's month-over-month revenue movement: monthly
+    agg (one shuffle), then lag() on the ~80-row month series — the
+    reference read last month's report row back from MySQL to compute the
+    delta; here it's a window over the aggregate."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("mom_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OpenTime — signup → first-view activation latency per cohort day.
+@query(
+    "activation_latency",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    su AS (
+      SELECT user_id, min(sec) AS signup_sec FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    fv AS (
+      SELECT e.user_id, min(e.sec) AS first_view_sec
+      FROM ev e JOIN su ON e.user_id = su.user_id AND e.sec >= su.signup_sec
+      WHERE e.event_type = 'view'
+      GROUP BY e.user_id
+    ),
+    j AS (
+      SELECT su.user_id, su.signup_sec, fv.first_view_sec,
+             (su.signup_sec//{DAY})*{DAY} AS cohort_day
+      FROM su LEFT JOIN fv ON su.user_id = fv.user_id
+    )
+    SELECT cohort_day,
+           cast(count(*) as bigint) AS n_signups,
+           cast(count(first_view_sec) as bigint) AS n_activated,
+           cast(sum(cast(first_view_sec - signup_sec as decimal(27,6))) as double)
+             / nullif(count(first_view_sec), 0) AS avg_latency_sec
+    FROM j GROUP BY cohort_day
+    """,
+)
+def activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenTime.scala's open-to-first-use latency: earliest signup per
+    user, earliest view AT-OR-AFTER it (equi join on user_id + time
+    residual), then per-cohort-day activation counts and mean latency.
+    Both mins and the join key on ``user_id`` — one partitioning reused
+    across all three steps."""
+    ev = events_sec(spark, sf_dir)
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("signup_sec"))
+    )
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .join(su.select(F.col("user_id").alias("s_user"), "signup_sec"),
+              (F.col("user_id") == F.col("s_user")) & (F.col("sec") >= F.col("signup_sec")))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("first_view_sec"))
+    )
+    j = su.join(fv, "user_id", "left").select(
+        "user_id",
+        "signup_sec",
+        "first_view_sec",
+        ((F.col("signup_sec") / DAY).cast("bigint") * DAY).alias("cohort_day"),
+    )
+    return j.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+        F.count("first_view_sec").cast("bigint").alias("n_activated"),
+        (
+            F.sum((F.col("first_view_sec") - F.col("signup_sec")).cast("decimal(27,6)"))
+            .cast("double")
+            / F.nullif(F.count("first_view_sec"), F.lit(0))
+        ).alias("avg_latency_sec"),
+    )

@@ -57,3 +57,19 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_table_inventory(spark, sf_dir):
+    """HDFSFileVolumeCollect parity: per-table file counts and byte volume
+    via the Hadoop FS API (works for single files and partitioned dirs)."""
+    from bigdata_homed_spark.sources.inventory import table_inventory
+
+    inv = {
+        r["table_name"]: r
+        for r in table_inventory(
+            spark, sf_dir, ["lineitem", "events", "nope"]
+        ).collect()
+    }
+    assert inv["lineitem"]["n_files"] == 1 and inv["lineitem"]["total_bytes"] > 0
+    assert inv["events"]["total_bytes"] > 0
+    assert inv["nope"]["n_files"] == 0 and inv["nope"]["total_bytes"] == 0
