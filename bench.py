@@ -45,6 +45,14 @@ BENCH_QUERIES = [
     "dedup_decisions",
     "online_rate_halfhour",
     "session_window_spans",
+    # round-1 widening: TF-IDF (explode-heavy), centroid train (posexplode
+    # agg), fact-fact join + 2-stage distinct, report-grain re-agg, and the
+    # first-seen self-join — the new shapes whose plans matter at scale
+    "tfidf_top_terms",
+    "label_centroids",
+    "bind_degree_histogram",
+    "lookback_channel_grains",
+    "new_vs_returning",
 ]
 
 
