@@ -446,3 +446,59 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = joined.select("vec_id", "label", dist.alias("dist"))
     w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
     return dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5).drop("rn")
+
+
+# --------------------------------------------------------------------------
+# applyInPandas (Arrow grouped-map) — per-label dominant direction.
+DIRECTION_SCHEMA = "label bigint, dim int, weight double"
+
+
+def label_top_direction_frame(emb: DataFrame) -> DataFrame:
+    """Per-label dominant direction (top principal component) by 150 fixed
+    power-iteration steps (the synthetic embeddings have a small eigengap,
+    so convergence is slow) — the one operator family here where per-group
+    NATIVE-python numerics genuinely beat SQL expressions, so it rides the
+    Arrow grouped-map path (`applyInPandas`): each label's vectors arrive
+    as one pandas block, numpy does the O(n·d) iterations, one 64-row
+    frame returns per group.
+
+    Deterministic: fixed init (1/√d), fixed iteration count, sign
+    canonicalized on the largest-magnitude component.  At 100 TB the
+    shuffle key is the label; a skewed label is bounded by per-group
+    sampling upstream (embedding_outliers' centroid path covers the
+    agg-only alternative)."""
+    import numpy as np
+    import pandas as pd
+
+    def top_dir(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        d = x.shape[1]
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(150):
+            v = x.T @ (x @ v)
+            n = np.linalg.norm(v)
+            if n == 0.0:
+                break
+            v = v / n
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(d, dtype=np.int32),
+                "weight": v,
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(top_dir, DIRECTION_SCHEMA)
+
+
+@query("label_top_direction")  # rows-only: iterative numeric op, no SQL twin
+def label_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top principal direction (see label_top_direction_frame).
+    Genuinely non-SQL-expressible (iterative linear algebra) — the driver
+    records the rows-only check; `test_label_top_direction` pins the
+    numerics against numpy's eigendecomposition."""
+    from ..sources.tables import load_table
+
+    return label_top_direction_frame(load_table(spark, sf_dir, "embeddings"))

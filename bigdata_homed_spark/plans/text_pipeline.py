@@ -854,3 +854,59 @@ def doc_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         dsum(F.col("n_chars"), "total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel — FilterDetail.scala's staged-filter report, re-aimed at
+# the training-data cleaning chain: each stage's survivor count in ONE pass
+# (conditional sums over cumulative predicates; the dedup stage's keeper
+# rule is a window over the content hash).
+@query(
+    "curation_funnel",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             len({TOKS}) AS n_toks,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    )
+    SELECT cast(count(*) as bigint) AS n_total,
+           cast(sum(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END) as bigint) AS n_len,
+           cast(sum(CASE WHEN n_chars BETWEEN 100 AND 5000 AND lang = 'en'
+                         THEN 1 ELSE 0 END) as bigint) AS n_lang,
+           cast(sum(CASE WHEN n_chars BETWEEN 100 AND 5000 AND lang = 'en'
+                          AND doc_id = keeper THEN 1 ELSE 0 END) as bigint) AS n_dedup,
+           cast(sum(CASE WHEN n_chars BETWEEN 100 AND 5000 AND lang = 'en'
+                          AND doc_id = keeper AND n_toks >= 20
+                         THEN 1 ELSE 0 END) as bigint) AS n_tokens
+    FROM d
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length → language → exact-dedup → token-floor funnel counts
+    (FilterDetail.scala's staged filter report, as a data-cleaning audit).
+    One scan, one window on the 16-byte content hash, one global agg —
+    the funnel does NOT rescan per stage."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tokens("text")).alias("n_toks"),
+        F.min("doc_id").over(w).alias("keeper"),
+    )
+    c1 = F.col("n_chars").between(100, 5000)
+    c2 = c1 & (F.col("lang") == "en")
+    c3 = c2 & (F.col("doc_id") == F.col("keeper"))
+    c4 = c3 & (F.col("n_toks") >= 20)
+    cnt = lambda c, a: F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(a)  # noqa: E731
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        cnt(c1, "n_len"),
+        cnt(c2, "n_lang"),
+        cnt(c3, "n_dedup"),
+        cnt(c4, "n_tokens"),
+    )

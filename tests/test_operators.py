@@ -219,3 +219,34 @@ def test_approx_percentile_tolerance(spark, sf_dir):
         b = bounds[et]
         for c in ("p50", "p90", "p99"):
             assert b[f"{c}_lo"] <= a[c] <= b[f"{c}_hi"], (et, c, a[c], b[f"{c}_lo"], b[f"{c}_hi"])
+
+
+def test_label_top_direction(spark, sf_dir):
+    """The applyInPandas power iteration must (a) return unit vectors,
+    (b) be deterministic, and (c) align with numpy's exact top eigenvector
+    of X^T X per label."""
+    import numpy as np
+
+    from bigdata_homed_spark.plans.similarity import label_top_direction
+
+    out = label_top_direction(spark, sf_dir).collect()
+    by_label: dict[int, dict[int, float]] = {}
+    for r in out:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["weight"]
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs: dict[int, list] = {}
+    for r in emb:
+        vecs.setdefault(r["label"], []).append(r["embedding"])
+
+    assert set(by_label) == set(vecs)
+    for label, wd in by_label.items():
+        v = np.array([wd[i] for i in sorted(wd)])
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+        x = np.array(vecs[label], dtype=np.float64)
+        evals, evecs = np.linalg.eigh(x.T @ x)
+        top = evecs[:, -1]
+        assert abs(abs(top @ v) - 1.0) < 1e-3, (label, abs(top @ v))
+
+    again = label_top_direction(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -26,6 +26,7 @@ ROWS_ONLY = {
     "distinct_users_approx_daily",
     "stream_online_user_state",
     "value_percentiles_approx",
+    "label_top_direction",
 }
 
 
