@@ -391,3 +391,59 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.99, 1000)").alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# ProgramDemand realtime counter merge (homed/realtime/ProgramDemand.scala:
+# 95-99): per-program counters merged with the previous snapshot via FULL
+# OUTER JOIN where the two counters have DIFFERENT merge rules —
+# play_count accumulates (nvl(f,0)+nvl(l,0)) but user_count resets to the
+# current batch (nvl(f,0)): a program seen before but idle now keeps its
+# lifetime play count with zero current viewers.  Snapshot = all days
+# before the last; current batch = the last day.
+@query(
+    "program_demand_counter_merge",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type AS program, user_id,
+             (epoch_us(ts)//1000000)//86400 AS day_num
+      FROM events
+    ),
+    bounds AS (SELECT max(day_num) AS mx FROM ev),
+    snapshot AS (
+      SELECT program, count(*) AS l_play_count
+      FROM ev, bounds WHERE day_num < mx GROUP BY program
+    ),
+    current AS (
+      SELECT program, count(*) AS f_play_count,
+             count(DISTINCT user_id) AS f_user_count
+      FROM ev, bounds WHERE day_num = mx GROUP BY program
+    )
+    SELECT coalesce(c.program, s.program) AS program,
+           cast(coalesce(c.f_play_count, 0) + coalesce(s.l_play_count, 0) as bigint) AS play_count,
+           cast(coalesce(c.f_user_count, 0) as bigint) AS user_count
+    FROM current c FULL OUTER JOIN snapshot s ON c.program = s.program
+    """,
+)
+def program_demand_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir).select(
+        F.col("event_type").alias("program"), "user_id", F.expr("sec div 86400").alias("day_num")
+    )
+    mx = ev.agg(F.max("day_num")).collect()[0][0]  # driver-side day arithmetic
+    snapshot = (
+        ev.where(F.col("day_num") < mx)
+        .groupBy(F.col("program").alias("l_program"))
+        .agg(F.count(F.lit(1)).alias("l_play_count"))
+    )
+    current = ev.where(F.col("day_num") == mx).groupBy("program").agg(
+        F.count(F.lit(1)).alias("f_play_count"),
+        F.countDistinct("user_id").alias("f_user_count"),
+    )
+    merged = current.join(snapshot, current["program"] == snapshot["l_program"], "full_outer")
+    return merged.select(
+        F.coalesce("program", "l_program").alias("program"),
+        (F.coalesce("f_play_count", F.lit(0)) + F.coalesce("l_play_count", F.lit(0)))
+        .cast("bigint")
+        .alias("play_count"),
+        F.coalesce("f_user_count", F.lit(0)).cast("bigint").alias("user_count"),
+    )

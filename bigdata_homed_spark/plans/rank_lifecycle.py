@@ -351,3 +351,65 @@ def report_completeness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_rows"),
         F.when(F.col("n").isNull(), 0).otherwise(1).alias("f_complete"),
     )
+
+
+# --------------------------------------------------------------------------
+# UserChannelRank (rank/reports/UserChannelRank.scala:60-105): per
+# (user, terminal-bucket) ordered top-10 channel list by watch time.
+# The reference hand-rolled this as reduceByKey + bubble sort + slice on
+# the driver's partition iterators; here it is one hash agg + one
+# per-user agg whose ordering is a sorted struct array (stays in
+# whole-stage codegen, no window shuffle beyond the two keyed aggs).
+# Terminal buckets mirror UserChannelRank.scala:85-90 (1/2→stb, 3→mob,
+# else pc); "channel" ↦ event_type, watch time ↦ sum(value).
+@query(
+    "user_channel_rank",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CASE WHEN user_id % 4 IN (1, 2) THEN 'stb'
+                  WHEN user_id % 4 = 3 THEN 'mob'
+                  ELSE 'pc' END AS terminal,
+             event_type AS channel, value
+      FROM events
+    ),
+    per_channel AS (
+      SELECT user_id, terminal, channel,
+             cast(sum(cast(value as decimal(27,6))) as double) AS sum_time
+      FROM ev GROUP BY 1, 2, 3
+    )
+    SELECT user_id, terminal,
+           cast(count(*) as bigint) AS n_channels,
+           array_to_string(
+             (list(channel ORDER BY sum_time DESC, channel))[1:10], '|'
+           ) AS top_channels
+    FROM per_channel GROUP BY user_id, terminal
+    """,
+)
+def user_channel_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir).select(
+        "user_id",
+        F.when((F.col("user_id") % 4).isin(1, 2), "stb")
+        .when(F.col("user_id") % 4 == 3, "mob")
+        .otherwise("pc")
+        .alias("terminal"),
+        F.col("event_type").alias("channel"),
+        "value",
+    )
+    per_channel = ev.groupBy("user_id", "terminal", "channel").agg(
+        dsum(F.col("value"), "sum_time")
+    )
+    # descending watch time, channel asc on ties: sort structs of
+    # (-sum_time, channel) ascending, then project the channel back out.
+    ranked = F.transform(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct((-F.col("sum_time")).alias("neg"), F.col("channel")))),
+            1,
+            10,
+        ),
+        lambda s: s["channel"],
+    )
+    return per_channel.groupBy("user_id", "terminal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_channels"),
+        F.concat_ws("|", ranked).alias("top_channels"),
+    )

@@ -184,3 +184,58 @@ def multiscreen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("multiscreen_users"),
         F.countDistinct("combo").alias("n_combos"),
     )
+
+
+# --------------------------------------------------------------------------
+# CpSpAnalysis (homed/repots/CpSpAnalysis.scala:126-178): per-hour,
+# per-content-provider play time / play count / UV, with a user-type tier
+# computed FROM the aggregate (≤600 s → 1, ≤3600 s → 2, else 3 —
+# CpSpAnalysis.scala:128-129) and an 'ALL'-provider rollup row per hour
+# (the reference's second GROUP BY + union at :162-178).  One pass via
+# GROUPING SETS ((hour, cp), (hour)) instead of the reference's two scans.
+@query(
+    "cpsp_hourly_tiers",
+    oracle="""
+    WITH ev AS (
+      SELECT ((epoch_us(ts)//1000000) % 86400) // 3600 AS hour,
+             coalesce(cast(cast(json_extract_string(props, '$.k') as bigint) % 7 as varchar),
+                      'other') AS cp_sp,
+             user_id, value
+      FROM events
+    )
+    SELECT hour,
+           coalesce(cp_sp, 'ALL') AS cp_sp,
+           cast(sum(cast(value as decimal(27,6))) as double) AS play_time,
+           cast(count(*) as bigint) AS play_count,
+           cast(count(DISTINCT user_id) as bigint) AS user_count,
+           CASE WHEN sum(cast(value as decimal(27,6))) <= 600 THEN 1
+                WHEN sum(cast(value as decimal(27,6))) <= 3600 THEN 2
+                ELSE 3 END AS user_type
+    FROM ev GROUP BY GROUPING SETS ((hour, cp_sp), (hour))
+    """,
+)
+def cpsp_hourly_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        ((F.col("ts_sec") % 86400) / 3600).cast("bigint").alias("hour"),
+        F.coalesce(
+            (F.get_json_object("props", "$.k").cast("bigint") % 7).cast("string"),
+            F.lit("other"),
+        ).alias("cp_sp"),
+        "user_id",
+        "value",
+    )
+    dec = F.sum(F.col("value").cast("decimal(27,6)"))
+    grouped = ev.groupingSets([["hour", "cp_sp"], ["hour"]], "hour", "cp_sp").agg(
+        dec.cast("double").alias("play_time"),
+        F.count(F.lit(1)).cast("bigint").alias("play_count"),
+        F.countDistinct("user_id").cast("bigint").alias("user_count"),
+        F.when(dec <= 600, 1).when(dec <= 3600, 2).otherwise(3).alias("user_type"),
+    )
+    return grouped.select(
+        "hour",
+        F.coalesce("cp_sp", F.lit("ALL")).alias("cp_sp"),
+        "play_time",
+        "play_count",
+        "user_count",
+        "user_type",
+    )
