@@ -502,3 +502,52 @@ def label_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
     return label_top_direction_frame(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup dedup DECISION: the ANN pair search feeding the
+# same greedy keeper policy as the text dedup (`dedup_decisions`): any
+# vector cosine-similar (≥ threshold) to a smaller-id vector is dropped;
+# per-label retention accounting.  Closes the embedding flavor of the
+# pretraining dedup chain (candidates → verify → decide → account).
+@query(
+    "embedding_near_dup_decisions",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {", ".join(f"{_table_bucket_sql(t)} AS b{t}" for t in range(ANN_TABLES))}
+      FROM embeddings
+    ),
+    near AS (
+      SELECT DISTINCT c.vec_id AS dropped_id
+      FROM b a JOIN b c
+        ON a.vec_id < c.vec_id
+       AND ({" OR ".join(f"a.b{t} = c.b{t}" for t in range(ANN_TABLES))})
+      WHERE {_dot_sql('a.embedding', 'c.embedding')}
+            / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+               * sqrt({_dot_sql('c.embedding', 'c.embedding')})) >= {ANN_THRESHOLD}
+    )
+    SELECT e.label,
+           cast(count(*) as bigint) AS n_vecs,
+           cast(sum(CASE WHEN n.dropped_id IS NULL THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           cast(sum(CASE WHEN n.dropped_id IS NULL THEN 0 ELSE 1 END) as bigint) AS n_dropped
+    FROM embeddings e LEFT JOIN near n ON e.vec_id = n.dropped_id
+    GROUP BY e.label
+    """,
+)
+def embedding_near_dup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reuses embedding_ann_pairs' bucketed candidate plan (ids only through
+    the shuffle); the decision layer adds one distinct on the dropped id and
+    one broadcast-able left join back to the 64-row-per-label base — no new
+    wide shuffle beyond the pair search itself."""
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_ann_pairs(spark, sf_dir)
+    dropped = pairs.select(F.col("d2").alias("vec_id")).distinct()
+    marked = emb.join(dropped.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+    return marked.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("is_dup").isNull(), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+    )
