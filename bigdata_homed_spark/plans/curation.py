@@ -307,3 +307,111 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
         F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("bigint").alias("kept_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data export: deterministic global shuffle → N shards.  The
+# pretraining writer's partitioning step: shard = hash(doc_id) mod N,
+# within-shard order = an independent hash (so shard membership and order
+# are uncorrelated).  Deterministic (no rand()): retried tasks and re-runs
+# produce identical shards.  At 100 TB this is `repartition(N, shard)` +
+# per-partition ordered write; the audit below pins membership AND order
+# (first/last doc per shard) without materializing the shuffle in the test.
+N_SHARDS = 16
+
+
+@query(
+    "training_shard_assignment",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars, source,
+             {hash64_sql("cast(doc_id as varchar)", "shard")} % {N_SHARDS} AS shard,
+             {hash64_sql("cast(doc_id as varchar)", "pos")} AS pos
+      FROM documents
+    )
+    SELECT shard,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS total_chars,
+           cast(count(DISTINCT source) as bigint) AS n_sources,
+           arg_min(doc_id, pos) AS first_doc,
+           arg_max(doc_id, pos) AS last_doc
+    FROM d GROUP BY shard
+    """,
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        "source",
+        (hash64("doc_id", "shard") % N_SHARDS).alias("shard"),
+        hash64("doc_id", "pos").alias("pos"),
+    )
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min_by("doc_id", "pos").alias("first_doc"),
+        F.max_by("doc_id", "pos").alias("last_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concatenate shard-ordered documents into fixed
+# token-budget training sequences (contiguous greedy packing — a document
+# starts in the sequence its exclusive running total falls into).  One
+# window per shard (the shard is the partition key, so parallelism = shard
+# count at any scale) + one hash agg.  Budget 2048 "tokens" (whitespace
+# tokenizer — the budget accounting a pipeline runs before real BPE).
+SEQ_BUDGET = 2048
+_TOKS_SQL = "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''))"
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_SQL} AS n_toks,
+             {hash64_sql("cast(doc_id as varchar)", "shard")} % {N_SHARDS} AS shard,
+             {hash64_sql("cast(doc_id as varchar)", "pos")} AS pos
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_toks,
+             cast((sum(n_toks) OVER (PARTITION BY shard ORDER BY pos, doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_toks) // {SEQ_BUDGET} as bigint) AS seq_idx
+      FROM d
+    )
+    SELECT shard, seq_idx,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_toks) as bigint) AS sum_tokens
+    FROM packed GROUP BY shard, seq_idx
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_toks"),
+        (hash64("doc_id", "shard") % N_SHARDS).alias("shard"),
+        hash64("doc_id", "pos").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "seq_idx",
+        # exclusive running total, integer-divided; both engines floor
+        # (operands are non-negative bigints)
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / SEQ_BUDGET).cast("bigint"),
+    )
+    return packed.groupBy("shard", "seq_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("sum_tokens"),
+    )
