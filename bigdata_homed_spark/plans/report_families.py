@@ -239,3 +239,77 @@ def cpsp_hourly_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_count",
         "user_type",
     )
+
+
+# --------------------------------------------------------------------------
+# OpenReport (homed/repots/OpenReport.scala:28,46-67): boot/open report by
+# (terminal, phone model, manufacturer, app version) at USER grain (a user
+# counts once per distinct combination), where a missing manufacturer falls
+# back to a default looked up from a broadcast map (`defaultVersion` UDF).
+# Here the default dim is self-derived — each model's modal manufacturer —
+# and applied as a broadcast join + coalesce (J7 → broadcast join, no UDF).
+@query(
+    "open_version_report",
+    oracle="""
+    WITH opens AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 4 IN (1, 2) THEN 'stb'
+                  WHEN user_id % 4 = 3 THEN 'mob' ELSE 'pc' END AS terminal,
+             'm' || cast(cast(json_extract_string(props, '$.k') as bigint) % 20 as varchar) AS phone_model,
+             CASE WHEN cast(json_extract_string(props, '$.k') as bigint) % 5 = 0 THEN NULL
+                  ELSE 'mf' || cast(cast(json_extract_string(props, '$.k') as bigint) % 7 as varchar)
+             END AS manufacturer
+      FROM events WHERE event_type = 'signup'
+    ),
+    modal AS (
+      SELECT phone_model, manufacturer AS default_mfr
+      FROM (
+        SELECT phone_model, manufacturer,
+               row_number() OVER (PARTITION BY phone_model
+                                  ORDER BY count(*) DESC, manufacturer) AS rn
+        FROM opens WHERE manufacturer IS NOT NULL
+        GROUP BY phone_model, manufacturer
+      ) WHERE rn = 1
+    )
+    SELECT o.terminal, o.phone_model,
+           coalesce(o.manufacturer, m.default_mfr, 'UNKNOWN') AS manufacturer,
+           cast(count(*) as bigint) AS user_count
+    FROM opens o LEFT JOIN modal m ON o.phone_model = m.phone_model
+    GROUP BY 1, 2, 3
+    """,
+)
+def open_version_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    opens = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.when((F.col("user_id") % 4).isin(1, 2), "stb")
+            .when(F.col("user_id") % 4 == 3, "mob")
+            .otherwise("pc")
+            .alias("terminal"),
+            F.concat(F.lit("m"), (k % 20).cast("string")).alias("phone_model"),
+            F.when(k % 5 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("mf"), (k % 7).cast("string")))
+            .alias("manufacturer"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("phone_model").orderBy(F.desc("n"), F.asc("manufacturer"))
+    modal = (
+        opens.where(F.col("manufacturer").isNotNull())
+        .groupBy("phone_model", "manufacturer")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("phone_model", F.col("manufacturer").alias("default_mfr"))
+    )
+    joined = opens.join(F.broadcast(modal), "phone_model", "left")
+    return joined.groupBy(
+        "terminal",
+        "phone_model",
+        F.coalesce("manufacturer", "default_mfr", F.lit("UNKNOWN")).alias("manufacturer"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("user_count"))
