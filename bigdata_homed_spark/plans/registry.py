@@ -64,3 +64,4 @@ from . import rank_lifecycle  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import asof_subqueries  # noqa: E402,F401
 from . import analysis_queries  # noqa: E402,F401
+from . import parity_extras  # noqa: E402,F401

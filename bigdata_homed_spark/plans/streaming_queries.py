@@ -399,3 +399,56 @@ def stream_foreachbatch_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(state_dir)
+
+
+@query(
+    "stream_search_topn",
+    oracle="""
+    WITH searches AS (
+      SELECT user_id,
+             (epoch_us(ts)//1000000)//86400 AS day_num,
+             'kw_' || cast(cast(json_extract_string(props, '$.k') as bigint) % 50 as varchar) AS search_key
+      FROM events WHERE event_type = 'click'
+    ),
+    per_key AS (
+      SELECT day_num, search_key, cast(count(*) as bigint) AS n_searches
+      FROM searches GROUP BY 1, 2
+    )
+    SELECT day_num, search_key, n_searches,
+           cast(dense_rank() OVER (PARTITION BY day_num
+                                   ORDER BY n_searches DESC, search_key) as bigint) AS rnk
+    FROM per_key
+    QUALIFY dense_rank() OVER (PARTITION BY day_num
+                               ORDER BY n_searches DESC, search_key) <= 3
+    """,
+)
+def stream_search_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SearchReportRealTime parity (ocn/report/SearchReportRealTime.scala:55):
+    the reference accumulated per-batch search-keyword counts and pushed a
+    rank list to Redis every interval.  Here the counting is a streaming
+    complete-mode aggregation driven to completion, and the rank step runs
+    once on the materialized counts — the same agg-then-rank split (the rank
+    is over the tiny per-(day,key) table, never the raw stream)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, sf_dir)
+    searches = events.where(F.col("event_type") == "click").select(
+        (F.unix_timestamp("event_time").cast("bigint") / 86400)
+        .cast("bigint")
+        .alias("day_num"),
+        F.concat(
+            F.lit("kw_"),
+            (F.get_json_object("props", "$.k").cast("bigint") % 50).cast("string"),
+        ).alias("search_key"),
+    )
+    counts = searches.groupBy("day_num", "search_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_searches")
+    )
+    final = run_stream_to_memory(counts, output_mode="complete")
+    w = Window.partitionBy("day_num").orderBy(F.desc("n_searches"), F.asc("search_key"))
+    return (
+        final.withColumn("rnk", F.dense_rank().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("day_num", "search_key", "n_searches", "rnk")
+    )

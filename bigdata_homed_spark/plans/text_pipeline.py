@@ -910,3 +910,95 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(c3, "n_dedup"),
         cnt(c4, "n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup CONNECTED COMPONENTS: greedy pair-dropping (dedup_decisions)
+# under-merges transitive duplicates (a~b, b~c but a!~c); component-level
+# dedup keeps exactly one doc per connected cluster of the near-dup graph.
+# Spark side: iterative min-label propagation (each round every vertex
+# takes the min label among itself and its neighbors) — the O(log n)-round
+# distributed connected-components shape (large-star/small-star family):
+# each round is one shuffle on vertex id, lineage cut via localCheckpoint,
+# and convergence is a per-round changed-count check, NOT a collect of the
+# graph.  At 100 TB the same loop runs unchanged; rounds scale with
+# component diameter (~log n), not data size.
+# Oracle: DuckDB recursive-CTE transitive closure + min reachable id —
+# a genuinely independent algorithm for the same answer.
+@query(
+    "near_dup_components",
+    oracle=f"""
+    WITH RECURSIVE docsh AS (
+      SELECT doc_id, {SHINGLES3} AS sh
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    ),
+    sigs AS (SELECT doc_id, sh, {_minhash_sql()} AS sig FROM docsh),
+    bands AS (
+      SELECT doc_id, sh, b.band_idx,
+             md5(cast(sig[b.band_idx*{BAND_ROWS}+1] as varchar) || '_' ||
+                 cast(sig[b.band_idx*{BAND_ROWS}+2] as varchar)) AS band_key
+      FROM sigs, (SELECT unnest(generate_series(0, {NUM_BANDS - 1})) AS band_idx) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    near AS (
+      SELECT c.d1, c.d2
+      FROM cands c JOIN docsh x ON x.doc_id = c.d1 JOIN docsh y ON y.doc_id = c.d2
+      WHERE cast(len(list_intersect(x.sh, y.sh)) as double)
+            / cast(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) as double) >= 0.5
+    ),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM near UNION SELECT d2, d1 FROM near),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    lab AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component_id
+      FROM reach GROUP BY src
+    )
+    SELECT doc_id, component_id,
+           cast(count(*) OVER (PARTITION BY component_id) as bigint) AS comp_size
+    FROM lab
+    """,
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    sym = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()  # materialize once: the loop re-reads it every round
+    labels = (
+        sym.select(F.col("d1").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(32):  # diameter bound; tiny graphs converge in 2-3 rounds
+        msgs = (
+            sym.join(labels, sym["d1"] == labels["id"])
+            .groupBy(F.col("d2").alias("id2"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, labels["id"] == msgs["id2"], "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+                (F.col("label") != F.least("label", F.coalesce("nbr_min", "label")))
+                .cast("int")
+                .alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(F.sum("chg")).first()[0]
+        labels = new_labels.drop("chg")
+        if not changed:
+            break
+    comp = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).cast("bigint").alias("comp_size"))
+    return comp.join(F.broadcast(sizes), "component_id").select(
+        "doc_id", "component_id", "comp_size"
+    )
