@@ -1002,3 +1002,135 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(F.broadcast(sizes), "component_id").select(
         "doc_id", "component_id", "comp_size"
     )
+
+
+# --------------------------------------------------------------------------
+# INCREMENTAL dedup against a persisted signature index — the daily-ingest
+# shape at 100 TB: the historical corpus is never rescanned; its
+# (band_idx, band_key) index is staged once (here: written to and read back
+# from parquet, the "signature table"), and each new batch joins its own
+# bands against the index, verifies exact Jaccard only for candidate hits,
+# and reports keep/drop per source.  Cost per day is O(new-batch) + one
+# index join, not O(corpus²) — the full self-join (`minhash_lsh_pairs`)
+# becomes a one-time backfill.
+# Split rule: docs with doc_id % 5 == 4 are "today's batch", the rest are
+# the historical corpus.  New-vs-new dups inside the batch are also caught
+# (smaller-id keeper), mirroring the full-corpus policy.
+@query(
+    "incremental_dedup_report",
+    oracle=f"""
+    WITH docsh AS (
+      SELECT doc_id, source, doc_id % 5 = 4 AS is_new, {SHINGLES3} AS sh
+      FROM (SELECT doc_id, source, text, {TOKS} AS toks FROM documents)
+    ),
+    sigs AS (SELECT doc_id, is_new, sh, {_minhash_sql()} AS sig FROM docsh),
+    bands AS (
+      SELECT doc_id, is_new, sh, b.band_idx,
+             md5(cast(sig[b.band_idx*{BAND_ROWS}+1] as varchar) || '_' ||
+                 cast(sig[b.band_idx*{BAND_ROWS}+2] as varchar)) AS band_key
+      FROM sigs, (SELECT unnest(generate_series(0, {NUM_BANDS - 1})) AS band_idx) b
+    ),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+      FROM bands n JOIN bands h
+        ON n.band_idx = h.band_idx AND n.band_key = h.band_key
+       AND n.is_new AND (NOT h.is_new OR h.doc_id < n.doc_id)
+    ),
+    hits AS (
+      SELECT c.new_id
+      FROM cands c JOIN docsh x ON x.doc_id = c.new_id JOIN docsh y ON y.doc_id = c.hist_id
+      WHERE cast(len(list_intersect(x.sh, y.sh)) as double)
+            / cast(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) as double) >= 0.5
+    ),
+    dropped AS (SELECT DISTINCT new_id AS doc_id FROM hits)
+    SELECT d.source,
+           cast(count(*) as bigint) AS n_new,
+           cast(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           cast(sum(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) as bigint) AS n_dropped
+    FROM (SELECT doc_id, source FROM documents WHERE doc_id % 5 = 4) d
+    LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source
+    """,
+)
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    docsh = (
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % 5 == 4).alias("is_new"),
+            word_shingles("text", 3).alias("sh"),
+        )
+    )
+    sigs = docsh.withColumn("hs", shingle_hashes(F.col("sh"))).withColumn(
+        "sig", minhash_signature(F.col("hs"), NUM_HASHES)
+    )
+    bands = sigs.select(
+        "doc_id",
+        "is_new",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("band_idx"),
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.element_at("sig", F.col("band_idx") * BAND_ROWS + 1).cast("string"),
+                F.element_at("sig", F.col("band_idx") * BAND_ROWS + 2).cast("string"),
+            )
+        ).alias("band_key"),
+    )
+    # stage the historical signature index exactly as a nightly job would:
+    # written once, read back as the join side (at 100 TB this table is
+    # partitioned by band_idx and appended to per day, never rebuilt)
+    index_dir = tempfile.mkdtemp(prefix="sig_index_")
+    bands.where(~F.col("is_new")).select("doc_id", "band_idx", "band_key").write.mode(
+        "overwrite"
+    ).parquet(index_dir)
+    hist_index = spark.read.parquet(index_dir).select(
+        F.col("doc_id").alias("hist_id"),
+        F.col("band_idx").alias("hbi"),
+        F.col("band_key").alias("hbk"),
+    )
+    new_bands = bands.where(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_key"
+    )
+    # candidates = index hits ∪ new-vs-new band collisions (smaller-id keeper)
+    hist_cands = new_bands.join(
+        hist_index,
+        (F.col("band_idx") == F.col("hbi")) & (F.col("band_key") == F.col("hbk")),
+    ).select("new_id", "hist_id")
+    nb2 = bands.where(F.col("is_new")).select(
+        F.col("doc_id").alias("hist_id"),
+        F.col("band_idx").alias("hbi"),
+        F.col("band_key").alias("hbk"),
+    )
+    new_cands = new_bands.join(
+        nb2,
+        (F.col("band_idx") == F.col("hbi"))
+        & (F.col("band_key") == F.col("hbk"))
+        & (F.col("hist_id") < F.col("new_id")),
+    ).select("new_id", "hist_id")
+    cands = hist_cands.union(new_cands).distinct()
+    shingles = docsh.select("doc_id", "sh")
+    x = shingles.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("xsh"))
+    y = shingles.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("ysh"))
+    inter = F.size(F.array_intersect("xsh", "ysh")).cast("double")
+    union = (F.size("xsh") + F.size("ysh")).cast("double") - inter
+    dropped = (
+        cands.join(x, "new_id")
+        .join(y, "hist_id")
+        .where(inter / union >= 0.5)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    new_docs = docs.where(F.col("doc_id") % 5 == 4).select("doc_id", "source")
+    marked = new_docs.join(dropped, "doc_id", "left")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("is_dup").isNull(), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+    )

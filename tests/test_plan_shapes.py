@@ -121,3 +121,37 @@ def test_dynamic_partition_pruning(spark, sf_dir):
         joined = fact.join(dim, "day")
         plan = formatted(joined)
         assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
+    """Spark 4's runtime bloom-filter join pruning (on by default in our
+    session) injects a `might_contain` semi-filter on the big fact side of a
+    shuffle join whose other side is selectively filtered — at 100 TB this
+    skips most fact rows before the shuffle.  The 10 GB application-side
+    threshold is naturally met at scale; the test lowers it to observe the
+    injection on test data.  Broadcast is disabled to force the shuffle-join
+    path the optimization targets."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert "might_contain" in formatted(j)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
