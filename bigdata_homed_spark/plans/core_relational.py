@@ -154,8 +154,11 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
-    latest = keep_latest(ev, ["user_id"], "ts_us", "event_id", desc=True)
+    # order by the native TIMESTAMP_NTZ ts (microsecond precision, same
+    # ordering as the oracle's epoch_us); ts_sec alone would drop sub-second
+    # ordering within a second
+    ev = load_table(spark, sf_dir, "events")
+    latest = keep_latest(ev, ["user_id"], "ts", "event_id", desc=True)
     return latest.select(
         "user_id", "event_type", "value", F.col("ts_sec").alias("ts_sec")
     )

@@ -49,9 +49,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # the synthetic events table carries TIMESTAMP(NANOS) parquet,
-        # which Spark 4 only reads as a long (see sources/tables.py)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # raw logs repeat k-v keys (e.g. DeviceID/DeviceId spelling drift,
         # reference RunLogParser.scala:514); keep the lenient last-wins
         # semantics instead of failing the batch

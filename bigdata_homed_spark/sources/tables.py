@@ -34,20 +34,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one catalog table (SURVEY S2/S8 analog).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    to its microsecond TimestampType; we read it as a nanosecond long
-    (`spark.sql.legacy.parquet.nanosAsLong`) and expose a derived integral
-    ``ts_sec`` (epoch seconds) column.  All engine logic runs on epoch
-    seconds — sub-second precision is generator noise, and second-level
-    truncation keeps results comparable across engines regardless of their
-    native timestamp width.
+    ``events.ts`` is parquet timestamp[us] with no timezone, which Spark
+    4.x reads as TIMESTAMP_NTZ.  The session timezone is pinned to UTC
+    (session.py), so NTZ→TIMESTAMP is a wall-clock-preserving identity and
+    TIMESTAMP→LONG yields epoch seconds — exactly DuckDB's
+    ``epoch_us(ts)//1000000`` floor, which every oracle uses.  All engine
+    logic runs on the derived integral ``ts_sec``: sub-second precision is
+    generator noise, and second-level truncation keeps results comparable
+    across engines regardless of their native timestamp width.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the NTZ→TIMESTAMP cast is session-timezone dependent; pin UTC on
+        # whatever session the caller hands us (the external driver's
+        # session is not built by our factory)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts_sec", F.expr("ts div 1000000000").cast("bigint"))
+        return df.withColumn(
+            "ts_sec", F.col("ts").cast("timestamp").cast("long")
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

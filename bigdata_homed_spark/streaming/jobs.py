@@ -23,12 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet carries TIMESTAMP(NANOS) → read as nanosecond long
-# (see sources/tables.py); streaming sources need the schema up front.
+# events.parquet carries timestamp[us] with no timezone → TIMESTAMP_NTZ on
+# Spark 4.x (see sources/tables.py); streaming sources need the schema up
+# front.  The UTC session tz makes NTZ→TIMESTAMP identity for event time.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -73,15 +74,24 @@ def read_kafka_stream(spark: SparkSession, brokers: str, topics: str) -> DataFra
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based replay source (Kafka stand-in, T1).  One parquet file =
-    one micro-batch under availableNow."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    one micro-batch under availableNow.
+
+    Emits ``event_time`` (TIMESTAMP, watermarkable) and integral ``ts_sec``
+    (epoch seconds — same contract as the batch catalog) so every
+    downstream job and keyed-state UDF sees the same time columns batch
+    queries do.
+    """
+    # NTZ→TIMESTAMP is session-timezone dependent; pin UTC (see tables.py)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    ).withColumn("ts_sec", F.col("event_time").cast("long"))
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -165,7 +175,10 @@ def online_user_state(events: DataFrame, idle_timeout_sec: int = 3600) -> DataFr
         last_seen, n, total = state.get if state.exists else (None, 0, 0.0)
         for pdf in pdfs:
             if len(pdf):
-                sec = (pdf["ts"] // 1_000_000_000).max()
+                # ts_sec is integral epoch seconds, derived Spark-side in
+                # read_events_stream — the UDF never touches raw timestamps,
+                # so pandas datetime-unit drift can't bite here.
+                sec = pdf["ts_sec"].max()
                 last_seen = int(sec) if last_seen is None else max(last_seen, int(sec))
                 n += int(len(pdf))
                 total += float(pdf["value"].sum())

@@ -31,6 +31,48 @@ def test_catalog_loads_all_tables(spark, sf_dir):
     assert "ts_sec" in dfs["events"].columns
 
 
+def test_events_ts_sec_epoch_range(spark, sf_dir):
+    """Pin the events time-unit contract: ts is parquet timestamp[us]
+    (TIMESTAMP_NTZ on Spark 4.x) and ts_sec is UTC epoch seconds — the
+    generated data lives in Jan 2024, so any unit/timezone slip (the round-1
+    nanos bug collapsed 30 days into 43 minutes) lands far outside this
+    window and fails loudly."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.tables import load_table
+
+    # sabotage the session tz the way a vanilla driver session might
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.agg(F.min("ts_sec"), F.max("ts_sec")).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    jan1_2024, mar1_2024 = 1704067200, 1709251200
+    assert jan1_2024 <= lo <= hi <= mar1_2024, (lo, hi)
+
+
+def test_stream_event_time_epoch_range(spark, sf_dir):
+    """Same pin for the streaming source: event_time must be real 2024
+    wall-clock (round 1 divided microseconds by 1000 → Jan 1970)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        ev.groupBy().agg(
+            F.min("event_time").alias("lo"), F.max("event_time").alias("hi")
+        ),
+        "complete",
+    ).collect()[0]
+    assert out.lo.year == 2024 and out.hi.year == 2024, out
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
     """Co-located bucketed join: both sides bucketed+sorted on the join key
     → SortMergeJoin with no Exchange and no per-task Sort in the plan."""

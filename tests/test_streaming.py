@@ -52,7 +52,7 @@ def test_stream_watermarked_dedup(spark, sf_dir):
     """T3: dropDuplicates within the watermark — one row per (user, hour)."""
     ev = read_events_stream(spark, sf_dir)
     dedup = (
-        ev.withColumn("hour", F.expr("ts div 1000000000 div 3600"))
+        ev.withColumn("hour", F.expr("ts_sec div 3600"))
         .withWatermark("event_time", "2 hours")
         .dropDuplicates(["user_id", "hour"])
     )
@@ -76,7 +76,7 @@ def test_foreachbatch_upsert_state(spark, sf_dir, tmp_path):
     state_dir = os.path.join(str(tmp_path), "state")
     ev = read_events_stream(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(
-        F.max(F.expr("ts div 1000000000")).alias("last_seen"),
+        F.max(F.col("ts_sec")).alias("last_seen"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -122,12 +122,12 @@ def test_state_accumulates_across_microbatches(spark, sf_dir, tmp_path):
 
     from bigdata_homed_spark.streaming.jobs import EVENTS_STREAM_SCHEMA
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withColumn("ts_sec", F.col("event_time").cast("long"))
     )
     out = run_stream_to_memory(online_user_state(stream), "update")
     # multiple rows per user (one per batch) — keep the final (max) totals
