@@ -352,26 +352,25 @@ def stream_stream_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_foreachbatch_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10/T8 as a driven pipeline: every micro-batch upserts its per-user
-    latest event into a parquet state table via ``foreachBatch`` +
-    ``upsert_by_key`` — the reference's Phoenix overwrite-by-PK contract
-    (UserStatusByRunLog.scala:296-300) with at-least-once batch semantics
-    (idempotent because the upsert is keyed).  The oracle is global
-    keep-latest per user."""
+    latest event into a keyed parquet state table via ``foreachBatch`` +
+    ``PartitionedStateStore`` — the reference's Phoenix overwrite-by-PK
+    contract (UserStatusByRunLog.scala:296-300) with at-least-once batch
+    semantics (idempotent because the upsert is keyed).  The state is
+    hash-partitioned so each batch reads/rewrites only the buckets its
+    keys touch (O(batch) I/O, not O(total state) — the 100 TB
+    requirement).  The oracle is global keep-latest per user."""
     import tempfile
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..sources.sinks import upsert_by_key
+    from ..sources.sinks import PartitionedStateStore
 
-    state_dir = tempfile.mkdtemp(prefix="upsert_state_")
-    empty = spark.createDataFrame(
-        [], "user_id bigint, event_id bigint, event_type string, value double, sec bigint"
+    store = PartitionedStateStore(
+        tempfile.mkdtemp(prefix="upsert_state_"), ["user_id"], n_buckets=16
     )
-    empty.write.mode("overwrite").parquet(state_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
         w = Window.partitionBy("user_id").orderBy(
             F.desc("sec"), F.desc("event_id")
         )
@@ -380,9 +379,7 @@ def stream_foreachbatch_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .drop("rn")
         )
-        existing = sess.read.parquet(state_dir)
-        merged = upsert_by_key(existing, latest, ["user_id"]).localCheckpoint()
-        merged.write.mode("overwrite").parquet(state_dir)
+        store.upsert(latest)
 
     events = read_events_stream(spark, sf_dir).select(
         "user_id",
@@ -398,7 +395,7 @@ def stream_foreachbatch_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state_dir)
+    return store.read(spark)
 
 
 @query(

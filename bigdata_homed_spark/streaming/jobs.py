@@ -139,19 +139,26 @@ def run_stream_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFr
 # T4 — keyed online-user state (UserStatusByRunLog parity).
 
 
-def online_user_state(events: DataFrame, idle_timeout_sec: int = 3600) -> DataFrame:
-    """Track per-user online status with explicit keyed state.
+def online_user_state(
+    events: DataFrame,
+    idle_timeout_sec: int = 3600,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Track per-user online status with explicit keyed state + expiry.
 
     Reference semantics (`homed/realtime/UserStatusByRunLog.scala:102-318`):
     each batch full-outer-joins new events against the Phoenix-stored user
     state, recomputes online flags and play counters, and overwrites by PK.
-    Here the state is checkpointed per-key: (last_seen, n_events, total_value)
-    per user; a user with no events for ``idle_timeout_sec`` of event time
-    would be aged out by the watermark in a continuous run.
+    Here the state is checkpointed per-key: (last_seen, n_events,
+    total_value) per user, with an **event-time timeout** — a user idle for
+    ``idle_timeout_sec`` of event time past the watermark emits a final
+    snapshot and its state is removed, so state size tracks the ACTIVE key
+    set, not the all-time key set (the 100 TB requirement; the reference
+    relied on Phoenix TTLs for the same thing).
 
-    Emits one row per user per batch: user_id, last_seen_sec, n_events,
-    total_value (running totals — at-least-once idempotent upsert contract,
-    SURVEY §7.4 item 3).
+    Emits one row per user per batch it appears in, plus one final row at
+    expiry: user_id, last_seen_sec, n_events, total_value (running totals —
+    at-least-once idempotent upsert contract, SURVEY §7.4 item 3).
     """
     import pandas as pd  # noqa: F401  (applyInPandasWithState ships pandas frames)
 
@@ -172,6 +179,24 @@ def online_user_state(events: DataFrame, idle_timeout_sec: int = 3600) -> DataFr
     )
 
     def update(key, pdfs, state):
+        import pandas as pd
+
+        def snapshot(last_seen, n, total):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_seen_sec": [last_seen],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        if state.hasTimedOut:
+            last_seen, n, total = state.get
+            state.remove()
+            yield snapshot(last_seen, n, total)
+            return
+
         last_seen, n, total = state.get if state.exists else (None, 0, 0.0)
         for pdf in pdfs:
             if len(pdf):
@@ -183,17 +208,17 @@ def online_user_state(events: DataFrame, idle_timeout_sec: int = 3600) -> DataFr
                 n += int(len(pdf))
                 total += float(pdf["value"].sum())
         state.update((last_seen, n, total))
-        import pandas as pd
-
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "last_seen_sec": [last_seen],
-                "n_events": [n],
-                "total_value": [total],
-            }
+        # expire idle_timeout_sec of EVENT time after the last event; the
+        # timestamp must sit past the current watermark or Spark rejects it
+        expiry_ms = max(
+            (last_seen + idle_timeout_sec) * 1000,
+            state.getCurrentWatermarkMs() + 1,
         )
+        state.setTimeoutTimestamp(expiry_ms)
+        yield snapshot(last_seen, n, total)
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update, out_schema, state_schema, "update", "NoTimeout"
+    return events.withWatermark("event_time", watermark_delay).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update, out_schema, state_schema, "update", "EventTimeTimeout"
     )

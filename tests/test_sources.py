@@ -101,6 +101,57 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_partitioned_state_store_bounded_io(spark, tmp_path):
+    """The keyed state table must rewrite ONLY the hash buckets a batch
+    touches — per-batch I/O proportional to the batch, not the total state
+    (the scale contract for foreachBatch upserts)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.sinks import PartitionedStateStore
+
+    path = os.path.join(str(tmp_path), "state")
+    store = PartitionedStateStore(path, ["user_id"], n_buckets=8)
+
+    full = spark.range(0, 200).select(
+        F.col("id").alias("user_id"), F.lit(1).alias("v")
+    )
+    store.upsert(full)
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith(PartitionedStateStore.BUCKET_COL):
+                p = os.path.join(path, d)
+                out[d] = {
+                    (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = bucket_files()
+    assert len(before) == 8  # 200 keys over 8 buckets: all present
+
+    updates = spark.createDataFrame([(7, 99), (8, 99)], "user_id long, v int")
+    touched = store.upsert(updates)
+    assert 0 < len(touched) <= 2
+
+    after = bucket_files()
+    touched_dirs = {f"{PartitionedStateStore.BUCKET_COL}={b}" for b in touched}
+    for d, files in after.items():
+        if d in touched_dirs:
+            assert files != before[d], f"touched bucket {d} not rewritten"
+        else:
+            assert files == before[d], f"untouched bucket {d} was rewritten"
+
+    # merge semantics: updated keys carry the new value, the rest survive
+    state = {r.user_id: r.v for r in store.read(spark).collect()}
+    assert len(state) == 200
+    assert state[7] == 99 and state[8] == 99 and state[9] == 1
+
+
 def test_table_inventory(spark, sf_dir):
     """HDFSFileVolumeCollect parity: per-table file counts and byte volume
     via the Hadoop FS API (works for single files and partitioned dirs)."""

@@ -109,16 +109,20 @@ def test_foreachbatch_upsert_state(spark, sf_dir, tmp_path):
 
 
 def test_state_accumulates_across_microbatches(spark, sf_dir, tmp_path):
-    """T4 contract: keyed state survives micro-batch boundaries.  Split the
-    events into two files, force one file per trigger, and check the FINAL
-    emitted totals equal the batch aggregate over everything."""
+    """T4 contract: keyed state survives micro-batch boundaries AND idle
+    state is aged out by the event-time timeout.  Split the events into two
+    time-ordered files (how a real stream arrives), force one file per
+    trigger, and check the FINAL emitted totals equal the batch aggregate
+    over everything."""
     import os
 
     src = os.path.join(str(tmp_path), "multi_batch_src")
     ev = load_table(spark, sf_dir, "events")
-    # two deterministic halves, written as separate files
-    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
-    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    # two time-ordered halves, written as separate files (the file source
+    # triggers them oldest-mtime-first, replaying the month in order)
+    mid = 1705363200  # 2024-01-16
+    ev.where(F.col("ts_sec") < mid).coalesce(1).write.parquet(src)
+    ev.where(F.col("ts_sec") >= mid).coalesce(1).write.mode("append").parquet(src)
 
     from bigdata_homed_spark.streaming.jobs import EVENTS_STREAM_SCHEMA
 
@@ -130,7 +134,7 @@ def test_state_accumulates_across_microbatches(spark, sf_dir, tmp_path):
         .withColumn("ts_sec", F.col("event_time").cast("long"))
     )
     out = run_stream_to_memory(online_user_state(stream), "update")
-    # multiple rows per user (one per batch) — keep the final (max) totals
+    # multiple rows per user (one per batch + expiry) — keep final totals
     final = out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
     batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     got = {r.user_id: r.n_events for r in final.collect()}
@@ -139,6 +143,14 @@ def test_state_accumulates_across_microbatches(spark, sf_dir, tmp_path):
     # and the stream really ran >1 micro-batch: some user emitted twice
     emits = out.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
     assert emits >= 2
+    # expiry fired: without timeouts every user emits once per data batch
+    # it appears in; the final no-data batch advances the watermark to
+    # end-of-stream and each expired key emits one extra final snapshot
+    halves = ev.select(
+        "user_id", (F.col("ts_sec") >= mid).cast("int").alias("half")
+    ).distinct()
+    baseline = halves.count()  # sum over users of batches-appeared-in
+    assert out.count() > baseline, "no expiry snapshots were emitted"
 
 
 def test_online_user_state_totals(spark, sf_dir):
