@@ -13,6 +13,27 @@ from bigdata_homed_spark.streaming.jobs import (
 )
 
 
+def test_kafka_stream_options_wiring():
+    """S6: the Kafka option dict must use Spark's exact kafka-source option
+    names (a typo here fails only at runtime against a real broker, so pin
+    it)."""
+    from bigdata_homed_spark.streaming.jobs import kafka_stream_options
+
+    opts = kafka_stream_options("b1:9092,b2:9092", "runlog,boxlog")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "runlog,boxlog",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+    }
+    assert (
+        kafka_stream_options("b", "t", starting_offsets="earliest")[
+            "startingOffsets"
+        ]
+        == "earliest"
+    )
+
+
 def test_hourly_counts_match_batch(spark, sf_dir):
     stream_out = run_stream_to_memory(
         hourly_event_counts(read_events_stream(spark, sf_dir)), "complete"
