@@ -124,6 +124,49 @@ def distinct_users_approx(
     )
 
 
+def bitmap_build(
+    df: DataFrame, group_cols: Sequence[str], id_col: str, out_col: str = "bm"
+) -> DataFrame:
+    """Exact-distinct-at-scale, step 1: fold integer ids into per-group
+    roaring-style bitmaps — one (group, bucket) row per 32k-id bucket
+    (``bitmap_bucket_number``/``bitmap_construct_agg``, JVM-side).
+
+    This is the modern spelling of the reference's persisted user-array
+    index (`t_business_array_by_day`, `BusinessVisitCount.scala:524-607`):
+    the day-grain bitmap table is tiny and **mergeable**, so week/month
+    distincts re-aggregate bitmaps instead of rescanning raw events, and
+    unlike HLL (`distinct_users_approx`) the counts stay exact."""
+    return df.groupBy(
+        *group_cols, F.expr(f"bitmap_bucket_number({id_col})").alias("__bkt")
+    ).agg(
+        F.expr(f"bitmap_construct_agg(bitmap_bit_position({id_col}))").alias(out_col)
+    )
+
+
+def bitmap_merge(
+    bitmaps: DataFrame,
+    group_cols: Sequence[str],
+    bm_col: str = "bm",
+) -> DataFrame:
+    """Step 2: OR-merge bitmaps to a coarser grain (day → week/month).
+    Input must carry the ``__bkt`` bucket column from ``bitmap_build``."""
+    return bitmaps.groupBy(*group_cols, "__bkt").agg(
+        F.expr(f"bitmap_or_agg({bm_col})").alias(bm_col)
+    )
+
+
+def bitmap_distinct_count(
+    bitmaps: DataFrame,
+    group_cols: Sequence[str],
+    bm_col: str = "bm",
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Step 3: exact distinct per group = sum of per-bucket popcounts."""
+    return bitmaps.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"bitmap_count({bm_col})")).alias(out_col)
+    )
+
+
 def pack_group_array(
     df: DataFrame,
     group_cols: Sequence[str],

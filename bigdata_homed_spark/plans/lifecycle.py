@@ -89,15 +89,17 @@ def partitioned_fact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_sec(spark, sf_dir).withColumn("day_num", F.expr("sec div 86400"))
-    mx = ev.agg(F.max("day_num")).collect()[0][0]  # single scalar, like the
-    # reference's driver-side day arithmetic (DateUtils) — not a data collect
+    # 1-row broadcast of max(day) instead of a driver-side collect(): the
+    # plan stays fully lazy (one Spark job, not two) and the pattern is the
+    # same broadcast-scalar shape used for share-of-total queries
+    mx = F.broadcast(ev.agg(F.max("day_num").alias("mx")))
     today = (
-        ev.where(F.col("day_num") == mx)
+        ev.join(mx, F.col("day_num") == F.col("mx"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_today"))
     )
     yesterday = (
-        ev.where(F.col("day_num") == mx - 1)
+        ev.join(mx, F.col("day_num") == F.col("mx") - 1)
         .groupBy(F.col("user_id").alias("y_user_id"))
         .agg(F.count(F.lit(1)).alias("n_yesterday"))
     )
@@ -429,13 +431,14 @@ def program_demand_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_sec(spark, sf_dir).select(
         F.col("event_type").alias("program"), "user_id", F.expr("sec div 86400").alias("day_num")
     )
-    mx = ev.agg(F.max("day_num")).collect()[0][0]  # driver-side day arithmetic
+    # 1-row broadcast scalar instead of a driver-side collect (lazy plan)
+    mx = F.broadcast(ev.agg(F.max("day_num").alias("mx")))
     snapshot = (
-        ev.where(F.col("day_num") < mx)
+        ev.join(mx, F.col("day_num") < F.col("mx"))
         .groupBy(F.col("program").alias("l_program"))
         .agg(F.count(F.lit(1)).alias("l_play_count"))
     )
-    current = ev.where(F.col("day_num") == mx).groupBy("program").agg(
+    current = ev.join(mx, F.col("day_num") == F.col("mx")).groupBy("program").agg(
         F.count(F.lit(1)).alias("f_play_count"),
         F.countDistinct("user_id").alias("f_user_count"),
     )

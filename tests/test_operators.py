@@ -185,6 +185,49 @@ def test_setops(spark):
     assert u.count() == 4
 
 
+def test_bitmap_distinct_exact_and_mergeable(spark):
+    """The bitmap trio must (a) match COUNT(DISTINCT) exactly per group and
+    (b) stay exact after OR-merging to a coarser grain — the property that
+    makes the day-grain index reusable for week/month without rescanning
+    (HLL gives (b) but only approximately)."""
+    from bigdata_homed_spark.operators.aggregate import (
+        bitmap_build,
+        bitmap_distinct_count,
+        bitmap_merge,
+    )
+
+    # ids straddle several 32k bitmap buckets; users repeat across days
+    df = spark.range(0, 5000).selectExpr(
+        "id % 14 as day_num", "(id * 37) % 90000 as user_id"
+    )
+    bm = bitmap_build(df, ["day_num"], "user_id")
+    got = {
+        r.day_num: r.n_distinct
+        for r in bitmap_distinct_count(bm, ["day_num"]).collect()
+    }
+    want = {
+        r.day_num: r.n
+        for r in df.groupBy("day_num")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    weekly = bitmap_merge(bm.withColumn("week", F.expr("day_num div 7")), ["week"])
+    got_w = {
+        r.week: r.n_distinct
+        for r in bitmap_distinct_count(weekly, ["week"]).collect()
+    }
+    want_w = {
+        r.week: r.n
+        for r in df.withColumn("week", F.expr("day_num div 7"))
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got_w == want_w
+
+
 def test_approx_percentile_tolerance(spark, sf_dir):
     """The sketch percentiles must land within 2% relative error of the
     exact ones (accuracy=1000 bounds rank error at 1/1000)."""
