@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "bind_degree_histogram",
     "lookback_channel_grains",
     "new_vs_returning",
+    # round-2 widening: exact bitmap distinct (index build + OR-merge
+    # re-agg), shingle first-seen novelty (inverted-index self-join)
+    "bitmap_multi_period_distinct",
+    "ngram_novelty",
 ]
 
 

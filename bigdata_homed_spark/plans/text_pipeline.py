@@ -1134,3 +1134,109 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.sum(F.when(F.col("is_dup").isNull(), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty scoring: what fraction of a document's shingles appear
+# here for the FIRST time (by doc_id order, the ingest-time proxy)?  The
+# memorization/novelty signal a curation pipeline uses to down-weight
+# boilerplate-heavy sources.  Scale shape: the first-seen index is
+# min-mergeable, so it is maintained incrementally per ingest batch (like
+# the minhash signature index above) and a new batch's novelty is one
+# index join — never a rescan of the corpus.
+@query(
+    "ngram_novelty",
+    oracle=f"""
+    WITH docsh AS (
+      SELECT doc_id, {SHINGLES3} AS sh
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    ),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docsh),
+    first_seen AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT s.doc_id,
+           cast(count(*) as bigint) AS n_shingles,
+           cast(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) as bigint) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novelty
+    FROM sh s JOIN first_seen f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    # single-file inputs scan as one split; spread the CPU-bound tokenize/
+    # explode across cores (a real corpus gets this free from many files)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # shuffle/join on an 8-byte shingle hash, never the raw shingle string
+    # (md5-derived hash64: identical partitioning both engines would see;
+    # a 64-bit collision would need ~5e9 distinct shingles)
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    ).select("doc_id", hash64(F.col("shingle")).alias("sh_h"))
+    first_seen = sh.groupBy("sh_h").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first_seen, "sh_h")
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        novel.cast("bigint").alias("n_novel"),
+        F.round(novel * F.lit(1.0) / F.count(F.lit(1)), 6).alias("novelty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixing: the sampling weights a training run
+# uses to rebalance sources — weight_i ∝ tokens_i^alpha (alpha=0.5 here,
+# the sqrt temperature), reported next to each source's natural share so
+# the oversampling factor is explicit.  One narrow aggregation over the
+# corpus plus a 1-row broadcast of the totals; the per-row decimal cast
+# makes the weight sums order-independent (registry rule 1).
+@query(
+    "source_mixing_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             cast(count(*) as bigint) AS n_docs,
+             cast(sum(len({TOKS})) as bigint) AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, cast(sqrt(cast(total_tokens as double)) as decimal(27,6)) AS w_raw
+      FROM per
+    ),
+    tot AS (SELECT sum(w_raw) AS w_sum, sum(total_tokens) AS tok_sum FROM w)
+    SELECT source, n_docs, total_tokens,
+           round(cast(w_raw as double) / cast(w_sum as double), 6) AS weight,
+           round((cast(w_raw as double) / cast(w_sum as double))
+                 / (cast(total_tokens as double) / cast(tok_sum as double)), 6) AS oversample
+    FROM w, tot
+    """,
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+    )
+    w = per.withColumn(
+        "w_raw", F.sqrt(F.col("total_tokens").cast("double")).cast("decimal(27,6)")
+    )
+    tot = F.broadcast(
+        w.agg(
+            F.sum("w_raw").alias("w_sum"),
+            F.sum("total_tokens").cast("bigint").alias("tok_sum"),
+        )
+    )
+    share = F.col("w_raw").cast("double") / F.col("w_sum").cast("double")
+    natural = F.col("total_tokens").cast("double") / F.col("tok_sum").cast("double")
+    return w.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("weight"),
+        F.round(share / natural, 6).alias("oversample"),
+    )
