@@ -551,3 +551,127 @@ def embedding_near_dup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.sum(F.when(F.col("is_dup").isNull(), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd's) over the embedding column — the iterative-algorithm
+# representative, Spark-first: each round broadcasts the K centroids,
+# assignment is an embarrassingly-parallel argmin over the scan, and the
+# centroid update is one hash-agg on the compact (cid, dim) key (the same
+# decimal-exact posexplode mean as label_centroids).  NOTHING is collected
+# to the driver between rounds; at 100 TB each iteration is one scan + one
+# 64×K-row shuffle.  Deterministic: seeds are the first K vectors, ties
+# break to the smaller cid — so even the ITERATIVE result is oracle-exact
+# (the oracle unrolls both Lloyd rounds in SQL).
+K_CLUSTERS = 8
+_KM_DIMS_SQL = f"(SELECT unnest(generate_series(1, {DIMS})) AS i)"
+
+
+def _sqdist(a: Column | str, b: Column | str) -> Column:
+    """Left-to-right fold squared L2 (deterministic order, same as _dot)."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        ac,
+        bc,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIMS}),"
+        f" i -> (cast({a}[i] as double) - cast({b}[i] as double))"
+        f" * (cast({a}[i] as double) - cast({b}[i] as double))), (x, y) -> x + y)"
+    )
+
+
+def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment round: argmin squared-L2 over broadcast centroids."""
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", _sqdist("embedding", "ce")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid", "dist")
+    )
+
+
+def _kmeans_update(assigned: DataFrame) -> DataFrame:
+    """One Lloyd update round: decimal-exact per-dimension means, repacked
+    into centroid arrays (sorted struct collect — deterministic)."""
+    per_dim = assigned.select("cid", F.posexplode("embedding").alias("dim", "x")).groupBy(
+        "cid", "dim"
+    ).agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("ce")
+    )
+
+
+@query(
+    "kmeans_clusters",
+    oracle=f"""
+    WITH cent0 AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ),
+    scored1 AS (
+      SELECT e.vec_id, e.embedding, c.cid, {_sqdist_sql('e.embedding', 'c.ce')} AS dist
+      FROM embeddings e, cent0 c
+    ),
+    assign1 AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM scored1
+      ) WHERE rn = 1
+    ),
+    cent1d AS (
+      SELECT a.cid, d.i AS i,
+             cast(sum(cast(cast(a.embedding[d.i] as double) as decimal(27,6))) as double)
+               / count(*) AS m
+      FROM assign1 a CROSS JOIN {_KM_DIMS_SQL} d
+      GROUP BY a.cid, d.i
+    ),
+    cent1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM cent1d GROUP BY cid),
+    scored2 AS (
+      SELECT e.vec_id, c.cid, {_sqdist_sql('e.embedding', 'c.ce')} AS dist
+      FROM embeddings e, cent1 c
+    ),
+    assign2 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM scored2
+      ) WHERE rn = 1
+    )
+    SELECT cid, cast(count(*) as bigint) AS n_vecs,
+           cast(sum(cast(dist as decimal(27,6))) as double) / count(*) AS avg_sqdist
+    FROM assign2 GROUP BY cid
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent0 = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assign1 = _kmeans_assign(emb, cent0)
+    cent1 = _kmeans_update(assign1)
+    assign2 = _kmeans_assign(emb, cent1)
+    return assign2.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.sum(F.col("dist").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_sqdist"),
+    )

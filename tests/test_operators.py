@@ -228,6 +228,32 @@ def test_bitmap_distinct_exact_and_mergeable(spark):
     assert got_w == want_w
 
 
+def test_kmeans_iteration_reduces_inertia(spark, sf_dir):
+    """Lloyd's algorithm invariant: total within-cluster squared distance
+    must not increase from the seed assignment to the post-update
+    assignment (the property that makes the iteration converge)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.plans.similarity import (
+        K_CLUSTERS,
+        _kmeans_assign,
+        _kmeans_update,
+    )
+    from bigdata_homed_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent0 = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    a1 = _kmeans_assign(emb, cent0)
+    inertia1 = a1.agg(F.sum("dist")).collect()[0][0]
+    a2 = _kmeans_assign(emb, _kmeans_update(a1))
+    inertia2 = a2.agg(F.sum("dist")).collect()[0][0]
+    assert inertia2 <= inertia1 + 1e-9, (inertia1, inertia2)
+    # and every vector is assigned exactly once
+    assert a2.count() == emb.count()
+
+
 def test_approx_percentile_tolerance(spark, sf_dir):
     """The sketch percentiles must land within 2% relative error of the
     exact ones (accuracy=1000 bounds rank error at 1/1000)."""
