@@ -675,3 +675,65 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_sqdist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 scalar quantization — the embedding-storage compression step (4x
+# smaller vectors for the ANN index; brute/IVF re-rank then uses the
+# original floats only for the final candidates).  Pure narrow projection:
+# per-vector symmetric scale = 127/max|x|, code = round-half-up, clamp to
+# [-127, 127]; reported as per-label reconstruction MSE so the quality
+# cost of the compression is measured, not assumed.  All arithmetic is a
+# deterministic left-to-right fold — identical bits in both engines.
+@query(
+    "embedding_quantization_error",
+    oracle=f"""
+    WITH q AS (
+      SELECT label,
+             {_sqdist_sql(
+                 'embedding',
+                 '''list_transform(embedding, x ->
+                     greatest(least(floor(cast(x as double)
+                         * (127.0 / greatest(list_reduce(list_transform(embedding,
+                              v -> abs(cast(v as double))), (a, b) -> greatest(a, b)), 1e-12))
+                       + 0.5), 127.0), -127.0)
+                     / (127.0 / greatest(list_reduce(list_transform(embedding,
+                          v -> abs(cast(v as double))), (a, b) -> greatest(a, b)), 1e-12)))'''
+             )} / {DIMS} AS mse
+      FROM embeddings
+    )
+    SELECT label, cast(count(*) as bigint) AS n_vecs,
+           cast(sum(cast(mse as decimal(27,12))) as double) / count(*) AS avg_mse
+    FROM q GROUP BY label
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.greatest(
+        F.aggregate(
+            F.transform("embedding", lambda v: F.abs(v.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ),
+        F.lit(1e-12),
+    )
+    scale = F.lit(127.0) / maxabs
+    recon = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.least(F.floor(x.cast("double") * scale + F.lit(0.5)).cast("double"), F.lit(127.0)),
+            F.lit(-127.0),
+        )
+        / scale,
+    )
+    mse = (_sqdist("embedding", recon) / F.lit(float(DIMS))).alias("mse")
+    per = emb.select("label", mse)
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.sum(F.col("mse").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_mse"),
+    )
