@@ -175,7 +175,14 @@ def stream_online_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot is returned (keep-latest over the update-mode emissions).
     Genuinely non-SQL-expressible (driver records the weaker rows-only
     check): the state fold's float accumulation order is batch-dependent,
-    but the row set — one final row per user — is deterministic."""
+    but the row set — one final row per user — is deterministic.
+
+    Reset-on-expiry contract (see online_user_state docstring): a key idle
+    past the idle timeout loses its running totals; reappearance restarts
+    from zero, exactly like the reference's Phoenix TTL deletes.  Totals
+    that must survive idle gaps come from composing the per-key snapshot
+    sink (stream_foreachbatch_latest), not from keeping dead keys in
+    memory — that trade is what bounds state at 100 TB."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

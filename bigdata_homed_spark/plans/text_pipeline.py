@@ -1151,14 +1151,15 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {SHINGLES3} AS sh
       FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
     ),
-    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docsh),
-    first_seen AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    sh AS (SELECT doc_id, {_hash64_sql('shingle')} AS sh_h
+           FROM (SELECT doc_id, unnest(sh) AS shingle FROM docsh)),
+    first_seen AS (SELECT sh_h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
     SELECT s.doc_id,
            cast(count(*) as bigint) AS n_shingles,
            cast(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) as bigint) AS n_novel,
            round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS novelty
-    FROM sh s JOIN first_seen f ON s.shingle = f.shingle
+    FROM sh s JOIN first_seen f ON s.sh_h = f.sh_h
     GROUP BY s.doc_id
     """,
 )
@@ -1170,9 +1171,9 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # shuffle/join on an 8-byte shingle hash, never the raw shingle string
-    # (md5-derived hash64: identical partitioning both engines would see;
-    # a 64-bit collision would need ~5e9 distinct shingles)
+    # shuffle/join on an 8-byte shingle hash, never the raw shingle string;
+    # the oracle applies the SAME md5-derived hash64, so the two plans are
+    # structurally identical and parity is exact, not probabilistic
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
     ).select("doc_id", hash64(F.col("shingle")).alias("sh_h"))

@@ -80,7 +80,21 @@ class PartitionedStateStore:
         self.path = path
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
-        self._initialized = False
+        # caches only a POSITIVE "state exists" answer; the authoritative
+        # check is the filesystem (_state_exists), so a fresh instance
+        # pointed at pre-existing state merges instead of clobbering it —
+        # the restart/at-least-once contract this class advertises.
+        self._known_initialized = False
+
+    def _state_exists(self, spark: SparkSession) -> bool:
+        if self._known_initialized:
+            return True
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        exists = bool(fs.exists(jpath)) and len(fs.listStatus(jpath)) > 0
+        self._known_initialized = exists
+        return exists
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
@@ -97,10 +111,12 @@ class PartitionedStateStore:
         spark = updates.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         upd = self._bucketed(updates).localCheckpoint()
+        # driver-side list is ≤ n_buckets ints by construction — a bounded
+        # metadata collect (the partition-pruning predicate), not data
         touched = [r[0] for r in upd.select(self.BUCKET_COL).distinct().collect()]
-        if not self._initialized:
+        if not self._state_exists(spark):
             upd.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(self.path)
-            self._initialized = True
+            self._known_initialized = True
             return touched
         existing = spark.read.parquet(self.path).where(
             F.col(self.BUCKET_COL).isin(touched)
@@ -110,6 +126,62 @@ class PartitionedStateStore:
         merged.localCheckpoint().write.mode("overwrite").partitionBy(
             self.BUCKET_COL
         ).parquet(self.path)
+        return touched
+
+    def expire(self, spark: SparkSession, predicate) -> list[int]:
+        """Retention delete (S13 analog): remove rows matching ``predicate``
+        — the reference's per-batch ``DELETE FROM t WHERE f_date < …``
+        (`homed/realtime/ChannelLive.scala:579-625`) mapped onto the bucket
+        layout.  Only buckets that actually CONTAIN expired rows are
+        rewritten (dynamic partition overwrite); untouched buckets keep
+        their files byte-identical, so retention I/O is O(expired-row
+        buckets), not O(total state).  Returns the rewritten bucket ids.
+        """
+        from pyspark.sql import functions as F
+
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        if not self._state_exists(spark):
+            return []
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        state = spark.read.parquet(self.path)
+        # bounded metadata collect: ≤ n_buckets ints
+        touched = [
+            r[0]
+            for r in state.where(predicate)
+            .select(self.BUCKET_COL)
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return []
+        survivors = (
+            state.where(F.col(self.BUCKET_COL).isin(touched))
+            .where(~predicate)
+            .localCheckpoint()
+        )
+        # dynamic overwrite only rewrites partitions PRESENT in the output;
+        # a bucket whose every row expired has no survivors, so its
+        # directory must be dropped explicitly or the expired rows live on
+        surv_buckets = {
+            r[0] for r in survivors.select(self.BUCKET_COL).distinct().collect()
+        }
+        if surv_buckets:
+            survivors.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
+                self.path
+            )
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(self.path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for b in touched:
+            if b not in surv_buckets:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{self.path}/{self.BUCKET_COL}={b}"
+                    ),
+                    True,
+                )
         return touched
 
     def read(self, spark: SparkSession) -> DataFrame:

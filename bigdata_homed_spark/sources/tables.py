@@ -44,15 +44,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     across engines regardless of their native timestamp width.
     """
     if name == "events":
-        # the NTZ→TIMESTAMP cast is session-timezone dependent; pin UTC on
-        # whatever session the caller hands us (the external driver's
-        # session is not built by our factory)
+        # session tz is still pinned UTC for the date/timestamp functions
+        # downstream queries use (oracles assume UTC) …
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         from pyspark.sql import functions as F
 
+        # … but ts_sec itself is pure NTZ wall-clock arithmetic — NO
+        # session-timezone dependence, so a caller resetting the tz after
+        # load_table but before an action cannot shift it (the lazy
+        # NTZ→TIMESTAMP→LONG cast chain it replaces was tz-sensitive at
+        # ACTION time, not load time)
         return df.withColumn(
-            "ts_sec", F.col("ts").cast("timestamp").cast("long")
+            "ts_sec",
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

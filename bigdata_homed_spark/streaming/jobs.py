@@ -159,6 +159,19 @@ def online_user_state(
     Emits one row per user per batch it appears in, plus one final row at
     expiry: user_id, last_seen_sec, n_events, total_value (running totals —
     at-least-once idempotent upsert contract, SURVEY §7.4 item 3).
+
+    **Reset-on-expiry semantics (explicit contract):** once a key expires,
+    its running totals are gone — if the user reappears later, counters
+    restart from zero.  A key already idle past the watermark when a batch
+    lands expires on the very next batch (the expiry timestamp is clamped
+    to watermark+1 because Spark rejects timeouts at/below the watermark).
+    This is the *same* contract as the reference's Phoenix TTL (expired
+    rows are deleted; a returning user re-inserts fresh), and it is what
+    bounds state to the active key set.  Deployments needing
+    survive-the-gap totals re-seed state from the emitted snapshot store
+    (the `stream_foreachbatch_latest` sink keeps the last snapshot per
+    key) — the downstream upsert preserves the pre-expiry row, so the two
+    snapshots compose with a sum.
     """
     import pandas as pd  # noqa: F401  (applyInPandasWithState ships pandas frames)
 

@@ -215,6 +215,81 @@ def test_partitioned_state_store_bounded_io(spark, tmp_path):
     assert state[7] == 99 and state[8] == 99 and state[9] == 1
 
 
+def test_partitioned_state_store_restart_merges(spark, tmp_path):
+    """Restart contract: a FRESH store instance pointed at existing state
+    must detect it from the filesystem and merge — not treat its first
+    upsert as the initial load and wholesale-replace touched buckets
+    (which would silently drop other keys' state after a driver restart)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.sinks import PartitionedStateStore
+
+    path = os.path.join(str(tmp_path), "state")
+    PartitionedStateStore(path, ["user_id"], n_buckets=4).upsert(
+        spark.range(0, 100).select(F.col("id").alias("user_id"), F.lit(1).alias("v"))
+    )
+
+    # simulate a restart: brand-new instance, same path
+    store2 = PartitionedStateStore(path, ["user_id"], n_buckets=4)
+    store2.upsert(spark.createDataFrame([(3, 99)], "user_id long, v int"))
+
+    state = {r.user_id: r.v for r in store2.read(spark).collect()}
+    assert len(state) == 100, "restart upsert dropped other keys' state"
+    assert state[3] == 99 and state[4] == 1
+
+
+def test_partitioned_state_store_expire_bounded_io(spark, tmp_path):
+    """Retention (S13 raw-DML analog): expire(predicate) removes matching
+    rows rewriting ONLY buckets that contain them; buckets with no expired
+    rows keep byte-identical files, and a bucket whose every row expires is
+    dropped entirely."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.sinks import PartitionedStateStore
+
+    path = os.path.join(str(tmp_path), "state")
+    store = PartitionedStateStore(path, ["user_id"], n_buckets=8)
+    store.upsert(
+        spark.range(0, 200).select(
+            F.col("id").alias("user_id"), (F.col("id") % 50).alias("f_date")
+        )
+    )
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith(PartitionedStateStore.BUCKET_COL):
+                p = os.path.join(path, d)
+                out[d] = {
+                    (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = bucket_files()
+    touched = store.expire(spark, "f_date < 2")  # user_id % 50 in {0,1}
+    after = bucket_files()
+    touched_dirs = {f"{PartitionedStateStore.BUCKET_COL}={b}" for b in touched}
+    for d, files in before.items():
+        if d not in touched_dirs:
+            assert after[d] == files, f"untouched bucket {d} was rewritten"
+    state = store.read(spark)
+    assert state.where("f_date < 2").count() == 0
+    assert state.count() == 200 - 8  # 4 ids per residue class 0 and 1
+
+    # full-bucket expiry: every remaining row matches → all bucket dirs
+    # removed (an un-rewritten dir here would mean expired rows live on)
+    store.expire(spark, "f_date >= 0")
+    assert not any(
+        d.startswith(PartitionedStateStore.BUCKET_COL) for d in os.listdir(path)
+    )
+
+
 def test_table_inventory(spark, sf_dir):
     """HDFSFileVolumeCollect parity: per-table file counts and byte volume
     via the Hadoop FS API (works for single files and partitioned dirs)."""
