@@ -450,3 +450,154 @@ def program_demand_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("play_count"),
         F.coalesce("f_user_count", F.lit(0)).cast("bigint").alias("user_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# BusinessVisitCount user-array cycle (reference's biggest storage trick):
+# the daily job packs per-user counters into "userId|playCount|playTime|
+# deviceId" strings, collects them into ONE array row per (region,
+# terminal, service) partition (`BusinessVisitCount.scala:524-607`
+# saveBusinessArray), persists that day-partitioned, and the week/month/
+# 7-day jobs re-read the packed table, explode + split('|') and re-reduce
+# the counters per user, then per group (`:253-326`
+# busVisitCountByCountType).  The pack turns |users| rows into 1 row per
+# group — the reference's answer to Phoenix row-count pressure — and the
+# cycle is lossless because the counters are integers.
+#
+# This query runs the FULL cycle against real files: pack → partitioned
+# parquet write (S7/S8 sink) → read back → unpack → multi-day re-reduce.
+# The oracle inlines the identical pack/unpack strings in SQL, so the
+# string round-trip itself is hash-verified.  Scale: the pack keeps the
+# write at one row per (day, region, terminal, service) — array size is
+# bounded by the per-group user count; the unpack explode is a narrow
+# per-partition op and the re-reduce shuffles ALREADY-REDUCED per-user
+# rows, never raw events.
+
+_BUS_ARRAY_CACHE: dict[str, str] = {}
+
+
+def _bus_array_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write the packed daily user-array table once per (session, sf):
+    the saveBusinessArray analog."""
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _BUS_ARRAY_CACHE:
+        path = os.path.join(tempfile.mkdtemp(prefix="homed_busarr_"), "t_bus_array_day")
+        ev = load_table(spark, sf_dir, "events")
+        k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+        daily = ev.select(
+            F.expr("ts_sec div 86400").alias("f_date"),
+            (F.lit(1) + F.col("user_id") % 3).alias("f_terminal"),
+            F.concat(F.lit("rg_"), (F.col("user_id") % 20).cast("string")).alias(
+                "f_region_id"
+            ),
+            F.col("event_type").alias("f_service_type"),
+            F.col("user_id").alias("f_user_id"),
+            (F.col("user_id") * 10 + k % 3).alias("f_device_id"),
+            F.floor(F.col("value") * 10).cast("bigint").alias("play"),
+        ).where(F.col("play") > 0)  # reference: `playtime > 0`
+        per = daily.groupBy(
+            "f_date", "f_terminal", "f_region_id", "f_service_type",
+            "f_user_id", "f_device_id",
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("play_count"),
+            F.sum("play").cast("bigint").alias("play_time"),
+        )
+        pack = F.concat_ws(
+            "|",
+            F.col("f_user_id"),
+            F.col("play_count"),
+            F.col("play_time"),
+            F.col("f_device_id"),
+        )
+        packed = per.groupBy(
+            "f_date", "f_region_id", "f_terminal", "f_service_type"
+        ).agg(F.array_sort(F.collect_list(pack)).alias("f_user_array"))
+        write_partitioned_fact(packed, path, ["f_date"], output_files_per_partition=1)
+        _BUS_ARRAY_CACHE[key] = path
+    return _BUS_ARRAY_CACHE[key]
+
+
+@query(
+    "business_user_array_cycle",
+    oracle="""
+    WITH daily AS (
+      SELECT (epoch_us(ts)//1000000)//86400 AS f_date,
+             1 + user_id % 3 AS f_terminal,
+             'rg_' || cast(user_id % 20 as varchar) AS f_region_id,
+             event_type AS f_service_type,
+             user_id AS f_user_id,
+             user_id*10 + coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 3
+               AS f_device_id,
+             cast(floor(value*10) as bigint) AS play
+      FROM events
+    ),
+    per AS (
+      SELECT f_date, f_terminal, f_region_id, f_service_type, f_user_id, f_device_id,
+             cast(count(*) as bigint) AS play_count,
+             cast(sum(play) as bigint) AS play_time
+      FROM daily WHERE play > 0 GROUP BY ALL
+    ),
+    pack AS (
+      SELECT f_date, f_region_id, f_terminal, f_service_type,
+             cast(f_user_id as varchar) || '|' || cast(play_count as varchar)
+               || '|' || cast(play_time as varchar) || '|' || cast(f_device_id as varchar) AS p
+      FROM per
+    ),
+    unpacked AS (
+      SELECT f_region_id, f_terminal, f_service_type, string_split(p, '|') AS a
+      FROM pack
+    ),
+    per_user AS (
+      SELECT f_region_id, f_terminal, f_service_type, a[1] AS f_user_id,
+             cast(sum(cast(a[2] as bigint)) as bigint) AS play_count,
+             cast(sum(cast(a[3] as bigint)) as bigint) AS play_time
+      FROM unpacked GROUP BY ALL
+    )
+    SELECT f_region_id, f_terminal, f_service_type,
+           cast(sum(play_time) as bigint)  AS f_play_time,
+           cast(sum(play_count) as bigint) AS f_play_count,
+           cast(count(*) as bigint)        AS f_user_count,
+           cast(sum(CASE WHEN play_count >= 2 THEN 1 ELSE 0 END) as bigint)
+             AS f_active_user_count
+    FROM per_user
+    GROUP BY ALL
+    HAVING sum(play_count) > 0
+    """,
+)
+def business_user_array_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _bus_array_path(spark, sf_dir)
+    arr = spark.read.parquet(path)
+    s = F.split(F.col("u"), "\\|")
+    per_user = (
+        arr.select(
+            "f_region_id",
+            "f_terminal",
+            "f_service_type",
+            F.explode("f_user_array").alias("u"),
+        )
+        .select(
+            "f_region_id",
+            "f_terminal",
+            "f_service_type",
+            s.getItem(0).alias("f_user_id"),
+            s.getItem(1).cast("bigint").alias("play_count"),
+            s.getItem(2).cast("bigint").alias("play_time"),
+        )
+        .groupBy("f_region_id", "f_terminal", "f_service_type", "f_user_id")
+        .agg(
+            F.sum("play_count").cast("bigint").alias("play_count"),
+            F.sum("play_time").cast("bigint").alias("play_time"),
+        )
+    )
+    return (
+        per_user.groupBy("f_region_id", "f_terminal", "f_service_type")
+        .agg(
+            F.sum("play_time").cast("bigint").alias("f_play_time"),
+            F.sum("play_count").cast("bigint").alias("f_play_count"),
+            F.count(F.lit(1)).cast("bigint").alias("f_user_count"),
+            F.sum(F.when(F.col("play_count") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("f_active_user_count"),
+        )
+        .where(F.col("f_play_count") > 0)
+    )

@@ -118,3 +118,257 @@ def channel_report(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFram
         F.sum("watch_sec").cast("bigint").alias("total_watch_sec"),
     )
     return per_channel.join(packed, "channel_id", "left")
+
+
+# ---------------------------------------------------------------------------
+# Full-fidelity ChannelReport: the COMPLETE column set of the reference's
+# groupByCategory_NEW (`homed/repots/ChannelReport.scala:122-454`), not just
+# the chain's shape: per-grain uv (df_0), browse/hobby/steady user tiers
+# (df_1, thresholds 600/3600 sec-per-day), per-program playtime (df_2),
+# program rating = playtime/(uv*days*86400) with dense_rank topN and the
+# packed `concat_ws('&',relevance,program,name,rating,start)` array (df_3),
+# and the region → city → province grain union where coarser grains
+# RE-AGGREGATE the finer ones (city uv = SUM of region uvs — the
+# reference's deliberate approximation at :266-273/:360-367, reproduced
+# faithfully) with '-1' placeholders for collapsed columns (:349/:445).
+#
+# Deviations (deterministic refinements of unspecified reference behavior):
+# the packed rating string renders via decimal(20,8) (engine-identical) and
+# the collect_set pack is array_sort'ed before concat_ws (the reference's
+# set order is undefined).
+#
+# Scale: every dim join is a broadcast; the fact shuffles are the three
+# per-grain aggs keyed on (terminal, geo, channel[, program, user]) — all
+# high-cardinality composites; coarser grains re-aggregate the ALREADY
+# REDUCED finer outputs (the reference's own trick), never the fact;
+# day-count/report-date scalars ride a 1-row broadcast, no driver collect.
+
+_REG = ["f_terminal", "f_region_id", "f_city_id", "f_province_id"]
+_NAMES = ["f_region_name", "f_city_name", "f_province_name"]
+_CH = ["f_channel_id", "f_channel_name"]
+_PROG = ["f_program_id", "f_program_name", "f_relevance_id", "f_program_start_time"]
+
+
+def build_channel_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t_chanel_data_base analog: one row per watch event with the
+    full terminal/geo/channel/program/user column set.  Geo comes from the
+    customer→nation→region dims (broadcast, they are tiny); the program is
+    resolved by slot arithmetic against the uniform synthetic EPG (the
+    interval-join spelling is exercised by `channel_report`)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    plays = ev.select(
+        "user_id",
+        F.col("ts_sec"),
+        (k % N_CHANNELS).alias("f_channel_id"),
+        F.least(F.floor(F.col("value") * 10).cast("bigint"), F.lit(PROGRAM_SEC)).alias(
+            "f_play_sec"
+        ),
+    ).where(
+        (F.col("ts_sec") >= GUIDE_START) & (F.col("ts_sec") < GUIDE_END)
+    )
+    slot = F.floor((F.col("ts_sec") - GUIDE_START) / PROGRAM_SEC).cast("bigint")
+    geo = (
+        plays.join(F.broadcast(cust), "user_id")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    region_id = (F.col("n_nationkey").cast("bigint") * 10 + F.col("user_id") % 4)
+    prog_id = F.col("f_channel_id") * 10000 + slot
+    return geo.select(
+        F.floor(F.col("ts_sec") / 86400).cast("bigint").alias("f_date"),
+        (F.lit(1) + F.col("user_id") % 3).alias("f_terminal"),
+        region_id.alias("f_region_id"),
+        F.col("n_nationkey").cast("bigint").alias("f_city_id"),
+        F.col("n_regionkey").cast("bigint").alias("f_province_id"),
+        F.concat(F.lit("rg_"), region_id.cast("string")).alias("f_region_name"),
+        F.col("n_name").alias("f_city_name"),
+        F.col("r_name").alias("f_province_name"),
+        "f_channel_id",
+        F.concat(F.lit("ch_"), F.col("f_channel_id").cast("string")).alias(
+            "f_channel_name"
+        ),
+        prog_id.alias("f_program_id"),
+        F.concat(
+            F.lit("prog_"),
+            F.col("f_channel_id").cast("string"),
+            F.lit("_"),
+            slot.cast("string"),
+        ).alias("f_program_name"),
+        (F.lit(5000000) + prog_id).alias("f_relevance_id"),
+        (F.lit(GUIDE_START) + slot * PROGRAM_SEC).alias("f_program_start_time"),
+        F.col("user_id").alias("f_user_id"),
+        "f_play_sec",
+    )
+
+
+def _tier_counts(per_user: DataFrame, keys: list[str]) -> DataFrame:
+    """df_1: browse/hobby/steady user counts from per-user playtime/day
+    (ChannelReport.scala:166-180)."""
+    avg_sec = F.col("upt") / F.col("tg")
+    return per_user.groupBy(*keys).agg(
+        F.sum(F.when(avg_sec < 600, 1).otherwise(0)).cast("bigint").alias(
+            "f_browse_user_count"
+        ),
+        F.sum(F.when((avg_sec >= 600) & (avg_sec < 3600), 1).otherwise(0))
+        .cast("bigint")
+        .alias("f_hobby_user_count"),
+        F.sum(F.when(avg_sec >= 3600, 1).otherwise(0)).cast("bigint").alias(
+            "f_steady_user_count"
+        ),
+    )
+
+
+def _rating_pack(cat: DataFrame, keys: list[str], top_n: int) -> DataFrame:
+    """df_3: rating>0 → dense_rank ≤ topN per (geo, channel) → sorted
+    collect_set pack (ChannelReport.scala:220-251).
+
+    The reference's ``round(playtime/(uv*days*86400), 8)`` is a double
+    round whose half-cases (which DO occur — the denominator is a product
+    of small integers) round differently across engines (HALF_UP vs
+    half-even).  Here the rating is exact integer arithmetic instead:
+    ``playtime*1e8 DIV denom`` — truncation at the 8th digit, identical in
+    every engine, same ranking semantics (no overflow: playtime ≤ ~1e9 ×
+    1e8 < 2^63)."""
+    from pyspark.sql import Window
+
+    rated = cat.withColumn(
+        "rating_e8",
+        F.expr(
+            "(f_program_play_time * 100000000L) DIV (f_uv * tg * 86400)"
+        ),
+    ).where(F.col("rating_e8") > 0)
+    w = Window.partitionBy(*keys).orderBy(F.col("rating_e8").desc())
+    top = rated.withColumn("f_rank", F.dense_rank().over(w)).where(
+        F.col("f_rank") <= top_n
+    )
+    rating_str = F.concat(
+        F.expr("rating_e8 DIV 100000000").cast("string"),
+        F.lit("."),
+        F.lpad((F.col("rating_e8") % 100000000).cast("string"), 8, "0"),
+    )
+    pack = F.concat_ws(
+        "&",
+        F.col("f_relevance_id"),
+        F.col("f_program_id"),
+        F.col("f_program_name"),
+        rating_str,
+        F.col("f_program_start_time"),
+    )
+    return top.groupBy(*keys).agg(
+        F.concat_ws(",", F.array_sort(F.collect_set(pack))).alias("f_rating_arr")
+    )
+
+
+def channel_report_full(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFrame:
+    """groupByCategory_NEW full column parity: f_date, terminal, 3-level
+    geo ids+names, channel, packed rating array, packed user-type tiers —
+    one row family per grain (region, city with region='-1', province with
+    region=city='-1'), ChannelReport.scala:122-454."""
+    from pyspark.storagelevel import StorageLevel
+
+    # the base fans out to 3 aggregation families × 3 grains; persist it
+    # once like the reference (`base.persist(StorageLevel.DISK_ONLY)`,
+    # ChannelReport.scala:110) so the scan+parse+dim-join runs once
+    base = build_channel_base(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    scal = F.broadcast(
+        base.agg(
+            F.countDistinct("f_date").alias("tg"),
+            F.max("f_date").cast("string").alias("f_date_label"),
+        )
+    )
+
+    # ---- region grain (the fact-touching pass) -------------------------
+    # each region-grain output feeds its own grain AND the city/province
+    # re-aggregations — cache them like the reference's df_[012]_region
+    # .cache() calls (ChannelReport.scala:165/181/212)
+    df0_r = base.groupBy(*_REG).agg(
+        F.countDistinct("f_user_id").alias("f_uv")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_user_r = (
+        base.groupBy(*_REG, *_NAMES, *_CH, "f_user_id")
+        .agg(F.sum("f_play_sec").alias("upt"))
+        .crossJoin(scal)
+    )
+    df1_r = _tier_counts(per_user_r, _REG + _NAMES + _CH).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    df2_r = base.groupBy(*_REG, *_NAMES, *_CH, *_PROG).agg(
+        F.sum("f_play_sec").cast("bigint").alias("f_program_play_time")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cat_r = df0_r.join(df2_r, _REG).crossJoin(scal)
+    df3_r = _rating_pack(cat_r, _REG + _NAMES + _CH, top_n)
+    df4_r = df1_r.join(df3_r, _REG + _NAMES + _CH).crossJoin(scal)
+
+    # ---- city grain: RE-AGGREGATED from the region outputs -------------
+    city_k = ["f_terminal", "f_city_id", "f_province_id"]
+    city_nk = ["f_city_name", "f_province_name"]
+    df0_c = df0_r.groupBy(*city_k).agg(F.sum("f_uv").cast("bigint").alias("f_uv"))
+    df1_c = df1_r.groupBy(*city_k, *city_nk, *_CH).agg(
+        F.sum("f_browse_user_count").cast("bigint").alias("f_browse_user_count"),
+        F.sum("f_hobby_user_count").cast("bigint").alias("f_hobby_user_count"),
+        F.sum("f_steady_user_count").cast("bigint").alias("f_steady_user_count"),
+    )
+    df2_c = df2_r.groupBy(*city_k, *city_nk, *_CH, *_PROG).agg(
+        F.sum("f_program_play_time").cast("bigint").alias("f_program_play_time")
+    )
+    cat_c = df0_c.join(df2_c, city_k).crossJoin(scal)
+    df3_c = _rating_pack(cat_c, city_k + city_nk + _CH, top_n)
+    df4_c = df1_c.join(df3_c, city_k + city_nk + _CH).crossJoin(scal)
+
+    # ---- province grain: re-aggregated again ---------------------------
+    prov_k = ["f_terminal", "f_province_id"]
+    df0_p = df0_r.groupBy(*prov_k).agg(F.sum("f_uv").cast("bigint").alias("f_uv"))
+    df1_p = df1_r.groupBy(*prov_k, "f_province_name", *_CH).agg(
+        F.sum("f_browse_user_count").cast("bigint").alias("f_browse_user_count"),
+        F.sum("f_hobby_user_count").cast("bigint").alias("f_hobby_user_count"),
+        F.sum("f_steady_user_count").cast("bigint").alias("f_steady_user_count"),
+    )
+    df2_p = df2_r.groupBy(*prov_k, "f_province_name", *_CH, *_PROG).agg(
+        F.sum("f_program_play_time").cast("bigint").alias("f_program_play_time")
+    )
+    cat_p = df0_p.join(df2_p, prov_k).crossJoin(scal)
+    df3_p = _rating_pack(cat_p, prov_k + ["f_province_name"] + _CH, top_n)
+    df4_p = df1_p.join(df3_p, prov_k + ["f_province_name"] + _CH).crossJoin(scal)
+
+    user_type = F.concat(
+        F.lit("1:"),
+        F.col("f_browse_user_count"),
+        F.lit(",2:"),
+        F.col("f_hobby_user_count"),
+        F.lit(",3:"),
+        F.col("f_steady_user_count"),
+    )
+
+    def finalize(df: DataFrame, region: bool, city: bool) -> DataFrame:
+        return df.select(
+            F.col("f_date_label").alias("f_date"),
+            "f_terminal",
+            (F.col("f_region_id").cast("string") if region else F.lit("-1")).alias(
+                "f_region_id"
+            ),
+            (F.col("f_city_id").cast("string") if city else F.lit("-1")).alias(
+                "f_city_id"
+            ),
+            F.col("f_province_id").cast("string").alias("f_province_id"),
+            (F.col("f_region_name") if region else F.lit("-1")).alias("f_region_name"),
+            (F.col("f_city_name") if city else F.lit("-1")).alias("f_city_name"),
+            "f_province_name",
+            F.col("f_channel_id").cast("string").alias("f_channel_id"),
+            "f_channel_name",
+            "f_rating_arr",
+            user_type.alias("f_user_type"),
+        )
+
+    return (
+        finalize(df4_r, True, True)
+        .unionAll(finalize(df4_c, False, True))
+        .unionAll(finalize(df4_p, False, False))
+    )
