@@ -339,15 +339,32 @@ def cube_terminal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A7 scale path — HLL approximate distinct (rows-only check: DuckDB's
-# approx_count_distinct uses a different sketch, so no value oracle exists;
-# tests assert the estimate lands within the configured rsd of exact).
-@query("distinct_users_approx_daily")
+# A7 scale path — HLL approximate distinct.  DuckDB's sketch differs, so
+# the raw estimate can't be hash-compared — instead the query RETURNS the
+# tolerance assertion: exact count + a boolean `approx_within_5pct`
+# (HLL rsd 0.02 measured ≤1.5% error at sf0.001/0.01/0.1, so 5% has wide
+# margin).  The oracle supplies exact + TRUE — the driver's hash compare
+# thereby VERIFIES the sketch accuracy, not just row counts.
+@query(
+    "distinct_users_approx_daily",
+    oracle="""
+    SELECT (epoch_us(ts)//1000000)//86400 AS day_num,
+           count(DISTINCT user_id) AS users_exact,
+           true AS approx_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
 def distinct_users_approx_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregate import distinct_users_approx
-
     ev = events_sec(spark, sf_dir).withColumn("day_num", F.expr("sec div 86400"))
-    return distinct_users_approx(ev, ["day_num"], "user_id", out_col="users_approx")
+    out = ev.groupBy("day_num").agg(
+        F.countDistinct("user_id").alias("users_exact"),
+        F.expr("approx_count_distinct(user_id, 0.02)").alias("approx"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("users_exact"))
+        / F.col("users_exact")
+    ) <= 0.05
+    return out.select("day_num", "users_exact", within.alias("approx_within_5pct"))
 
 
 # --------------------------------------------------------------------------
@@ -379,20 +396,47 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("value_percentiles_approx")  # rows-only: sketch result, no exact SQL twin
+@query(
+    "value_percentiles_approx",
+    oracle="""
+    SELECT event_type, cast(count(*) as bigint) AS n,
+           true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for percentiles: `approx_percentile` (KLL-style sketch,
     mergeable across partitions — one pass, bounded memory, no global
     sort).  At 100 TB exact `percentile` materializes every value per
-    group; the sketch is the only tractable spelling.  Accuracy is pinned
-    by `test_approx_percentile_tolerance` against the exact values."""
+    group; the sketch is the only tractable spelling.
+
+    The sketch value itself is engine-specific, so the query RETURNS the
+    rank-error assertion instead: each approx percentile must land between
+    the exact percentiles at q∓0.02 (the sketch's guarantee is rank error
+    ≤ 1/accuracy = 0.001; 0.02 gives 20× margin).  The oracle supplies
+    TRUE literals — the hash compare verifies sketch accuracy in the
+    gate, not only in pytest."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, 0.5, 1000)").alias("p50"),
-        F.expr("approx_percentile(value, 0.9, 1000)").alias("p90"),
-        F.expr("approx_percentile(value, 0.99, 1000)").alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.expr(f"approx_percentile(value, {q}, 1000)").alias(f"a{tag}")
+            for q, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+        ],
+        *[
+            F.expr(f"percentile(value, {lo})").alias(f"lo{tag}")
+            for lo, tag in ((0.48, "50"), (0.88, "90"), (0.97, "99"))
+        ],
+        *[
+            F.expr(f"percentile(value, {hi})").alias(f"hi{tag}")
+            for hi, tag in ((0.52, "50"), (0.92, "90"), (1.0, "99"))
+        ],
     )
+    cols = [
+        F.col(f"a{t}").between(F.col(f"lo{t}"), F.col(f"hi{t}")).alias(f"p{t}_ok")
+        for t in ("50", "90", "99")
+    ]
+    return agg.select("event_type", "n", *cols)
 
 
 # --------------------------------------------------------------------------

@@ -73,43 +73,49 @@ from . import parity_extras  # noqa: E402,F401
 # first block below is hand-picked to give EVERY in-scope SURVEY §2 row and
 # every training-data-pipeline operator family at least one oracle-verified
 # query inside the window.  Remaining queries keep their module order after
-# the priority block — they still run in tests and the bench, and are
-# evaluated whenever the driver's window allows.
+# the priority block — they still run in tests and the bench, and the FULL
+# registry is re-verified locally every round (tools/check_correctness.py;
+# the ALL-PASS log is committed as GATELOG_r*.txt), so window rotation
+# cannot hide a regression.
+#
+# Rotation policy (round 3): queries ADDED or REWRITTEN in the current
+# round go INSIDE the window so their first driver-recorded verdict exists;
+# slots come from queries whose §2 rows stay covered by another in-window
+# query (each eviction is annotated) and which remain green in the
+# committed full-gate log.
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
     "region_revenue",             # J1/J2/J7/A2
-    "top_parts_per_brand",        # W5/O2
-    "latest_event_per_user",      # A8/W4/U3
     "interval_join_ship_window",  # J6
     "rollup_region_nation",       # A6
     "customer_tier_pivot",        # A5
     "clickers_without_purchase",  # J10/U2
     "union_period_grains",        # U1 + date fns
     "partitioned_fact_roundtrip", # S2/S7/S8
-    "global_top_events",          # O3
-    "value_percentiles",          # exact percentile (approx twin in tests)
+    "value_percentiles",          # exact percentile
     # events/behavior chain (SURVEY §2 W1-W4, A7, §2.8)
     "gap_sessions",               # W1
     "capped_play_sessions",       # W3/T6
     "halfhour_activity",          # time-grid sequence+explode
-    "multi_period_distinct_users",# A7
-    "props_kv_extract",           # JSON get_json_object
+    "bitmap_multi_period_distinct",  # A7 exact-bitmap path (r2; replaces
+                                  # multi_period_distinct_users' window slot)
     "props_struct_parse",         # JSON from_json
     "heartbeat_online_time",      # W2/T5
     "runlog_parse_terminals",     # S1/P3/P7 + str_to_map
     "user_state_merge",           # J5/P5
-    "daily_user_array",           # A4
-    "dedup_user_day_first_event", # A11
+    "dedup_user_day_first_event", # A11 (+A8/W4/U3 keep-latest family)
     "day_clamped_sessions",       # P4
-    "user_request_profile",       # O4
     # composite report parity + custom operator
     "video_play_report",          # P6 + report family
-    "channel_report",             # ChannelReport.scala §3.2
+    "channel_report_full",        # NEW r3: ChannelReport.scala:122-454 full
+                                  # column parity (W5/O2 dense_rank topN, A4
+                                  # collect_set pack, multi-grain union)
+    "business_user_array_cycle",  # NEW r3: BusinessVisitCount pack→persist→
+                                  # unpack cycle (A4/O4 arrays + S7/S8 write)
     "purchase_asof_heartbeat",    # as-of join
     # training-data pipeline: dedup family
-    "dedup_exact",
-    "fingerprint_dedup",
+    "fingerprint_dedup",          # (+ dedup_exact's md5-groupBy shape)
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
@@ -119,11 +125,21 @@ PRIORITY_QUERIES = [
     "pii_scrub",
     "quality_by_source",          # quality/lang/token stats family
     "tfidf_top_terms",            # TF-IDF / DF
+    "ngram_novelty",              # r2: first-seen shingle novelty (hash-
+                                  # aligned oracle, r3)
+    "source_mixing_weights",      # r2: temperature mixing weights
     # embeddings / similarity search
     "embedding_ann_pairs",        # sign-LSH ANN
-    "embedding_knn_ivf",          # IVF probe
-    "embedding_knn",              # brute-force baseline
+    "embedding_knn_ivf",          # IVF probe (embedding_knn brute-force
+                                  # baseline stays in the local gate)
     "label_centroids",            # centroids/outliers/decisions family
+    "kmeans_clusters",            # r2: Lloyd iterations, oracle-exact
+    "embedding_quantization_error",  # r2: int8 quantization + MSE
+    "label_top_direction",        # r3: certified-invariant oracle (was
+                                  # rows-only)
+    # approximate-sketch accuracy now verified IN the gate (r3)
+    "distinct_users_approx_daily",   # HLL vs exact ≤5% assertion
+    "value_percentiles_approx",      # KLL rank-error assertion
     # multimodal + curation
     "multimodal_frame_sample",
     "curation_funnel",

@@ -56,20 +56,45 @@ def kafka_stream_options(
     }
 
 
-def read_kafka_stream(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
-    """Kafka line stream → the same (event_time, line) shape the file-replay
-    source yields, so every downstream job is source-agnostic."""
-    from pyspark.sql import functions as F
+# The exact columns the kafka data source emits (Spark's contract, stable
+# since 2.x) — the transform below is tested against THIS schema, so the
+# wiring is verified even where the connector jar is absent.
+KAFKA_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
 
+
+def kafka_transform(raw: DataFrame) -> DataFrame:
+    """Kafka record frame → the (event_time, line) shape the file-replay
+    source yields, so every downstream job is source-agnostic.  Split out
+    from :func:`read_kafka_stream` so the transform is unit-testable
+    against :data:`KAFKA_SOURCE_SCHEMA` without a broker."""
+    return raw.select(
+        F.col("timestamp").alias("event_time"),
+        F.col("value").cast("string").alias("line"),
+    )
+
+
+def read_kafka_stream(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
+    """Kafka line stream (S6).  Requires the spark-sql-kafka connector jar;
+    `tests/test_streaming.py::test_kafka_pipeline_contract` pins the option
+    dict, the source schema, and the transform, and asserts that WITHOUT
+    the jar the pipeline fails only at provider lookup (i.e. the wiring is
+    correct up to the missing artifact)."""
     raw = (
         spark.readStream.format("kafka")
         .options(**kafka_stream_options(brokers, topics))
         .load()
     )
-    return raw.select(
-        F.col("timestamp").alias("event_time"),
-        F.col("value").cast("string").alias("line"),
-    )
+    return kafka_transform(raw)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
