@@ -45,12 +45,14 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         r.day_num: r.n
         for r in ev.groupBy("day_num").agg(F.countDistinct("user_id").alias("n")).collect()
     }
-    approx = {
-        r.day_num: r.users_approx
-        for r in QUERIES["distinct_users_approx_daily"](spark, sf_dir).collect()
-    }
+    rows = QUERIES["distinct_users_approx_daily"](spark, sf_dir).collect()
+    got = {r.day_num: r for r in rows}
+    assert set(got) == set(exact)
     for day, n in exact.items():
-        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])
+        # the query itself carries the tolerance assertion the oracle gate
+        # hash-verifies; pin both halves here too
+        assert got[day].users_exact == n, (day, n, got[day].users_exact)
+        assert got[day].approx_within_5pct is True, (day,)
 
 
 def test_entry(spark):
