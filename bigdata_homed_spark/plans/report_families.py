@@ -313,3 +313,205 @@ def open_version_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phone_model",
         F.coalesce("manufacturer", "default_mfr", F.lit("UNKNOWN")).alias("manufacturer"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("user_count"))
+
+
+# --------------------------------------------------------------------------
+# LiveChannelStatistics half-hour chain, FULL column set (the reference's
+# #3 job, `homed/repots/LiveChannelStatistics.scala`): live play sessions
+# split into half-hour slices with per-slice play seconds and play_count=1
+# on the slice containing the session start (the driver-side `process()`
+# loop at :297-352 — here the native sequence+explode time grid), then per
+# (date, hour, timerange, 3-level geo, terminal, channel) aggregation of
+# distinct viewers / playtime / play counts with the channel-type
+# collect_set pack (:373-394), LEFT-joined with per-bucket ShareSuccess
+# counts on the 5-key (region, hour, timerange, terminal, channel) with
+# nvl(0) (:396-400 — the share side is the second behavior table, channel
+# from exts['ID']).
+#
+# Deterministic refinements of reference bugs/unspecified behavior, on
+# BOTH engines: minute==30 buckets to timerange 60 on both sides of the
+# share join (the reference used `<30` for plays but `>30` for shares —
+# the two sides could never meet for minute 30); slice overlap is exact
+# across midnight (the reference clamped at 86400 and dropped the rest);
+# the type pack is array_sort'ed.
+#
+# Scale: the slice fan-out is a narrow op (no shuffle); the one fact
+# shuffle is the composite-key aggregation; dims broadcast; the share agg
+# is a second small shuffle joined on 5 keys (both sides already reduced).
+_LIVE_HH_ORACLE = """
+WITH geo AS (
+  SELECT c.c_custkey AS user_id,
+         1 + c.c_custkey % 3                                AS f_terminal,
+         cast(n.n_nationkey as bigint)*10 + c.c_custkey % 4 AS f_region_id,
+         'rg_' || cast(cast(n.n_nationkey as bigint)*10 + c.c_custkey % 4 as varchar)
+                                                            AS f_region_name,
+         cast(n.n_nationkey as bigint)                      AS f_city_id,
+         n.n_name                                           AS f_city_name,
+         cast(n.n_regionkey as bigint)                      AS f_province_id,
+         r.r_name                                           AS f_province_name
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+plays AS (
+  SELECT e.user_id, epoch_us(e.ts)//1000000 AS s,
+         cast(floor(e.value*10) as bigint) AS play,
+         coalesce(cast(json_extract_string(e.props, '$.k') as bigint), 0) % 10 AS f_channel_id
+  FROM events e WHERE e.event_type = 'view'
+),
+base AS (
+  SELECT p.*, p.s + p.play AS e, g.* EXCLUDE (user_id)
+  FROM plays p JOIN geo g ON g.user_id = p.user_id
+  WHERE p.play > 0
+),
+sliced AS (
+  SELECT b.*, cast(sl.slot as bigint) AS slot
+  FROM base b,
+       LATERAL (SELECT unnest(generate_series((b.s//1800)*1800,
+                                              ((b.e-1)//1800)*1800, 1800)) AS slot) sl
+),
+ch AS (
+  SELECT slot//86400 AS f_date,
+         (slot % 86400)//3600 AS f_hour,
+         CASE WHEN slot % 3600 = 0 THEN 30 ELSE 60 END AS f_timerange,
+         f_province_id, f_province_name, f_city_id, f_city_name,
+         f_region_id, f_region_name, f_terminal, f_channel_id,
+         'ch_' || cast(f_channel_id as varchar) AS f_channel_name,
+         array_to_string(list_sort(list(DISTINCT
+           cast(1 + f_channel_id % 5 as varchar))), ',') AS f_channel_type,
+         cast(count(DISTINCT user_id) as bigint) AS f_play_user_amt,
+         cast(cast(sum(least(e, slot+1800) - greatest(s, slot)) as bigint) as double)
+           AS f_play_time,
+         cast(sum(CASE WHEN s >= slot AND s < slot+1800 THEN 1 ELSE 0 END) as bigint)
+           AS f_play_count
+  FROM sliced
+  GROUP BY ALL
+),
+share AS (
+  SELECT g.f_region_id,
+         (epoch_us(e.ts)//1000000 % 86400)//3600 AS f_hour,
+         CASE WHEN (epoch_us(e.ts)//1000000 % 3600) < 1800 THEN 30 ELSE 60 END
+           AS f_timerange,
+         g.f_terminal,
+         coalesce(cast(json_extract_string(e.props, '$.k') as bigint), 0) % 10
+           AS f_channel_id,
+         cast(count(*) as bigint) AS f_share_count
+  FROM events e JOIN geo g ON g.user_id = e.user_id
+  WHERE e.event_type = 'click'
+  GROUP BY ALL
+)
+SELECT ch.f_date, ch.f_hour, ch.f_timerange,
+       ch.f_province_id, ch.f_province_name, ch.f_city_id, ch.f_city_name,
+       ch.f_region_id, ch.f_region_name, ch.f_terminal,
+       ch.f_channel_type, ch.f_channel_id, ch.f_channel_name,
+       ch.f_play_time, ch.f_play_count,
+       coalesce(s.f_share_count, 0) AS f_share_count,
+       ch.f_play_user_amt
+FROM ch
+LEFT JOIN share s USING (f_region_id, f_hour, f_timerange, f_terminal, f_channel_id)
+"""
+
+
+@query("live_channel_halfhour_full", oracle=_LIVE_HH_ORACLE)
+def live_channel_halfhour_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timegrid import explode_time_grid
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region_id = F.col("n_nationkey").cast("bigint") * 10 + F.col("user_id") % 4
+    geo = (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "user_id",
+            (F.lit(1) + F.col("user_id") % 3).alias("f_terminal"),
+            region_id.alias("f_region_id"),
+            F.concat(F.lit("rg_"), region_id.cast("string")).alias("f_region_name"),
+            F.col("n_nationkey").cast("bigint").alias("f_city_id"),
+            F.col("n_name").alias("f_city_name"),
+            F.col("n_regionkey").cast("bigint").alias("f_province_id"),
+            F.col("r_name").alias("f_province_name"),
+        )
+    )
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+
+    plays = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts_sec").alias("s"),
+            F.floor(F.col("value") * 10).cast("bigint").alias("play"),
+            (k % 10).alias("f_channel_id"),
+        )
+        .where(F.col("play") > 0)
+        .withColumn("e", F.col("s") + F.col("play"))
+        .join(F.broadcast(geo), "user_id")
+    )
+    grid = explode_time_grid(plays, "s", "e", 1800, slot_col="slot")
+    geo_keys = [
+        "f_province_id", "f_province_name", "f_city_id", "f_city_name",
+        "f_region_id", "f_region_name", "f_terminal",
+    ]
+    ch = (
+        grid.withColumn("f_date", F.expr("slot div 86400"))
+        .withColumn("f_hour", F.expr("(slot % 86400) div 3600"))
+        .withColumn(
+            "f_timerange", F.when(F.col("slot") % 3600 == 0, 30).otherwise(60)
+        )
+        .groupBy("f_date", "f_hour", "f_timerange", *geo_keys, "f_channel_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_set((F.lit(1) + F.col("f_channel_id") % 5).cast("string"))
+                ),
+            ).alias("f_channel_type"),
+            F.countDistinct("user_id").cast("bigint").alias("f_play_user_amt"),
+            F.sum("overlap_sec").cast("bigint").cast("double").alias("f_play_time"),
+            F.sum(
+                F.when(
+                    (F.col("s") >= F.col("slot"))
+                    & (F.col("s") < F.col("slot") + 1800),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("f_play_count"),
+        )
+        .withColumn(
+            "f_channel_name",
+            F.concat(F.lit("ch_"), F.col("f_channel_id").cast("string")),
+        )
+    )
+    share = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts_sec").alias("sec"), (k % 10).alias("f_channel_id"))
+        .join(F.broadcast(geo.select("user_id", "f_terminal", "f_region_id")), "user_id")
+        .withColumn("f_hour", F.expr("(sec % 86400) div 3600"))
+        .withColumn(
+            "f_timerange", F.when(F.col("sec") % 3600 < 1800, 30).otherwise(60)
+        )
+        .groupBy("f_region_id", "f_hour", "f_timerange", "f_terminal", "f_channel_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f_share_count"))
+    )
+    out = ch.join(
+        share,
+        ["f_region_id", "f_hour", "f_timerange", "f_terminal", "f_channel_id"],
+        "left",
+    )
+    return out.select(
+        "f_date", "f_hour", "f_timerange",
+        "f_province_id", "f_province_name", "f_city_id", "f_city_name",
+        "f_region_id", "f_region_name", "f_terminal",
+        "f_channel_type", "f_channel_id", "f_channel_name",
+        "f_play_time", "f_play_count",
+        F.coalesce(F.col("f_share_count"), F.lit(0)).cast("bigint").alias(
+            "f_share_count"
+        ),
+        "f_play_user_amt",
+    )
