@@ -1241,3 +1241,125 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("weight"),
         F.round(share / natural, 6).alias("oversample"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAG-prep chunking: every document split into overlapping token windows
+# (size 64, stride 48 → 16-token overlap), each chunk carrying its token
+# count and an md5 content id — the retrieval-corpus shape a training/RAG
+# pipeline materializes downstream of curation.  Fully native: the window
+# starts are a sequence(), the chunk is a slice() — a narrow per-row
+# fan-out with NO shuffle (the only exchange is the driver-side collect of
+# results).  At 100 TB chunking is embarrassingly parallel and this plan
+# keeps it that way.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "rag_chunking",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             cast(i as bigint) AS start_pos,
+             list_slice(toks, i, i + {CHUNK_TOKENS - 1}) AS chunk
+      FROM tok,
+           LATERAL (SELECT unnest(generate_series(1,
+                       greatest(len(toks) - {CHUNK_STRIDE - 1 + CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+                       {CHUNK_STRIDE})) AS i) s
+    )
+    SELECT doc_id,
+           cast((start_pos - 1)/{CHUNK_STRIDE} as bigint) AS chunk_idx,
+           cast(len(chunk) as bigint) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    # last window must contribute ≥ CHUNK_TOKENS-CHUNK_STRIDE fresh tokens;
+    # short docs yield exactly one (possibly partial) chunk
+    last_start = F.greatest(n - F.lit(CHUNK_TOKENS - 1), F.lit(1))
+    starts = F.sequence(F.lit(1), last_start, F.lit(CHUNK_STRIDE))
+    chunked = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start_pos")
+    ).select(
+        "doc_id",
+        "start_pos",
+        F.slice(F.col("toks"), F.col("start_pos"), CHUNK_TOKENS).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        ((F.col("start_pos") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary induction, step 1: global adjacent-pair frequencies (the
+# statistic every merge round of byte-pair encoding recomputes).  Adjacent
+# pairs are built in-row with sequence+element_at (no self-join, no
+# positional shuffle — the classic naive spelling joins tokens on
+# pos=pos+1, a full extra exchange); one hash-agg on the pair string and a
+# 1-row total broadcast produce the top-20 merge candidates with corpus
+# share.  At 100 TB each merge round is: this query → broadcast the chosen
+# pair → map-side re-tokenize → repeat (the same broadcast-iterate shape
+# as kmeans_clusters, which covers the iterative harness).
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    pairs AS (
+      SELECT p.pair
+      FROM tok,
+           LATERAL (SELECT unnest(list_transform(
+                      generate_series(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1])) AS pair) p
+      WHERE len(toks) >= 2
+    ),
+    counts AS (SELECT pair, cast(count(*) as bigint) AS n_occ FROM pairs GROUP BY pair),
+    tot AS (SELECT cast(sum(n_occ) as bigint) AS n_total FROM counts)
+    SELECT cast(row_number() OVER (ORDER BY n_occ DESC, pair) as bigint) AS rnk,
+           pair, n_occ,
+           round(n_occ * 1.0 / n_total, 6) AS share
+    FROM counts, tot
+    QUALIFY row_number() OVER (ORDER BY n_occ DESC, pair) <= 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.col("toks")
+    idx = F.sequence(F.lit(1), F.size(tk) - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+    )
+    exploded = (
+        docs.select(tokens("text").alias("toks"))
+        .where(F.size(tk) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+    )
+    counts = exploded.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    tot = F.broadcast(counts.agg(F.sum("n_occ").cast("bigint").alias("n_total")))
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("pair"))
+    return (
+        counts.crossJoin(tot)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 20)
+        .select(
+            "rnk",
+            "pair",
+            "n_occ",
+            F.round(F.col("n_occ") * F.lit(1.0) / F.col("n_total"), 6).alias("share"),
+        )
+    )
