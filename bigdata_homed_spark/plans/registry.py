@@ -82,7 +82,9 @@ from . import parity_extras  # noqa: E402,F401
 # round go INSIDE the window so their first driver-recorded verdict exists;
 # slots come from queries whose §2 rows stay covered by another in-window
 # query (each eviction is annotated) and which remain green in the
-# committed full-gate log.
+# committed full-gate log.  Late-round additions that no safe eviction
+# remains for (r3: rag_chunking, bpe_pair_counts) wait one round outside —
+# the committed GATELOG covers them until rotation frees a slot.
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
@@ -97,12 +99,18 @@ PRIORITY_QUERIES = [
     # events/behavior chain (SURVEY §2 W1-W4, A7, §2.8)
     "gap_sessions",               # W1
     "capped_play_sessions",       # W3/T6
-    "halfhour_activity",          # time-grid sequence+explode
+    "live_channel_halfhour_full", # NEW r3: LiveChannelStatistics full
+                                  # half-hour chain — time-grid explode
+                                  # (halfhour_activity's slot), geo grains,
+                                  # ShareSuccess 5-key left join
     "bitmap_multi_period_distinct",  # A7 exact-bitmap path (r2; replaces
                                   # multi_period_distinct_users' window slot)
     "props_struct_parse",         # JSON from_json
     "heartbeat_online_time",      # W2/T5
-    "runlog_parse_terminals",     # S1/P3/P7 + str_to_map
+    "search_result_category_report",  # NEW r3: SearchDetailNew 26-range
+                                  # classifier (runlog_parse_terminals'
+                                  # S1/P3/P7+str_to_map stay covered by
+                                  # video_play_report)
     "user_state_merge",           # J5/P5
     "dedup_user_day_first_event", # A11 (+A8/W4/U3 keep-latest family)
     "day_clamped_sessions",       # P4
