@@ -155,7 +155,9 @@ PRIORITY_QUERIES = [
     "stream_hourly_event_counts",   # S6/T1/T2
     "stream_static_segment_hourly", # J9
     "stream_dedup_hourly_users",    # T3
-    "stream_foreachbatch_latest",   # S10/T8
+    "stream_foreachbatch_ttl",      # NEW r3: S10/T8 + S13 retention —
+                                  # supersedes stream_foreachbatch_latest's
+                                  # slot (same upsert path + expire())
     "stream_online_user_state",     # T4 (rows-only: stateful snapshot)
 ]
 

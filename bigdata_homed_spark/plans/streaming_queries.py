@@ -456,3 +456,75 @@ def stream_search_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("day_num", "search_key", "n_searches", "rnk")
     )
+
+
+@query(
+    "stream_foreachbatch_ttl",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts)//1000000 AS sec FROM events
+    ),
+    horizon AS (SELECT max(sec) - 86400 AS cutoff FROM ev),
+    latest AS (
+      SELECT user_id, event_id, event_type, value, sec
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY sec DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    )
+    SELECT l.* FROM latest l, horizon h WHERE l.sec >= h.cutoff
+    """,
+)
+def stream_foreachbatch_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/T8 retention driven end-to-end: the `stream_foreachbatch_latest`
+    keyed-upsert pipeline PLUS the reference's per-batch retention DELETE
+    (`homed/realtime/ChannelLive.scala:579-625` deletes rows older than the
+    retention horizon every cycle) — here `PartitionedStateStore.expire`,
+    which rewrites only the buckets containing expired rows.  The cutoff is
+    each batch's own max event time minus 1 day (the reference's realtime
+    tables kept exactly 1 day, BASELINE.md), so it advances
+    monotonically under at-least-once replay, and the final state equals
+    keep-latest-per-key restricted to the retention window — exactly what
+    the SQL oracle states (the 1-day horizon measurably drops idle users
+    at every SF, so the delete path is exercised, not vacuous).  Scale: upsert I/O is O(batch ∪ touched
+    buckets); the expire pass is O(expired-row buckets); neither ever
+    rewrites the full state table."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import PartitionedStateStore
+
+    store = PartitionedStateStore(
+        tempfile.mkdtemp(prefix="ttl_state_"), ["user_id"], n_buckets=16
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(F.desc("sec"), F.desc("event_id"))
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        store.upsert(latest)
+        row = batch_df.agg(F.max("sec").alias("mx")).collect()[0]
+        if row.mx is not None:
+            store.expire(batch_df.sparkSession, f"sec < {int(row.mx) - 86400}")
+
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        (F.unix_timestamp("event_time")).cast("bigint").alias("sec"),
+    )
+    q = (
+        events.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ttl_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return store.read(spark)
