@@ -57,6 +57,15 @@ BENCH_QUERIES = [
     # re-agg), shingle first-seen novelty (inverted-index self-join)
     "bitmap_multi_period_distinct",
     "ngram_novelty",
+    # round-3 widening: the full-fidelity report chains (multi-grain
+    # cached re-aggregation; time-grid fan-out + 5-key left join) and the
+    # new text ops (no-shuffle chunk fan-out; in-row pair build + agg).
+    # NOTE for cross-round comparison: totals are NOT comparable to
+    # BENCH_r02 — compare per-query vs BENCH_SCALING.md per BASELINE.md.
+    "channel_report_full",
+    "live_channel_halfhour_full",
+    "rag_chunking",
+    "bpe_pair_counts",
 ]
 
 
