@@ -53,6 +53,20 @@ def get_spark(
         # reference RunLogParser.scala:514); keep the lenient last-wins
         # semantics instead of failing the batch
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # streaming keyed state on RocksDB, not the default HDFS-backed
+        # in-heap map: state size is bounded by local disk instead of
+        # executor heap (the 100 TB requirement for T3/T4 jobs — the
+        # reference externalized state to Phoenix for the same reason),
+        # with changelog checkpointing so per-batch checkpoint cost is
+        # O(delta), not O(total state)
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
