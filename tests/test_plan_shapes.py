@@ -155,3 +155,49 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """100 TB skew story, measured not asserted-by-config: with one
+    pathologically hot key, AQE's skew-join handling must actually engage
+    (SortMergeJoin(skew=true) in the FINAL adaptive plan) and still return
+    exact results.  Thresholds are lowered so test-scale data exhibits
+    "skew" the same way a hot key does at cluster scale; `salted_join`
+    (test_salted_join_matches_plain_join) is the explicit fallback for
+    engines/paths where AQE can't see the skew."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # skew is judged vs the MEDIAN partition; pin the width so the
+        # hot key exceeds factor×median regardless of the suite's default
+        "spark.sql.shuffle.partitions": "32",
+    }
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 == 0, 7).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("tag")
+        )
+        j = left.join(right, "k")
+        n = len(j.collect())
+        # every id<50k with id%10!=0 matches once; the hot key 7 gets
+        # 30k copies of left × 1 right = 30k rows
+        assert n == 45_000 + 30_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
