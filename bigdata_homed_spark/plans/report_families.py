@@ -629,3 +629,126 @@ def search_result_category_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_searches"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# ColumnDetailNew hierarchy rollup (`homed/repots/ColumnDetailNew.scala`):
+# the reference resolved each clicked column id up its parent chain with a
+# driver-side HashMap walk per ROW (`toParent`/`getColumnRoot` :547-587)
+# and then rolled PV up the tree with an iterative per-level
+# union-and-reaggregate loop (`getAllData` while(i>1) :206-252).
+# Spark-first both collapse: the fixed-depth (≤3) hierarchy is two
+# BROADCAST self-joins of the column dim, and the rollup is ONE
+# explode-ancestors + aggregate — every fact row contributes its pv to
+# itself, its parent, and its grandparent in a single shuffle, replacing
+# the reference's N-level union chain.  At 100 TB: the dim is tiny
+# (broadcast), the one fact shuffle is keyed on (ancestor, date,
+# terminal) — high-cardinality — and uv stays a two-level exact distinct.
+_COLDIM_SQL = """
+  SELECT cast(id as bigint) AS column_id, 1 AS level,
+         'col_' || cast(id as varchar) AS column_name,
+         cast(0 as bigint) AS parent_id
+  FROM (SELECT unnest(generate_series(1, 5)) AS id)
+  UNION ALL
+  SELECT cast(100 + id as bigint), 2, 'col_' || cast(100 + id as varchar),
+         cast(1 + (id - 1) % 5 as bigint)
+  FROM (SELECT unnest(generate_series(1, 20)) AS id)
+  UNION ALL
+  SELECT cast(10000 + id as bigint), 3, 'col_' || cast(10000 + id as varchar),
+         cast(101 + id % 20 as bigint)
+  FROM (SELECT unnest(generate_series(0, 39)) AS id)
+"""
+
+
+@query(
+    "column_hierarchy_rollup",
+    oracle=f"""
+    WITH coldim AS ({_COLDIM_SQL}),
+    clicks AS (
+      SELECT (epoch_us(ts)//1000000)//86400 AS f_date,
+             1 + user_id % 3 AS f_terminal,
+             user_id,
+             cast(10000 + coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 40 as bigint)
+               AS leaf_id
+      FROM events WHERE event_type = 'view'
+    ),
+    resolved AS (
+      SELECT c.*, l.parent_id AS p_id, p.parent_id AS gp_id
+      FROM clicks c
+      JOIN coldim l ON l.column_id = c.leaf_id
+      JOIN coldim p ON p.column_id = l.parent_id
+    ),
+    exploded AS (
+      SELECT f_date, f_terminal, user_id, a.column_id
+      FROM resolved,
+           LATERAL (SELECT unnest([leaf_id, p_id, gp_id]) AS column_id) a
+    )
+    SELECT e.f_date, e.f_terminal,
+           e.column_id, d.level AS column_level, d.column_name, d.parent_id,
+           cast(count(*) as bigint) AS f_pv,
+           cast(count(DISTINCT e.user_id) as bigint) AS f_uv
+    FROM exploded e JOIN coldim d ON d.column_id = e.column_id
+    GROUP BY ALL
+    """,
+)
+def column_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    # synthetic 3-level column tree (5 roots → 20 mid → 40 leaves), the
+    # t_column_info analog
+    l1 = spark.range(1, 6).select(
+        F.col("id").alias("column_id"),
+        F.lit(1).alias("level"),
+        F.concat(F.lit("col_"), F.col("id").cast("string")).alias("column_name"),
+        F.lit(0).cast("bigint").alias("parent_id"),
+    )
+    l2 = spark.range(1, 21).select(
+        (F.col("id") + 100).alias("column_id"),
+        F.lit(2).alias("level"),
+        F.concat(F.lit("col_"), (F.col("id") + 100).cast("string")).alias(
+            "column_name"
+        ),
+        (F.lit(1) + (F.col("id") - 1) % 5).alias("parent_id"),
+    )
+    l3 = spark.range(0, 40).select(
+        (F.col("id") + 10000).alias("column_id"),
+        F.lit(3).alias("level"),
+        F.concat(F.lit("col_"), (F.col("id") + 10000).cast("string")).alias(
+            "column_name"
+        ),
+        (F.lit(101) + F.col("id") % 20).alias("parent_id"),
+    )
+    coldim = l1.unionByName(l2).unionByName(l3)
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    clicks = ev.where(F.col("event_type") == "view").select(
+        F.expr("ts_sec div 86400").alias("f_date"),
+        (F.lit(1) + F.col("user_id") % 3).alias("f_terminal"),
+        "user_id",
+        (F.lit(10000) + k % 40).alias("leaf_id"),
+    )
+    leaf = F.broadcast(
+        coldim.select(F.col("column_id").alias("leaf_id"), F.col("parent_id").alias("p_id"))
+    )
+    parent = F.broadcast(
+        coldim.select(F.col("column_id").alias("p_id"), F.col("parent_id").alias("gp_id"))
+    )
+    resolved = clicks.join(leaf, "leaf_id").join(parent, "p_id")
+    exploded = resolved.select(
+        "f_date",
+        "f_terminal",
+        "user_id",
+        F.explode(F.array("leaf_id", "p_id", "gp_id")).alias("column_id"),
+    )
+    return (
+        exploded.join(F.broadcast(coldim), "column_id")
+        .groupBy(
+            "f_date", "f_terminal", "column_id", F.col("level").alias("column_level"),
+            "column_name", "parent_id",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("f_pv"),
+            F.countDistinct("user_id").cast("bigint").alias("f_uv"),
+        )
+    )
