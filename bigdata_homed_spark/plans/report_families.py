@@ -752,3 +752,137 @@ def column_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("f_uv"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# OcnRecommendStatistics (`ocn/report/OcnRecommendStatistics.scala`): the
+# recommend funnel per SLOT — exposures (action=1) vs clicks (action=2)
+# pv/uv per (date, terminal, portal/scene, recommend index), where the
+# multi-valued recommendIdx is pipe-split per event (the reference's
+# mapPartitions row loop :47-67 → native split+explode), exposure left-
+# joins clicks with null→0 (:99-112), and the scene-name dim comes from a
+# JSON config blob (`getSceneData` :119-143 — fastjson double-parse in a
+# row map → one typed from_json over a literal config table).  Scale: two
+# pre-aggregated grains joined on their full key (both sides already
+# reduced), dims broadcast, one explode fan-out on the fact scan.
+_SCENES = [
+    '{"tmp_base":{"tmp_id":"0","tmp_name":"home"}}',
+    '{"tmp_base":{"tmp_id":"1","tmp_name":"vod"}}',
+    '{"tmp_base":{"tmp_id":"2","tmp_name":"live"}}',
+    '{"tmp_base":{"tmp_id":"3","tmp_name":"search"}}',
+]
+
+
+@query(
+    "recommend_slot_funnel",
+    oracle=f"""
+    WITH scene_raw AS (
+      SELECT unnest([{", ".join("'" + s + "'" for s in _SCENES)}]) AS record_value
+    ),
+    scene AS (
+      SELECT cast(json_extract_string(record_value, '$.tmp_base.tmp_id') as bigint)
+               AS f_scene_id,
+             json_extract_string(record_value, '$.tmp_base.tmp_name') AS f_scene_name
+      FROM scene_raw
+    ),
+    base AS (
+      SELECT (epoch_us(ts)//1000000)//86400 AS f_date,
+             1 + user_id % 3 AS f_terminal,
+             user_id, event_type,
+             coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 4
+               AS f_scene_id,
+             's' || cast(coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 5 as varchar)
+               || '|' ||
+             's' || cast((coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) + 3) % 7 as varchar)
+               AS slots
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    sliced AS (
+      SELECT b.*, s.slot
+      FROM base b, LATERAL (SELECT unnest(string_split(b.slots, '|')) AS slot) s
+    ),
+    expo AS (
+      SELECT f_date, f_terminal, f_scene_id, slot AS f_slot,
+             cast(count(*) as bigint) AS f_recommend_pv,
+             cast(count(DISTINCT user_id) as bigint) AS f_recommend_uv
+      FROM sliced WHERE event_type = 'view' GROUP BY ALL
+    ),
+    clk AS (
+      SELECT f_date, f_terminal, f_scene_id, slot AS f_slot,
+             cast(count(*) as bigint) AS f_click_pv,
+             cast(count(DISTINCT user_id) as bigint) AS f_click_uv
+      FROM sliced WHERE event_type = 'click' GROUP BY ALL
+    )
+    SELECT e.f_date, e.f_terminal, e.f_scene_id, sc.f_scene_name, e.f_slot,
+           e.f_recommend_pv, e.f_recommend_uv,
+           coalesce(c.f_click_pv, 0) AS f_click_pv,
+           coalesce(c.f_click_uv, 0) AS f_click_uv
+    FROM expo e
+    LEFT JOIN clk c USING (f_date, f_terminal, f_scene_id, f_slot)
+    LEFT JOIN scene sc USING (f_scene_id)
+    """,
+)
+def recommend_slot_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.tables import load_table
+
+    scene_schema = T.StructType(
+        [
+            T.StructField(
+                "tmp_base",
+                T.StructType(
+                    [
+                        T.StructField("tmp_id", T.StringType()),
+                        T.StructField("tmp_name", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    scene = (
+        spark.createDataFrame([(s,) for s in _SCENES], "record_value string")
+        .select(F.from_json("record_value", scene_schema).alias("j"))
+        .select(
+            F.col("j.tmp_base.tmp_id").cast("bigint").alias("f_scene_id"),
+            F.col("j.tmp_base.tmp_name").alias("f_scene_name"),
+        )
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    slots = F.concat(
+        F.lit("s"), (k % 5).cast("string"), F.lit("|s"), ((k + 3) % 7).cast("string")
+    )
+    base = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.expr("ts_sec div 86400").alias("f_date"),
+        (F.lit(1) + F.col("user_id") % 3).alias("f_terminal"),
+        "user_id",
+        "event_type",
+        (k % 4).alias("f_scene_id"),
+        slots.alias("slots"),
+    )
+    sliced = base.withColumn("f_slot", F.explode(F.split("slots", "\\|")))
+
+    def grain(df: DataFrame, pv: str, uv: str) -> DataFrame:
+        return df.groupBy("f_date", "f_terminal", "f_scene_id", "f_slot").agg(
+            F.count(F.lit(1)).cast("bigint").alias(pv),
+            F.countDistinct("user_id").cast("bigint").alias(uv),
+        )
+
+    expo = grain(
+        sliced.where(F.col("event_type") == "view"), "f_recommend_pv", "f_recommend_uv"
+    )
+    clk = grain(
+        sliced.where(F.col("event_type") == "click"), "f_click_pv", "f_click_uv"
+    )
+    out = (
+        expo.join(clk, ["f_date", "f_terminal", "f_scene_id", "f_slot"], "left")
+        .join(F.broadcast(scene), "f_scene_id", "left")
+    )
+    return out.select(
+        "f_date", "f_terminal", "f_scene_id", "f_scene_name", "f_slot",
+        "f_recommend_pv", "f_recommend_uv",
+        F.coalesce("f_click_pv", F.lit(0)).cast("bigint").alias("f_click_pv"),
+        F.coalesce("f_click_uv", F.lit(0)).cast("bigint").alias("f_click_uv"),
+    )
