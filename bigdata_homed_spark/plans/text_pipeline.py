@@ -1363,3 +1363,55 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_occ") * F.lit(1.0) / F.col("n_total"), 6).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM surprisal scoring — the perplexity-proxy quality filter a
+# pretraining pipeline runs when a real LM can't be shipped to the scan:
+# train the unigram model ON the corpus (one token hash-agg), then score
+# each document by its average token surprisal  −(1/n)·Σ ln p(t)  =
+# (1/n)·Σ ln(T/freq(t)).  High scores = rare-token soup (OCR noise,
+# boilerplate hashes); low = repetitive filler.  Plan: one explode+agg for
+# the model, one shuffle join token→freq (both sides reduced to the
+# vocabulary), a 1-row total broadcast, and a per-doc agg.  Cross-engine
+# exactness: ln() may differ at 1 ulp between JVMs/libms, so each
+# per-token surprisal is rounded to 9 dp and decimal-summed (registry rule
+# 1) — bit-identical on both engines.
+@query(
+    "unigram_surprisal_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKS}) AS token FROM documents
+    ),
+    freq AS (SELECT token, cast(count(*) as bigint) AS n_tok FROM tok GROUP BY token),
+    tot AS (SELECT cast(sum(n_tok) as bigint) AS t_total FROM freq),
+    scored AS (
+      SELECT tk.doc_id,
+             cast(round(ln(tot.t_total * 1.0 / f.n_tok), 9) as decimal(27,9)) AS surp
+      FROM tok tk JOIN freq f USING (token), tot
+    )
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_tokens,
+           round(cast(sum(surp) as double) / count(*), 6) AS avg_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    tot = F.broadcast(freq.agg(F.sum("n_tok").cast("bigint").alias("t_total")))
+    scored = tok.join(freq, "token").crossJoin(tot).select(
+        "doc_id",
+        F.round(F.log(F.col("t_total") * F.lit(1.0) / F.col("n_tok")), 9)
+        .cast("decimal(27,9)")
+        .alias("surp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("surp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_surprisal"),
+    )
