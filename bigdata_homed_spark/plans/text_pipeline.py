@@ -1415,3 +1415,67 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("surp").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_surprisal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fractional contamination scoring: the binary any-hit flag above
+# (`decontamination`) is how docs get DROPPED; thresholds get SET from the
+# per-doc overlap fraction — what share of a training doc's distinct
+# 5-grams appear anywhere in the benchmark set.  Same broadcast hash
+# semi-join core, but aggregating hits per doc instead of existence, plus
+# the standard 10% flag.  At 100 TB the benchmark gram set is millions of
+# rows — still broadcastable — and the per-doc agg rides the explode scan.
+@query(
+    "contamination_overlap_scores",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks)-4, 1)),
+                    i -> md5(array_to_string(list_slice(toks, i, i+4), ' '))))) AS g
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_grams,
+             cast(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hit
+      FROM grams t LEFT JOIN bench b USING (g)
+      WHERE t.doc_id >= 5
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, cast(n_grams as bigint) AS n_grams, n_hit,
+           round(n_hit * 1.0 / n_grams, 6) AS overlap_frac,
+           n_hit * 10 >= n_grams AS flagged
+    FROM scored
+    """,
+)
+def contamination_overlap_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(F.transform(word_shingles("text", 5), F.md5)).alias("g")
+    )
+    bench = grams.where(F.col("doc_id") < 5).select("g").distinct()
+    scored = (
+        grams.where(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    # integer comparison (n_hit*10 >= n_grams) instead of a float ratio
+    # threshold: exact on both engines
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") * F.lit(1.0) / F.col("n_grams"), 6).alias(
+            "overlap_frac"
+        ),
+        (F.col("n_hit") * 10 >= F.col("n_grams")).alias("flagged"),
+    )
