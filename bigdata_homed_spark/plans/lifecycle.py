@@ -125,7 +125,7 @@ def user_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ev AS ({EV_SEC}),
     flagged AS (
-      SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800
+      SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
                      THEN 1 ELSE 0 END AS is_new
       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
     ),
@@ -140,10 +140,11 @@ def user_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NB: Spark's session_window merges events strictly closer than the
-    gap (next < end = last+gap), i.e. a gap of exactly 1800s starts a NEW
-    session — hence `>= 1800` in the oracle where gap_sessions uses
-    `> 1800`."""
+    """NB: Spark's session_window end (last+gap) is INCLUSIVE for merging:
+    an event at exactly last+1800 JOINS the session (verified empirically
+    at sf0.1, where one exact-1800 integral gap exists — user 511) — so
+    the oracle starts a new session only on gap > 1800, same as
+    gap_sessions."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.timestamp_seconds(F.col("ts_sec")).alias("evt"), "event_id"
     )
@@ -355,11 +356,17 @@ def cube_terminal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def distinct_users_approx_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import distinct_users_approx, distinct_users_exact
+
     ev = events_sec(spark, sf_dir).withColumn("day_num", F.expr("sec div 86400"))
-    out = ev.groupBy("day_num").agg(
-        F.countDistinct("user_id").alias("users_exact"),
-        F.expr("approx_count_distinct(user_id, 0.02)").alias("approx"),
+    # both paths go through the operator library (the HLL operator is the
+    # documented A7 scale path — keeping it on this query stops it rotting);
+    # the join is two ~30-row aggregates, negligible
+    exact = distinct_users_exact(ev, ["day_num"], "user_id", out_col="users_exact")
+    approx = distinct_users_approx(
+        ev, ["day_num"], "user_id", out_col="approx", rsd=0.02
     )
+    out = exact.join(approx, "day_num")
     within = (
         F.abs(F.col("approx") - F.col("users_exact"))
         / F.col("users_exact")

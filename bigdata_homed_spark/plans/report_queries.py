@@ -144,7 +144,7 @@ df2_r AS (
   FROM baseprog GROUP BY ALL
 ),
 rated_r AS (
-  SELECT d2.*, (d2.f_program_play_time * 100000000) // (d0.f_uv*s.tg*86400) AS rating_e8
+  SELECT d2.*, ((d2.f_program_play_time // (d0.f_uv*s.tg*86400)) * 100000000 + ((d2.f_program_play_time % (d0.f_uv*s.tg*86400)) * 10000 // (d0.f_uv*s.tg*86400)) * 10000 + ((d2.f_program_play_time % (d0.f_uv*s.tg*86400)) * 10000 % (d0.f_uv*s.tg*86400)) * 10000 // (d0.f_uv*s.tg*86400)) AS rating_e8
   FROM df2_r d2
   JOIN df0_r d0 USING (f_terminal, f_region_id, f_city_id, f_province_id), scal s
 ),
@@ -204,7 +204,7 @@ df2_c AS (
   FROM df2_r GROUP BY ALL
 ),
 rated_c AS (
-  SELECT d2.*, (d2.f_program_play_time * 100000000) // (d0.f_uv*s.tg*86400) AS rating_e8
+  SELECT d2.*, ((d2.f_program_play_time // (d0.f_uv*s.tg*86400)) * 100000000 + ((d2.f_program_play_time % (d0.f_uv*s.tg*86400)) * 10000 // (d0.f_uv*s.tg*86400)) * 10000 + ((d2.f_program_play_time % (d0.f_uv*s.tg*86400)) * 10000 % (d0.f_uv*s.tg*86400)) * 10000 // (d0.f_uv*s.tg*86400)) AS rating_e8
   FROM df2_c d2 JOIN df0_c d0 USING (f_terminal, f_city_id, f_province_id), scal s
 ),
 top_c AS (
@@ -258,7 +258,7 @@ df2_p AS (
   FROM df2_r GROUP BY ALL
 ),
 rated_p AS (
-  SELECT d2.*, (d2.f_program_play_time * 100000000) // (d0.f_uv*s.tg*86400) AS rating_e8
+  SELECT d2.*, ((d2.f_program_play_time // (d0.f_uv*s.tg*86400)) * 100000000 + ((d2.f_program_play_time % (d0.f_uv*s.tg*86400)) * 10000 // (d0.f_uv*s.tg*86400)) * 10000 + ((d2.f_program_play_time % (d0.f_uv*s.tg*86400)) * 10000 % (d0.f_uv*s.tg*86400)) * 10000 // (d0.f_uv*s.tg*86400)) AS rating_e8
   FROM df2_p d2 JOIN df0_p d0 USING (f_terminal, f_province_id), scal s
 ),
 top_p AS (

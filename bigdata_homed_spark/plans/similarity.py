@@ -472,29 +472,40 @@ def label_top_direction_frame(emb: DataFrame) -> DataFrame:
     import pandas as pd
 
     def top_dir(pdf: pd.DataFrame) -> pd.DataFrame:
-        # sort by vec_id: float matvec accumulation order must not depend
-        # on partition arrival order, or the result varies across runs
-        pdf = pdf.sort_values("vec_id")
-        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        d = x.shape[1]
-        v = np.full(d, 1.0 / np.sqrt(d))
-        for _ in range(500):
-            v = x.T @ (x @ v)
-            n = np.linalg.norm(v)
-            if n == 0.0:
-                break
-            v = v / n
+        x, v = _power_iterate(pdf)
         if v[int(np.argmax(np.abs(v)))] < 0:
             v = -v
         return pd.DataFrame(
             {
                 "label": pdf["label"].iloc[0],
-                "dim": np.arange(d, dtype=np.int32),
+                "dim": np.arange(x.shape[1], dtype=np.int32),
                 "weight": v,
             }
         )
 
     return emb.groupBy("label").applyInPandas(top_dir, DIRECTION_SCHEMA)
+
+
+def _power_iterate(pdf, n_iter: int = 500):
+    """Shared power-iteration core for the weight frame AND the certified
+    registry query — ONE implementation so the invariants the query
+    certifies are always computed by exactly the code the weight test
+    pins.  Sorts by vec_id first: float matvec accumulation order must
+    not depend on partition arrival order, or results vary across runs.
+    Returns (X, v)."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    d = x.shape[1]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(n_iter):
+        v = x.T @ (x @ v)
+        n = np.linalg.norm(v)
+        if n == 0.0:
+            break
+        v = v / n
+    return x, v
 
 
 @query(
@@ -523,16 +534,7 @@ def label_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
     def certify(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        d = x.shape[1]
-        v = np.full(d, 1.0 / np.sqrt(d))
-        for _ in range(500):
-            v = x.T @ (x @ v)
-            n = np.linalg.norm(v)
-            if n == 0.0:
-                break
-            v = v / n
+        x, v = _power_iterate(pdf)
         av = x.T @ (x @ v)
         lam = float(v @ av)
         resid = float(np.linalg.norm(av - lam * v)) / max(float(np.linalg.norm(av)), 1e-300)

@@ -236,7 +236,7 @@ def stream_dedup_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, epoch_us(ts)//1000000 AS sec FROM events
     ),
     flagged AS (
-      SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800
+      SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
                      THEN 1 ELSE 0 END AS is_new
       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
     ),
@@ -343,6 +343,67 @@ def stream_stream_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(joined, output_mode="append")
 
 
+def _run_keyed_upsert_stream(
+    spark: SparkSession, sf_dir: str, retention_sec: int | None = None
+) -> DataFrame:
+    """Shared foreachBatch keyed-state pipeline (S10/T8, + S13 retention
+    when ``retention_sec`` is set) — ONE implementation for both registry
+    queries so the keep-latest tiebreaker and stream wiring cannot drift.
+
+    Multi-batch correctness (batches are per-file and NOT event-time
+    ordered): each batch's keep-latest rows are merged against the
+    EXISTING state for those keys (bucket-pruned read) keeping the newer
+    (sec, event_id) — so an out-of-order or replayed batch can never
+    overwrite newer state with older events.  The retention cutoff uses a
+    driver-held running max of event time, so it is genuinely monotonic
+    rather than batch-local.  Per-batch I/O stays O(batch ∪ touched
+    buckets) throughout."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import PartitionedStateStore
+
+    store = PartitionedStateStore(
+        tempfile.mkdtemp(prefix="upsert_state_"), ["user_id"], n_buckets=16
+    )
+    hi = {"max_sec": None}
+    w = Window.partitionBy("user_id").orderBy(F.desc("sec"), F.desc("event_id"))
+
+    def keep_latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sparkb = batch_df.sparkSession
+        latest = keep_latest(batch_df)
+        existing = store.read_for_keys(sparkb, latest.select("user_id"))
+        if existing is not None:
+            latest = keep_latest(latest.unionByName(existing))
+        store.upsert(latest)
+        row = batch_df.agg(F.max("sec").alias("mx")).collect()[0]
+        if row.mx is not None:
+            hi["max_sec"] = max(hi["max_sec"] or int(row.mx), int(row.mx))
+            if retention_sec is not None:
+                store.expire(sparkb, f"sec < {hi['max_sec'] - retention_sec}")
+
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", F.col("ts_sec").alias("sec")
+    )
+    q = (
+        events.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return store.read(spark)
+
+
 @query(
     "stream_foreachbatch_latest",
     oracle="""
@@ -362,47 +423,10 @@ def stream_foreachbatch_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest event into a keyed parquet state table via ``foreachBatch`` +
     ``PartitionedStateStore`` — the reference's Phoenix overwrite-by-PK
     contract (UserStatusByRunLog.scala:296-300) with at-least-once batch
-    semantics (idempotent because the upsert is keyed).  The state is
-    hash-partitioned so each batch reads/rewrites only the buckets its
-    keys touch (O(batch) I/O, not O(total state) — the 100 TB
-    requirement).  The oracle is global keep-latest per user."""
-    import tempfile
-
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from ..sources.sinks import PartitionedStateStore
-
-    store = PartitionedStateStore(
-        tempfile.mkdtemp(prefix="upsert_state_"), ["user_id"], n_buckets=16
-    )
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc("sec"), F.desc("event_id")
-        )
-        latest = (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-        store.upsert(latest)
-
-    events = read_events_stream(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "value",
-        (F.unix_timestamp("event_time")).cast("bigint").alias("sec"),
-    )
-    q = (
-        events.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
-        .start()
-    )
-    q.awaitTermination()
-    return store.read(spark)
+    semantics (idempotent because the upsert merges keep-latest against
+    existing state, see _run_keyed_upsert_stream).  The oracle is global
+    keep-latest per user."""
+    return _run_keyed_upsert_stream(spark, sf_dir)
 
 
 @query(
@@ -481,50 +505,14 @@ def stream_foreachbatch_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed-upsert pipeline PLUS the reference's per-batch retention DELETE
     (`homed/realtime/ChannelLive.scala:579-625` deletes rows older than the
     retention horizon every cycle) — here `PartitionedStateStore.expire`,
-    which rewrites only the buckets containing expired rows.  The cutoff is
-    each batch's own max event time minus 1 day (the reference's realtime
-    tables kept exactly 1 day, BASELINE.md), so it advances
-    monotonically under at-least-once replay, and the final state equals
+    which rewrites only the buckets containing expired rows.  The cutoff
+    is a RUNNING max of seen event time minus 1 day (the reference's
+    realtime tables kept exactly 1 day, BASELINE.md) — held by the driver
+    so it is monotonic even when batches arrive out of event-time order —
+    and the final state equals
     keep-latest-per-key restricted to the retention window — exactly what
     the SQL oracle states (the 1-day horizon measurably drops idle users
-    at every SF, so the delete path is exercised, not vacuous).  Scale: upsert I/O is O(batch ∪ touched
-    buckets); the expire pass is O(expired-row buckets); neither ever
-    rewrites the full state table."""
-    import tempfile
-
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from ..sources.sinks import PartitionedStateStore
-
-    store = PartitionedStateStore(
-        tempfile.mkdtemp(prefix="ttl_state_"), ["user_id"], n_buckets=16
-    )
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("user_id").orderBy(F.desc("sec"), F.desc("event_id"))
-        latest = (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-        store.upsert(latest)
-        row = batch_df.agg(F.max("sec").alias("mx")).collect()[0]
-        if row.mx is not None:
-            store.expire(batch_df.sparkSession, f"sec < {int(row.mx) - 86400}")
-
-    events = read_events_stream(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "value",
-        (F.unix_timestamp("event_time")).cast("bigint").alias("sec"),
-    )
-    q = (
-        events.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ttl_ckpt_"))
-        .start()
-    )
-    q.awaitTermination()
-    return store.read(spark)
+    at every SF, so the delete path is exercised, not vacuous).  Pipeline
+    shared with stream_foreachbatch_latest — see _run_keyed_upsert_stream
+    for the multi-batch merge and monotonic-cutoff guarantees."""
+    return _run_keyed_upsert_stream(spark, sf_dir, retention_sec=86400)

@@ -1266,7 +1266,7 @@ CHUNK_STRIDE = 48
              list_slice(toks, i, i + {CHUNK_TOKENS - 1}) AS chunk
       FROM tok,
            LATERAL (SELECT unnest(generate_series(1,
-                       greatest(len(toks) - {CHUNK_STRIDE - 1 + CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+                       greatest(len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
                        {CHUNK_STRIDE})) AS i) s
     )
     SELECT doc_id,
@@ -1282,9 +1282,12 @@ def rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     n = F.size(toks)
-    # last window must contribute ≥ CHUNK_TOKENS-CHUNK_STRIDE fresh tokens;
-    # short docs yield exactly one (possibly partial) chunk
-    last_start = F.greatest(n - F.lit(CHUNK_TOKENS - 1), F.lit(1))
+    # start positions run to n-(size-stride) so EVERY token lands in some
+    # chunk (largest start s* satisfies s* > n-size, hence s*+size > n;
+    # the former n-(size-1) bound silently dropped up to stride-1 trailing
+    # tokens of any doc whose length missed the stride grid); short docs
+    # yield exactly one (possibly partial) chunk
+    last_start = F.greatest(n - F.lit(CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1))
     starts = F.sequence(F.lit(1), last_start, F.lit(CHUNK_STRIDE))
     chunked = docs.select(
         "doc_id", toks.alias("toks"), F.explode(starts).alias("start_pos")
@@ -1387,7 +1390,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT cast(sum(n_tok) as bigint) AS t_total FROM freq),
     scored AS (
       SELECT tk.doc_id,
-             cast(round(ln(tot.t_total * 1.0 / f.n_tok), 9) as decimal(27,9)) AS surp
+             cast(round(ln(tot.t_total * 1.0 / f.n_tok), 6) as decimal(27,6)) AS surp
       FROM tok tk JOIN freq f USING (token), tot
     )
     SELECT doc_id,
@@ -1405,8 +1408,8 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = F.broadcast(freq.agg(F.sum("n_tok").cast("bigint").alias("t_total")))
     scored = tok.join(freq, "token").crossJoin(tot).select(
         "doc_id",
-        F.round(F.log(F.col("t_total") * F.lit(1.0) / F.col("n_tok")), 9)
-        .cast("decimal(27,9)")
+        F.round(F.log(F.col("t_total") * F.lit(1.0) / F.col("n_tok")), 6)
+        .cast("decimal(27,6)")
         .alias("surp"),
     )
     return scored.groupBy("doc_id").agg(

@@ -233,18 +233,28 @@ def _rating_pack(cat: DataFrame, keys: list[str], top_n: int) -> DataFrame:
     The reference's ``round(playtime/(uv*days*86400), 8)`` is a double
     round whose half-cases (which DO occur — the denominator is a product
     of small integers) round differently across engines (HALF_UP vs
-    half-even).  Here the rating is exact integer arithmetic instead:
-    ``playtime*1e8 DIV denom`` — truncation at the 8th digit, identical in
-    every engine, same ranking semantics (no overflow: playtime ≤ ~1e9 ×
-    1e8 < 2^63)."""
+    half-even).  Here the rating is exact integer arithmetic instead —
+    truncation at the 8th digit, identical in every engine, same ranking
+    semantics.  The ×1e8 scaling is done as THREE-STEP long division
+    (÷, then two ×1e4 remainder steps) so it cannot overflow int64 even
+    for a planet-scale group: each step multiplies a remainder < denom by
+    1e4, so the intermediate stays < denom×1e4, and denom = uv·days·86400
+    is < 2^63/1e4 for any real uv·days (a naive playtime×1e8 overflows —
+    and wraps silently with ANSI off — once a (grain, program) group
+    exceeds ~9.2e10 play-seconds, i.e. ~1.3e7 viewers of one 2-hour
+    program)."""
     from pyspark.sql import Window
 
-    rated = cat.withColumn(
-        "rating_e8",
-        F.expr(
-            "(f_program_play_time * 100000000L) DIV (f_uv * tg * 86400)"
-        ),
-    ).where(F.col("rating_e8") > 0)
+    long_div_e8 = (
+        "((f_program_play_time DIV (f_uv * tg * 86400)) * 100000000L"
+        " + ((f_program_play_time % (f_uv * tg * 86400)) * 10000L"
+        "    DIV (f_uv * tg * 86400)) * 10000L"
+        " + ((f_program_play_time % (f_uv * tg * 86400)) * 10000L"
+        "    % (f_uv * tg * 86400)) * 10000L DIV (f_uv * tg * 86400))"
+    )
+    rated = cat.withColumn("rating_e8", F.expr(long_div_e8)).where(
+        F.col("rating_e8") > 0
+    )
     w = Window.partitionBy(*keys).orderBy(F.col("rating_e8").desc())
     top = rated.withColumn("f_rank", F.dense_rank().over(w)).where(
         F.col("f_rank") <= top_n
@@ -367,8 +377,17 @@ def channel_report_full(spark: SparkSession, sf_dir: str, top_n: int = 3) -> Dat
             user_type.alias("f_user_type"),
         )
 
-    return (
+    out = (
         finalize(df4_r, True, True)
         .unionAll(finalize(df4_c, False, True))
         .unionAll(finalize(df4_p, False, False))
     )
+    # materialize the (small) result now, then release the four caches —
+    # otherwise every invocation pins base+3 aggregates for the session's
+    # lifetime (the reference unpersists its df_* caches the same way,
+    # ChannelReport.scala:362/368/402); localCheckpoint keeps only the
+    # final rows resident
+    out = out.localCheckpoint(eager=True)
+    for df in (base, df0_r, df1_r, df2_r):
+        df.unpersist()
+    return out

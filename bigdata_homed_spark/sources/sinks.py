@@ -92,7 +92,14 @@ class PartitionedStateStore:
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        exists = bool(fs.exists(jpath)) and len(fs.listStatus(jpath)) > 0
+        # look for BUCKET DIRS, not any file: after a full expiry the path
+        # still holds _SUCCESS markers but no data — treating that as
+        # "initialized" would send the next upsert down the merge path and
+        # crash reading an empty parquet dir
+        exists = bool(fs.exists(jpath)) and any(
+            st.getPath().getName().startswith(f"{self.BUCKET_COL}=")
+            for st in fs.listStatus(jpath)
+        )
         self._known_initialized = exists
         return exists
 
@@ -182,10 +189,32 @@ class PartitionedStateStore:
                     ),
                     True,
                 )
+        # a predicate matching EVERY row empties the store; drop the cached
+        # "initialized" answer so the next upsert re-probes the filesystem
+        # (the initial-load path) instead of merging against nothing
+        self._known_initialized = False
         return touched
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path).drop(self.BUCKET_COL)
+
+    def read_for_keys(self, spark: SparkSession, keys: DataFrame) -> DataFrame | None:
+        """Read only the buckets the given key rows hash into — the
+        partition-pruned state lookup a merge-with-existing step needs
+        (O(touched buckets) I/O, like upsert).  None if no state exists."""
+        from pyspark.sql import functions as F
+
+        if not self._state_exists(spark):
+            return None
+        touched = [
+            r[0]
+            for r in self._bucketed(keys).select(self.BUCKET_COL).distinct().collect()
+        ]
+        return (
+            spark.read.parquet(self.path)
+            .where(F.col(self.BUCKET_COL).isin(touched))
+            .drop(self.BUCKET_COL)
+        )
 
 
 def write_jdbc(

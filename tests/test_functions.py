@@ -107,3 +107,23 @@ def test_multimodal_plumbing(spark):
     assert out.payload_bytes == 11
     assert out.header_hex == "68656c6c"  # 'hell'
     assert out.n_frames == 11 % 7
+
+
+def test_rag_chunking_covers_every_token(spark, sf_dir):
+    """No token may fall outside every chunk (the original start-bound
+    dropped up to stride-1 trailing tokens per doc)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.functions.text import tokens
+    from bigdata_homed_spark.plans.registry import QUERIES
+    from bigdata_homed_spark.sources.tables import load_table
+
+    chunks = QUERIES["rag_chunking"](spark, sf_dir)
+    covered = chunks.groupBy("doc_id").agg(
+        F.max(F.col("chunk_idx") * 48 + F.col("n_chunk_tokens")).alias("covered")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n")
+    )
+    bad = docs.join(covered, "doc_id").where(F.col("covered") < F.col("n"))
+    assert bad.count() == 0, bad.limit(5).collect()

@@ -289,6 +289,13 @@ def test_partitioned_state_store_expire_bounded_io(spark, tmp_path):
         d.startswith(PartitionedStateStore.BUCKET_COL) for d in os.listdir(path)
     )
 
+    # the store must stay USABLE after expiring everything: the next
+    # upsert is an initial load, not a merge against an empty directory
+    store.upsert(
+        spark.createDataFrame([(1, 0), (2, 1)], "user_id long, f_date long")
+    )
+    assert {r.user_id for r in store.read(spark).collect()} == {1, 2}
+
 
 def test_table_inventory(spark, sf_dir):
     """HDFSFileVolumeCollect parity: per-table file counts and byte volume

@@ -38,13 +38,19 @@ def stride_permute(text: str, copy: int) -> str:
     n = len(toks)
     if n < 3:
         return f"c{copy} " + text
-    # stride coprime with n: deterministic, cheap, kills 3-shingles
-    k = (2 * copy + 3) % n or 1
+    # stride coprime with n AND ≥2 (k=1 is the identity — the original
+    # `(2c+3)%n or 1` collapsed to it whenever 2c+3 ≡ 0/1 mod n, silently
+    # producing exact duplicates); n-1 is always coprime, so the walk
+    # terminates.  A copy-dependent rotation offset keeps copies distinct
+    # even when they land on the same stride.
     from math import gcd
 
+    k = (2 * copy + 3) % n
+    if k < 2:
+        k = 2
     while gcd(k, n) != 1:
-        k += 1
-    return " ".join(toks[(i * k) % n] for i in range(n))
+        k = k + 1 if k + 1 < n else 2
+    return " ".join(toks[(i * k + copy) % n] for i in range(n))
 
 
 def main() -> None:
