@@ -311,3 +311,67 @@ def test_table_inventory(spark, sf_dir):
     assert inv["lineitem"]["n_files"] == 1 and inv["lineitem"]["total_bytes"] > 0
     assert inv["events"]["total_bytes"] > 0
     assert inv["nope"]["n_files"] == 0 and inv["nope"]["total_bytes"] == 0
+
+
+def test_partitioned_state_store_model_based(spark, tmp_path):
+    """Model check: arbitrary interleavings of upsert/expire must leave the
+    store equal to a plain-dict model (hypothesis drives the sequences;
+    failures shrink to a minimal op list).  Catches ordering/lifecycle bugs
+    the single-path tests can't — e.g. the upsert-after-full-expiry crash
+    fixed in round 3."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_homed_spark.sources.sinks import PartitionedStateStore
+
+    op = st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.lists(
+                st.tuples(st.integers(0, 15), st.integers(0, 9)),
+                min_size=1,
+                max_size=6,
+            ),
+        ),
+        st.tuples(st.just("expire"), st.integers(0, 9)),
+    )
+
+    case_n = [0]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=5))
+    def run(ops):
+        case_n[0] += 1
+        path = os.path.join(str(tmp_path), f"model_state_{case_n[0]}")
+        store = PartitionedStateStore(path, ["k"], n_buckets=4)
+        model: dict[int, int] = {}
+        for kind, arg in ops:
+            if kind == "upsert":
+                # last value per key within a batch wins in the MODEL; give
+                # the store the same per-key-deduped batch (its contract is
+                # keyed upsert, not intra-batch ordering)
+                dedup: dict[int, int] = {}
+                for k, v in arg:
+                    dedup[k] = v
+                store.upsert(
+                    spark.createDataFrame(
+                        [(k, v) for k, v in dedup.items()], "k long, v long"
+                    )
+                )
+                model.update(dedup)
+            else:
+                cutoff = arg
+                if model:
+                    store.expire(spark, f"v < {cutoff}")
+                    model = {k: v for k, v in model.items() if v >= cutoff}
+        if model:
+            got = {r.k: r.v for r in store.read(spark).collect()}
+            assert got == model, (ops, got, model)
+
+    run()
