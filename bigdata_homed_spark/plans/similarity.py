@@ -786,3 +786,118 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_mse"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental ANN maintenance — the embedding sibling of
+# `incremental_dedup_report`: the LSH bucket keys of the EXISTING corpus
+# (vec_id % 5 != 4) are persisted once as a parquet index (ids + bucket
+# keys only, no vectors); a new ingest batch (vec_id % 5 == 4) computes
+# its own keys, probes the index with one equi-join on (table, bucket),
+# and only probe candidates get exact-cosine verification.  Per-batch
+# cost is O(new batch + touched buckets) — the corpus is never rescanned,
+# which is the difference between an ANN index and an ANN query at 100 TB.
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _ANN_INDEX_CACHE:
+        path = os.path.join(tempfile.mkdtemp(prefix="ann_index_"), "lsh_index")
+        emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 != 4)
+        keys = emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[_table_bucket_col(t) for t in range(ANN_TABLES)])
+            ).alias("t", "bucket"),
+        )
+        keys.write.mode("overwrite").parquet(path)
+        _ANN_INDEX_CACHE[key] = path
+    return _ANN_INDEX_CACHE[key]
+
+
+@query(
+    "incremental_ann_index",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {", ".join(f"{_table_bucket_sql(t)} AS b{t}" for t in range(ANN_TABLES))}
+      FROM embeddings
+    ),
+    new_b AS (SELECT * FROM b WHERE vec_id % 5 = 4),
+    idx_b AS (SELECT * FROM b WHERE vec_id % 5 != 4),
+    cand AS (
+      SELECT DISTINCT n.vec_id AS new_id, i.vec_id AS idx_id
+      FROM new_b n JOIN idx_b i
+        ON ({" OR ".join(f"n.b{t} = i.b{t}" for t in range(ANN_TABLES))})
+    ),
+    hits AS (
+      SELECT DISTINCT c.new_id
+      FROM cand c
+      JOIN embeddings n ON n.vec_id = c.new_id
+      JOIN embeddings i ON i.vec_id = c.idx_id
+      WHERE {_dot_sql('n.embedding', 'i.embedding')}
+            / (sqrt({_dot_sql('n.embedding', 'n.embedding')})
+               * sqrt({_dot_sql('i.embedding', 'i.embedding')})) >= {ANN_THRESHOLD}
+    )
+    SELECT nb.label,
+           cast(count(*) as bigint) AS n_new,
+           cast(sum(CASE WHEN h.new_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_dup,
+           cast(sum(CASE WHEN h.new_id IS NULL THEN 1 ELSE 0 END) as bigint) AS n_added
+    FROM new_b nb LEFT JOIN hits h ON nb.vec_id = h.new_id
+    GROUP BY nb.label
+    """,
+)
+def incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch near-dup admission against the persisted LSH index:
+    candidates from one (table, bucket) equi-join against the index
+    parquet, exact cosine only on candidates, per-label admit/drop
+    accounting.  The oracle computes the same split directly — the
+    persisted index is lossless (ids + bucket keys), so values match."""
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.where(F.col("vec_id") % 5 == 4)
+    new_keys = new.select(
+        F.col("vec_id").alias("new_id"),
+        F.posexplode(
+            F.array(*[_table_bucket_col(t) for t in range(ANN_TABLES)])
+        ).alias("t", "bucket"),
+    )
+    idx = spark.read.parquet(_ann_index_path(spark, sf_dir)).select(
+        F.col("vec_id").alias("idx_id"), "t", "bucket"
+    )
+    cands = (
+        new_keys.join(idx, ["t", "bucket"])
+        .select("new_id", "idx_id")
+        .dropDuplicates(["new_id", "idx_id"])
+    )
+    vecs = emb.select("vec_id", "embedding", _norm("embedding").alias("nm"))
+    nv = vecs.select(
+        F.col("vec_id").alias("new_id"), F.col("embedding").alias("e1"), F.col("nm").alias("n1")
+    )
+    iv = vecs.select(
+        F.col("vec_id").alias("idx_id"), F.col("embedding").alias("e2"), F.col("nm").alias("n2")
+    )
+    hits = (
+        cands.join(nv, "new_id")
+        .join(iv, "idx_id")
+        .where(_dot("e1", "e2") / (F.col("n1") * F.col("n2")) >= ANN_THRESHOLD)
+        .select("new_id")
+        .distinct()
+    )
+    marked = new.join(
+        hits.withColumnRenamed("new_id", "vec_id").withColumn("hit", F.lit(1)),
+        "vec_id",
+        "left",
+    )
+    return marked.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dup"),
+        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).cast("bigint").alias("n_added"),
+    )
