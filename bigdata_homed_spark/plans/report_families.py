@@ -886,3 +886,78 @@ def recommend_slot_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("f_click_pv", F.lit(0)).cast("bigint").alias("f_click_pv"),
         F.coalesce("f_click_uv", F.lit(0)).cast("bigint").alias("f_click_uv"),
     )
+
+
+# --------------------------------------------------------------------------
+# LiveChannelStatisticByTimerange grain family (`homed/repots/
+# LiveChannelStatisticByTimerange.scala:48-145`): the 5-minute base grain
+# (f_timerange ∈ {5,10,...,60} within each hour) and its quarter-hour
+# re-aggregation via the `gettimerange` mapping (5/10/15→15, 20/25/30→30,
+# 35/40/45→45, else 60 — reproduced exactly by ((tr+14) div 15)*15, no
+# UDF), both computed from the user-grain base so distinct-user counts
+# stay exact at every grain (the reference registered a UDF + re-scanned
+# the base the same way).  Output: one row family per grain, labeled.
+@query(
+    "channel_timerange_grains",
+    oracle="""
+    WITH base AS (
+      SELECT ((epoch_us(ts)//1000000) % 86400)//3600 AS f_hour,
+             (((epoch_us(ts)//1000000) % 3600)//300 + 1) * 5 AS tr5,
+             1 + user_id % 3 AS f_terminal,
+             coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 10
+               AS f_channel_id,
+             user_id,
+             cast(floor(value*10) as bigint) AS play
+      FROM events WHERE event_type = 'view'
+    ),
+    g5 AS (
+      SELECT '5min' AS f_grain, f_hour, tr5 AS f_timerange, f_terminal, f_channel_id,
+             cast(sum(play) as bigint) AS f_play_time,
+             cast(count(*) as bigint) AS f_play_count,
+             cast(count(DISTINCT user_id) as bigint) AS f_user_count
+      FROM base GROUP BY ALL
+    ),
+    g15 AS (
+      SELECT '15min' AS f_grain, f_hour,
+             ((tr5 + 14)//15)*15 AS f_timerange, f_terminal, f_channel_id,
+             cast(sum(play) as bigint) AS f_play_time,
+             cast(count(*) as bigint) AS f_play_count,
+             cast(count(DISTINCT user_id) as bigint) AS f_user_count
+      FROM base GROUP BY ALL
+    )
+    SELECT * FROM g5 UNION ALL SELECT * FROM g15
+    """,
+)
+def channel_timerange_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    base = ev.where(F.col("event_type") == "view").select(
+        F.expr("(ts_sec % 86400) div 3600").alias("f_hour"),
+        ((F.expr("(ts_sec % 3600) div 300") + 1) * 5).alias("tr5"),
+        (F.lit(1) + F.col("user_id") % 3).alias("f_terminal"),
+        (k % 10).alias("f_channel_id"),
+        "user_id",
+        F.floor(F.col("value") * 10).cast("bigint").alias("play"),
+    )
+
+    def grain(df: DataFrame, label: str, tr_col) -> DataFrame:
+        return (
+            df.withColumn("f_timerange", tr_col)
+            .groupBy("f_hour", "f_timerange", "f_terminal", "f_channel_id")
+            .agg(
+                F.sum("play").cast("bigint").alias("f_play_time"),
+                F.count(F.lit(1)).cast("bigint").alias("f_play_count"),
+                F.countDistinct("user_id").cast("bigint").alias("f_user_count"),
+            )
+            .select(
+                F.lit(label).alias("f_grain"), "f_hour", "f_timerange",
+                "f_terminal", "f_channel_id",
+                "f_play_time", "f_play_count", "f_user_count",
+            )
+        )
+
+    g5 = grain(base, "5min", F.col("tr5"))
+    g15 = grain(base, "15min", F.expr("((tr5 + 14) div 15) * 15"))
+    return g5.unionByName(g15)
