@@ -10,6 +10,7 @@ tests/test_video_play_etl.py.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..reports.video_play_etl import video_play_report
 from .registry import query
@@ -94,3 +95,55 @@ FROM fact GROUP BY 1, 2
 @query("video_play_report", oracle=_ORACLE)
 def video_play_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_play_report(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# CA→DA id translation (`etl/ReportLog.scala:85-105` version=true path +
+# `etl/CaGetDa`): some log versions report the smart-card number (CA)
+# instead of the account id (DA); the ETL broadcasts the CA→DA dim and
+# rewrites ids, KEEPING the original when no mapping exists (the
+# reference's left join + nvl).  Here the dim is synthetic (CA maps to
+# CA+10000 except every third card, which is unmapped), the join is a
+# broadcast left join + coalesce — no UDF, no driver map — and the report
+# accounts per event type how many ids were translated vs passed through.
+@query(
+    "ca_da_translation",
+    oracle="""
+    WITH dim AS (
+      SELECT id AS ca, id + 10000 AS da
+      FROM (SELECT unnest(generate_series(0, 1499)) AS id)
+      WHERE id % 3 != 0
+    ),
+    ev AS (
+      SELECT e.event_type,
+             coalesce(d.da, e.user_id) AS resolved_id,
+             CASE WHEN d.da IS NOT NULL THEN 1 ELSE 0 END AS translated
+      FROM events e LEFT JOIN dim d ON d.ca = e.user_id
+    )
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(translated) as bigint) AS n_translated,
+           cast(count(DISTINCT resolved_id) as bigint) AS n_distinct_resolved
+    FROM ev GROUP BY event_type
+    """,
+)
+def ca_da_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        spark.range(0, 1500)
+        .where(F.col("id") % 3 != 0)
+        .select(F.col("id").alias("ca"), (F.col("id") + 10000).alias("da"))
+    )
+    joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["ca"], "left")
+    resolved = joined.select(
+        "event_type",
+        F.coalesce("da", "user_id").alias("resolved_id"),
+        F.when(F.col("da").isNotNull(), 1).otherwise(0).alias("translated"),
+    )
+    return resolved.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("translated").cast("bigint").alias("n_translated"),
+        F.countDistinct("resolved_id").cast("bigint").alias("n_distinct_resolved"),
+    )
