@@ -27,18 +27,22 @@ def write_partitioned_fact(
     partition_cols: Sequence[str] = ("day",),
     mode: str = "overwrite",
     output_files_per_partition: int | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """S7/S8: day-partitioned columnar fact write with dynamic partition
     overwrite.  ``output_files_per_partition`` is the explicit file-count
     control the reference exercised with ``repartition(n)`` before insert
     (74 sites) — at 100 TB you size this so files land near the HDFS/S3
-    sweet spot (128-1024 MB), not Spark's shuffle width."""
+    sweet spot (128-1024 MB), not Spark's shuffle width.  ``fmt`` accepts
+    "orc" for byte-level parity with the reference's sink
+    (`etl/MysqlToHive.scala:52-54` wrote ORC); parquet is the default
+    because the synthetic catalog and oracles read parquet."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = df
     if output_files_per_partition:
         out = df.repartition(output_files_per_partition, *partition_cols)
-    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    out.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
 def read_partitioned_fact(spark: SparkSession, path: str) -> DataFrame:
