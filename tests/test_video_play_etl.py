@@ -83,3 +83,48 @@ def test_upsert_by_key(spark):
     updates = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
     got = {(r.k, r.v) for r in upsert_by_key(existing, updates, ["k"]).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_text_file_multipath_read_matches_inline(spark, sf_dir, tmp_path):
+    """S1 parity with REAL files: the reference read day-globbed text dirs
+    via comma multi-path (`etl/RunLogParser.scala:69`, path calc
+    :688-697).  Write the built lines to two directories, read both with
+    one spark.read.text([p1, p2]) call, run the same parse chain, and the
+    result must equal the inline path row-for-row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.reports.video_play_etl import (
+        build_raw_lines,
+        filter_blacklist,
+        parse_lines,
+    )
+    from bigdata_homed_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = build_raw_lines(ev)
+    half1 = lines.where(F.col("event_id") % 2 == 0)
+    half2 = lines.where(F.col("event_id") % 2 == 1)
+    p1 = os.path.join(str(tmp_path), "day1")
+    p2 = os.path.join(str(tmp_path), "day2")
+    half1.select("line").write.mode("overwrite").text(p1)
+    half2.select("line").write.mode("overwrite").text(p2)
+
+    # a real file read carries no synthetic event_id; assign a fresh one
+    # (parse_lines threads it as a tiebreaker) and compare on the PARSED
+    # CONTENT columns, which must match the inline path exactly
+    from_files = (
+        spark.read.text([p1, p2])
+        .withColumnRenamed("value", "line")
+        .withColumn("event_id", F.monotonically_increasing_id())
+    )
+    cols = ["sec", "keyword", "user_id", "device_id", "method", "program_id", "plays"]
+    parsed_files = parse_lines(filter_blacklist(from_files)).select(*cols)
+    parsed_inline = parse_lines(
+        filter_blacklist(lines.select("line", "event_id"))
+    ).select(*cols)
+
+    a = sorted(map(tuple, parsed_files.collect()))
+    b = sorted(map(tuple, parsed_inline.collect()))
+    assert a == b and len(a) > 0
