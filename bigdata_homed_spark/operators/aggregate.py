@@ -64,6 +64,43 @@ def top_n_per_group(
     return df.withColumn(rank_col, fn.over(w)).where(F.col(rank_col) <= n)
 
 
+def global_top_k(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """O2/O3 at *global* scope, scale-safe: top-k of an unbounded keyspace.
+
+    A partition-less ``row_number()`` window moves EVERY row to one task
+    (Spark warns ``WindowExec: No Partition Defined``) — at 100 TB the
+    distinct-key set (shingles, token pairs, partkeys, suppliers) is
+    billions of rows through a single partition.  ``orderBy().limit(k)``
+    instead plans a distributed take-ordered: each task keeps a local top-k
+    and only P×k rows meet at the final merge.  Ranks are then assigned by
+    a window over the k *surviving* rows — a k-row single partition is free.
+
+    Requires fully tie-broken ``order_exprs`` (registry rule 3), which makes
+    ``row_number == dense_rank == rank``; callers relying on dense-rank
+    tie-grouping over non-unique orderings must not use this helper.
+
+    The k survivors are collected (bounded: k rows, not data movement — the
+    same class of driver-side constant as a 1-row scalar broadcast) and
+    re-parallelized with their 1-based rank; a window variant would re-trip
+    Spark's empty-partition-spec WindowExec warning because the optimizer
+    strips foldable partition keys.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    topk = df.orderBy(*order_exprs).limit(k)
+    rows = topk.collect()  # TakeOrderedAndProject returns the k rows sorted
+    schema = StructType(
+        list(topk.schema.fields) + [StructField(rank_col, IntegerType(), False)]
+    )
+    ranked = [tuple(r) + (i + 1,) for i, r in enumerate(rows)]
+    return df.sparkSession.createDataFrame(ranked, schema)
+
+
 def multi_grain_rollup(
     df: DataFrame,
     grain_cols: Sequence[str],

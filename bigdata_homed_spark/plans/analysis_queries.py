@@ -369,15 +369,33 @@ def cumulative_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~one-row-per-day aggregate, not the fact table — a deliberate
     single-partition window on a tiny frame (the reference kept this
     snapshot in MySQL and added to it daily)."""
-    from pyspark.sql import Window
 
     ev = _with_day(events_sec(spark, sf_dir))
     first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
     daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_new")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return daily_new.withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+    # the running total runs over ONE ROW PER CALENDAR DAY (~365/year —
+    # bounded by time, not by data volume), so the day series is collected
+    # and prefix-summed driver-side, exactly like the reference's
+    # read-yesterday's-MySQL-row-and-add; a global window here would drag
+    # the tiny frame through a partition-less WindowExec.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = daily_new.orderBy("day").collect()
+    cum = 0
+    out = []
+    for r in rows:
+        cum += r["n_new"]
+        out.append((r["day"], r["n_new"], cum))
+    schema = StructType(
+        [
+            StructField("day", daily_new.schema["day"].dataType, True),
+            StructField("n_new", LongType(), True),
+            StructField("cum_users", LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 # --------------------------------------------------------------------------
@@ -779,7 +797,6 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg (one shuffle), then lag() on the ~80-row month series — the
     reference read last month's report row back from MySQL to compute the
     delta; here it's a window over the aggregate."""
-    from pyspark.sql import Window
 
     from ..sources.tables import load_table
 
@@ -793,14 +810,37 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "revenue"),
         )
     )
-    w = Window.orderBy("month")
-    return m.select(
-        "month",
-        "n_orders",
-        "revenue",
-        F.lag("revenue").over(w).alias("prev_revenue"),
-        (F.col("revenue") - F.lag("revenue").over(w)).alias("mom_delta"),
+    # the lag() frame is ONE ROW PER CALENDAR MONTH (~80 here — bounded by
+    # time, not data volume): collect the month series and pair each row
+    # with its predecessor driver-side, as the reference did by reading last
+    # month's report row back from MySQL.  A global window would force a
+    # partition-less WindowExec for an 80-row frame.
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    rows = m.orderBy("month").collect()
+    out = []
+    prev = None
+    for r in rows:
+        out.append(
+            (
+                r["month"],
+                r["n_orders"],
+                r["revenue"],
+                prev,
+                (r["revenue"] - prev) if prev is not None else None,
+            )
+        )
+        prev = r["revenue"]
+    schema = StructType(
+        [
+            StructField("month", StringType(), True),
+            StructField("n_orders", LongType(), True),
+            StructField("revenue", DoubleType(), True),
+            StructField("prev_revenue", DoubleType(), True),
+            StructField("mom_delta", DoubleType(), True),
+        ]
     )
+    return spark.createDataFrame(out, schema)
 
 
 # --------------------------------------------------------------------------

@@ -168,7 +168,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def part_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.aggregate import global_top_k
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
@@ -176,9 +176,10 @@ def part_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = li.groupBy("l_partkey").agg(dsum(rev, "revenue"))
     total = li.agg(dsum(rev, "total_revenue"))
-    w = Window.orderBy(F.col("revenue").desc(), "l_partkey")
-    ranked = per_part.withColumn("f_rank", F.row_number().over(w)).where(
-        F.col("f_rank") <= 20
+    # distributed take-ordered over all partkeys (billions at 100 TB), rank
+    # assigned over the 20 survivors — no single-partition WindowExec
+    ranked = global_top_k(
+        per_part, [F.col("revenue").desc(), F.col("l_partkey")], 20, rank_col="f_rank"
     )
     return ranked.crossJoin(F.broadcast(total)).select(
         "f_rank",

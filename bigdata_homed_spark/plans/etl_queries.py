@@ -147,3 +147,161 @@ def ca_da_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("translated").cast("bigint").alias("n_translated"),
         F.countDistinct("resolved_id").cast("bigint").alias("n_distinct_resolved"),
     )
+
+
+# --------------------------------------------------------------------------
+# iacs login-log ETL — the 4th raw-log family (`etl/IacsLogParser.scala:47-74`
+# parse → orc_iacs; `homed/general/OnlineUsersAndTime.scala:200-271`
+# UserOnline/UserOffline pairing → daily online-time fact).  The reference
+# chain was: textFile → filter(UserOnline|UserOffline) → split on [INFO] →
+# LogUtils.str_to_map → orc_iacs, then a mapPartitions+reduceByKey pass that
+# packed "report_time-->key_word-->login-->logout" strings per
+# (user, device, device_type), quick-sorted them, and walked the sorted
+# array summing (logout − max(login, day_start)) for every UserOffline
+# record plus the trailing still-online UserOnline record (whose null
+# LogoutTime had been coalesced to day-end 23:59:59).
+#
+# Spark-first re-expression: the line build/parse stays declarative
+# (regexp_extract + str_to_map — S1/P3 shapes, zero Python), the
+# pack-sort-walk collapses to ONE row_number window per
+# (user, device, device_type, day) ordered by (sec, event_id): a record
+# contributes iff it is UserOffline OR the last record of its key and
+# UserOnline — exactly the reference's loop, with the day-start clamp as a
+# greatest() and the null-logout coalesce as day-end.  Scale: the only
+# shuffle is the per-key window (narrow keyspace: users × devices × days),
+# and timestamps travel the line as epoch-second integers so the parse
+# round-trip is timezone-independent on any driver session.
+_IACS_HEADER = r"^\[(\d+)\](\d+)$"
+
+_IACS_ORACLE = r"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts)//1000000 AS sec FROM events
+),
+lines AS (
+  SELECT '[' || cast(event_id as varchar) || ']' || cast(sec as varchar)
+      || ' [INFO] '
+      || CASE WHEN event_type IN ('view','click') THEN 'UserOnline' ELSE 'UserOffline' END
+      || ':UserID ' || cast(user_id as varchar)
+      || ',DeviceID ' || cast(user_id*10 + event_id%2 as varchar)
+      || ',DeviceType ' || cast(1 + user_id%3 as varchar)
+      || ',LoginTime ' || cast(sec - (event_id % 5400) - 30 as varchar)
+      || ',LogoutTime ' || CASE WHEN event_id % 7 = 0 THEN 'null' ELSE cast(sec as varchar) END
+      || ',RegionID ' || cast(10000000 + (user_id % 20) * 100 as varchar) AS line
+  FROM ev
+),
+fields AS (
+  SELECT cast(regexp_extract(line, '^\[(\d+)\]', 1) as bigint) AS event_id,
+         cast(regexp_extract(line, '^\[\d+\](\d+) ', 1) as bigint) AS sec,
+         regexp_extract(line, '\[INFO\] ([A-Za-z]+):', 1) AS key_word,
+         cast(regexp_extract(line, 'UserID (\d+)', 1) as bigint) AS user_id,
+         cast(regexp_extract(line, 'DeviceID (\d+)', 1) as bigint) AS device_id,
+         cast(regexp_extract(line, 'DeviceType (\d+)', 1) as bigint) AS device_type,
+         cast(regexp_extract(line, 'LoginTime (\d+)', 1) as bigint) AS login_sec,
+         CASE WHEN regexp_extract(line, 'LogoutTime ([a-z0-9]+)', 1) = 'null' THEN NULL
+              ELSE cast(regexp_extract(line, 'LogoutTime ([a-z0-9]+)', 1) as bigint) END AS logout_sec,
+         substr(regexp_extract(line, 'RegionID (\d+)', 1), 1, 6) AS f_region_id
+  FROM lines
+  WHERE line LIKE '%UserOnline%' OR line LIKE '%UserOffline%'
+),
+marked AS (
+  SELECT *, sec // 86400 AS day,
+         row_number() OVER (PARTITION BY user_id, device_id, device_type, sec // 86400
+                            ORDER BY sec DESC, event_id DESC) AS rn
+  FROM fields
+),
+contrib AS (
+  SELECT day, device_type, f_region_id, user_id,
+         coalesce(logout_sec, day*86400 + 86399) - greatest(login_sec, day*86400) AS online_sec
+  FROM marked
+  WHERE key_word = 'UserOffline' OR (key_word = 'UserOnline' AND rn = 1)
+)
+SELECT day, device_type, f_region_id,
+       cast(count(*) as bigint) AS n_sessions,
+       cast(count(DISTINCT user_id) as bigint) AS n_users,
+       cast(sum(online_sec) as bigint) AS total_online_sec
+FROM contrib GROUP BY 1, 2, 3
+"""
+
+
+@query("iacs_login_sessions", oracle=_IACS_ORACLE)
+def iacs_login_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_sec"
+    )
+    kw = F.when(
+        F.col("event_type").isin("view", "click"), F.lit("UserOnline")
+    ).otherwise(F.lit("UserOffline"))
+    # synthesize the raw iacs line (IacsLogParser.scala line format, with
+    # epoch-second integers so the round-trip is tz-independent)
+    line = F.concat(
+        F.lit("["), F.col("event_id").cast("string"), F.lit("]"),
+        F.col("ts_sec").cast("string"),
+        F.lit(" [INFO] "), kw,
+        F.lit(":UserID "), F.col("user_id").cast("string"),
+        F.lit(",DeviceID "),
+        (F.col("user_id") * 10 + F.col("event_id") % 2).cast("string"),
+        F.lit(",DeviceType "), (F.lit(1) + F.col("user_id") % 3).cast("string"),
+        F.lit(",LoginTime "),
+        (F.col("ts_sec") - (F.col("event_id") % 5400) - 30).cast("string"),
+        F.lit(",LogoutTime "),
+        F.when(F.col("event_id") % 7 == 0, F.lit("null")).otherwise(
+            F.col("ts_sec").cast("string")
+        ),
+        F.lit(",RegionID "),
+        (F.lit(10000000) + (F.col("user_id") % 20) * 100).cast("string"),
+    )
+    raw = ev.select(line.alias("line")).where(
+        F.col("line").contains("UserOnline") | F.col("line").contains("UserOffline")
+    )
+    # parse: [event_id]sec [INFO] KeyWord:k v,k v,...  (str_to_map — the
+    # LogUtils.str_to_map analog — handles the k-v body)
+    head = F.regexp_extract("line", r"^\[(\d+)\](\d+) ", 0)
+    body = F.expr("substring(line, instr(line, ':') + 1)")
+    parsed = raw.select(
+        F.regexp_extract("line", r"^\[(\d+)\]", 1).cast("bigint").alias("event_id"),
+        F.regexp_extract("line", r"^\[\d+\](\d+) ", 1).cast("bigint").alias("sec"),
+        F.regexp_extract("line", r"\[INFO\] ([A-Za-z]+):", 1).alias("key_word"),
+        F.expr("str_to_map(substring(line, instr(line, ':') + 1), ',', ' ')").alias(
+            "exts"
+        ),
+    )
+    fields = parsed.select(
+        "event_id",
+        "sec",
+        "key_word",
+        F.col("exts")["UserID"].cast("bigint").alias("user_id"),
+        F.col("exts")["DeviceID"].cast("bigint").alias("device_id"),
+        F.col("exts")["DeviceType"].cast("bigint").alias("device_type"),
+        F.col("exts")["LoginTime"].cast("bigint").alias("login_sec"),
+        F.when(F.col("exts")["LogoutTime"] == "null", F.lit(None).cast("bigint"))
+        .otherwise(F.col("exts")["LogoutTime"].cast("bigint"))
+        .alias("logout_sec"),
+        F.substring(F.col("exts")["RegionID"], 1, 6).alias("f_region_id"),
+        (F.col("sec") / 86400).cast("bigint").alias("day"),
+    )
+    w = Window.partitionBy("user_id", "device_id", "device_type", "day").orderBy(
+        F.col("sec").desc(), F.col("event_id").desc()
+    )
+    marked = fields.withColumn("rn", F.row_number().over(w))
+    contrib = marked.where(
+        (F.col("key_word") == "UserOffline")
+        | ((F.col("key_word") == "UserOnline") & (F.col("rn") == 1))
+    ).select(
+        "day",
+        "device_type",
+        "f_region_id",
+        "user_id",
+        (
+            F.coalesce(F.col("logout_sec"), F.col("day") * 86400 + 86399)
+            - F.greatest(F.col("login_sec"), F.col("day") * 86400)
+        ).alias("online_sec"),
+    )
+    return contrib.groupBy("day", "device_type", "f_region_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("online_sec").cast("bigint").alias("total_online_sec"),
+    )

@@ -24,15 +24,17 @@ _FACT_CACHE: dict[str, str] = {}
 def _fact_path(spark: SparkSession, sf_dir: str) -> str:
     """Write the day-partitioned behavior fact once per (session, sf) —
     the S7/S8 sink under test — and reuse the directory for the scan."""
-    key = f"{id(spark)}:{sf_dir}"
-    if key not in _FACT_CACHE:
-        path = os.path.join(tempfile.mkdtemp(prefix="homed_fact_"), "behavior_fact")
+    from ..session import session_cache_key, session_scoped_path
+
+    cached = session_scoped_path(_FACT_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_fact_"), "behavior_fact")
         ev = load_table(spark, sf_dir, "events").withColumn(
             "day", F.date_format(F.timestamp_seconds(F.col("ts_sec")), "yyyyMMdd")
         )
-        write_partitioned_fact(ev, path, ["day"], output_files_per_partition=1)
-        _FACT_CACHE[key] = path
-    return _FACT_CACHE[key]
+        write_partitioned_fact(ev, cached, ["day"], output_files_per_partition=1)
+        _FACT_CACHE[session_cache_key(spark, sf_dir)] = cached
+    return cached
 
 
 # --------------------------------------------------------------------------
@@ -530,8 +532,10 @@ _BUS_ARRAY_CACHE: dict[str, str] = {}
 def _bus_array_path(spark: SparkSession, sf_dir: str) -> str:
     """Write the packed daily user-array table once per (session, sf):
     the saveBusinessArray analog."""
-    key = f"{id(spark)}:{sf_dir}"
-    if key not in _BUS_ARRAY_CACHE:
+    from ..session import session_cache_key, session_scoped_path
+
+    cached = session_scoped_path(_BUS_ARRAY_CACHE, spark, sf_dir)
+    if cached is None:
         path = os.path.join(tempfile.mkdtemp(prefix="homed_busarr_"), "t_bus_array_day")
         ev = load_table(spark, sf_dir, "events")
         k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
@@ -564,8 +568,9 @@ def _bus_array_path(spark: SparkSession, sf_dir: str) -> str:
             "f_date", "f_region_id", "f_terminal", "f_service_type"
         ).agg(F.array_sort(F.collect_list(pack)).alias("f_user_array"))
         write_partitioned_fact(packed, path, ["f_date"], output_files_per_partition=1)
-        _BUS_ARRAY_CACHE[key] = path
-    return _BUS_ARRAY_CACHE[key]
+        _BUS_ARRAY_CACHE[session_cache_key(spark, sf_dir)] = path
+        cached = path
+    return cached
 
 
 @query(

@@ -67,8 +67,15 @@ def star_rank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
-    ranked = rev.withColumn("f_rank", F.dense_rank().over(w)).where(F.col("f_rank") <= 100)
+    # s_suppkey tie-breaks the ordering, so dense_rank == row_number and the
+    # scale-safe take-ordered top-k (operators/aggregate.global_top_k) is
+    # exact: distributed local top-100 heaps, rank over the 100 survivors —
+    # no single-partition WindowExec over all suppliers.
+    from ..operators.aggregate import global_top_k
+
+    ranked = global_top_k(
+        rev, [F.col("revenue").desc(), F.col("s_suppkey")], 100, rank_col="f_rank"
+    )
     return ranked.select(
         "f_rank",
         "s_suppkey",

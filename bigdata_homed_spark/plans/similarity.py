@@ -806,9 +806,11 @@ def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     from ..sources.tables import load_table
 
-    key = f"{id(spark)}:{sf_dir}"
-    if key not in _ANN_INDEX_CACHE:
-        path = os.path.join(tempfile.mkdtemp(prefix="ann_index_"), "lsh_index")
+    from ..session import session_cache_key, session_scoped_path
+
+    cached = session_scoped_path(_ANN_INDEX_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="ann_index_"), "lsh_index")
         emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 != 4)
         keys = emb.select(
             "vec_id",
@@ -816,9 +818,9 @@ def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
                 F.array(*[_table_bucket_col(t) for t in range(ANN_TABLES)])
             ).alias("t", "bucket"),
         )
-        keys.write.mode("overwrite").parquet(path)
-        _ANN_INDEX_CACHE[key] = path
-    return _ANN_INDEX_CACHE[key]
+        keys.write.mode("overwrite").parquet(cached)
+        _ANN_INDEX_CACHE[session_cache_key(spark, sf_dir)] = cached
+    return cached
 
 
 @query(

@@ -466,15 +466,16 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
+    from ..operators.aggregate import global_top_k
+
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
-    w = Window.orderBy(F.col("doc_freq").desc(), F.col("shingle"))
-    return (
-        df_counts.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
-        .withColumn("rnk", F.col("rnk").cast("bigint"))
-    )
+    # distributed take-ordered over the unbounded shingle keyspace; the rank
+    # window then only sees the 20 survivors (operators/aggregate.global_top_k)
+    return global_top_k(
+        df_counts, [F.col("doc_freq").desc(), F.col("shingle")], 20
+    ).withColumn("rnk", F.col("rnk").cast("bigint"))
 
 
 # --------------------------------------------------------------------------
@@ -1353,12 +1354,16 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = exploded.groupBy("pair").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occ")
     )
+    from ..operators.aggregate import global_top_k
+
     tot = F.broadcast(counts.agg(F.sum("n_occ").cast("bigint").alias("n_total")))
-    w = Window.orderBy(F.col("n_occ").desc(), F.col("pair"))
+    # take-ordered over the (≈vocab²) pair keyspace, THEN the 1-row total
+    # broadcast and rank window over the 20 survivors — never a global
+    # single-partition WindowExec (operators/aggregate.global_top_k)
+    topk = global_top_k(counts, [F.col("n_occ").desc(), F.col("pair")], 20)
     return (
-        counts.crossJoin(tot)
-        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rnk") <= 20)
+        topk.withColumn("rnk", F.col("rnk").cast("bigint"))
+        .crossJoin(tot)
         .select(
             "rnk",
             "pair",
@@ -1378,7 +1383,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the model, one shuffle join token→freq (both sides reduced to the
 # vocabulary), a 1-row total broadcast, and a per-doc agg.  Cross-engine
 # exactness: ln() may differ at 1 ulp between JVMs/libms, so each
-# per-token surprisal is rounded to 9 dp and decimal-summed (registry rule
+# per-token surprisal is rounded to 6 dp and decimal-summed (registry rule
 # 1) — bit-identical on both engines.
 @query(
     "unigram_surprisal_scores",

@@ -79,3 +79,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def session_scoped_path(cache: dict[str, str], spark: SparkSession, sf_dir: str):
+    """Session-lifetime cache lookup for derived temp datasets.
+
+    Keys on ``applicationId`` (unique per JVM app lifetime) rather than
+    ``id(spark)``, which CPython can reuse after an old session object is
+    collected; a hit whose directory was removed externally is treated as a
+    miss instead of crashing the reader.  Returns the cached path or None;
+    the caller writes the dataset and records it with ``cache[key] = path``
+    using the key from :func:`session_cache_key`.
+    """
+    key = session_cache_key(spark, sf_dir)
+    path = cache.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    cache.pop(key, None)
+    return None
+
+
+def session_cache_key(spark: SparkSession, sf_dir: str) -> str:
+    return f"{spark.sparkContext.applicationId}:{sf_dir}"

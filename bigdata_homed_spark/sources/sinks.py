@@ -166,9 +166,12 @@ class PartitionedStateStore:
         ]
         if not touched:
             return []
+        # NULL-safe survivor logic: a NULL predicate (e.g. NULL retention
+        # column) must RETAIN the row — plain ~predicate would evaluate
+        # NULL and silently delete it
         survivors = (
             state.where(F.col(self.BUCKET_COL).isin(touched))
-            .where(~predicate)
+            .where(~F.coalesce(predicate, F.lit(False)))
             .localCheckpoint()
         )
         # dynamic overwrite only rewrites partitions PRESENT in the output;

@@ -107,6 +107,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries do.
     """
     # NTZ→TIMESTAMP is session-timezone dependent; pin UTC (see tables.py)
+    # so the watermarkable event_time column is stable for display/windows
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
@@ -114,9 +115,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "event_time", F.col("ts").cast("timestamp")
-    ).withColumn("ts_sec", F.col("event_time").cast("long"))
+    # ts_sec comes from timestampdiff on the NTZ column directly — evaluated
+    # tz-independently, matching batch load_table exactly even if a caller
+    # resets the session tz between stream construction and the action
+    return raw.withColumn("event_time", F.col("ts").cast("timestamp")).withColumn(
+        "ts_sec", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
