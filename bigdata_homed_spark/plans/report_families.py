@@ -961,3 +961,628 @@ def channel_timerange_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     g5 = grain(base, "5min", F.col("tr5"))
     g15 = grain(base, "15min", F.expr("((tr5 + 14) div 15) * 15"))
     return g5.unionByName(g15)
+
+
+# --------------------------------------------------------------------------
+# DemandReport FULL column set (the demand/VOD sibling of
+# `live_channel_halfhour_full`): the reference's `homed/repots/
+# DemandReport.scala` chain — demand play sessions half-hour-sliced by the
+# driver-side loop at :328-370 (here the native sequence+explode time
+# grid), per-user basic grain with max(column_id) (:263-275), the VOD
+# "meizi" dim join video→series/content_type/cp/copyright/duration
+# (:82-97), the column-hierarchy walk via the driver HashMap (:113-127,
+# 276-291 — here closed-form arithmetic: parent = id div 4, grandparent =
+# id div 16, level = walk depth), and the final watch-statistics
+# aggregation `getDemandWatchBasic` (:192-221) with its full 30-column
+# set: distinct users, play-time sum, max duration, click (session-start)
+# counts, screen/share sums, series triple.
+#
+# Deterministic parity notes: f_screen and f_share are literal 0 — in the
+# reference basicDemand hard-codes both to 0 (:146-147) and the behaviour
+# share feed is dead code (DemandReport.scala:244 filters
+# `reportType='ShareSuccess' AND reportType='demand'`, which no row
+# satisfies); the half-hour slicing is exact across midnight (the
+# reference's loop broke at hour>23 and dropped the remainder).
+#
+# Scale: slice fan-out is narrow (no shuffle); shuffle 1 is the per-user
+# basic grain, shuffle 2 the final report grain (both map-side
+# combinable); the VOD dim broadcasts; the column hierarchy is pure
+# expression arithmetic (no join at all — the reference collected the
+# whole column table into a driver HashMap and walked it per row).
+_DEMAND_FULL_ORACLE = """
+WITH geo AS (
+  SELECT c.c_custkey AS user_id,
+         1 + c.c_custkey % 3                                AS f_terminal,
+         cast(n.n_nationkey as bigint)*10 + c.c_custkey % 4 AS f_region_id,
+         'rg_' || cast(cast(n.n_nationkey as bigint)*10 + c.c_custkey % 4 as varchar)
+                                                            AS f_region_name,
+         cast(n.n_nationkey as bigint)                      AS f_city_id,
+         n.n_name                                           AS f_city_name,
+         cast(n.n_regionkey as bigint)                      AS f_province_id,
+         r.r_name                                           AS f_province_name
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+vod AS (
+  SELECT cast(p_partkey as bigint) AS f_video_id,
+         'vd_' || cast(p_partkey as varchar)       AS f_video_name,
+         1 + p_partkey % 8                         AS f_content_type,
+         'cp_' || cast(p_partkey % 7 as varchar)   AS f_cp_id,
+         p_partkey % 2                             AS f_copyright,
+         600 + (p_partkey % 48) * 100              AS duration,
+         cast(p_partkey // 10 as bigint)           AS f_series_id,
+         'sr_' || cast(p_partkey // 10 as varchar) AS f_series_name,
+         p_partkey % 24                            AS f_series_num
+  FROM part
+),
+plays AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts)//1000000 AS s,
+         cast(floor(e.value*10) as bigint) AS play,
+         coalesce(cast(json_extract_string(e.props, '$.k') as bigint), 0) AS k
+  FROM events e WHERE e.event_type = 'click'
+),
+base AS (
+  SELECT p.event_id, p.user_id, p.s, p.s + p.play AS e,
+         p.k % 200 AS f_video_id,
+         p.k % 60  AS f_column_id_raw,
+         p.user_id * 10 + p.k % 3 AS f_device_id,
+         g.* EXCLUDE (user_id)
+  FROM plays p JOIN geo g ON g.user_id = p.user_id
+  WHERE p.play > 0
+),
+sliced AS (
+  SELECT b.*, cast(sl.slot as bigint) AS slot
+  FROM base b,
+       LATERAL (SELECT unnest(generate_series((b.s//1800)*1800,
+                                              ((b.e-1)//1800)*1800, 1800)) AS slot) sl
+),
+basic AS (
+  SELECT slot//86400 AS f_date,
+         (slot % 86400)//3600 AS f_hour,
+         CASE WHEN slot % 3600 = 0 THEN 30 ELSE 60 END AS f_timerange,
+         user_id, f_device_id, f_video_id,
+         f_province_id, f_province_name, f_city_id, f_city_name,
+         f_region_id, f_region_name, f_terminal,
+         max(f_column_id_raw) AS f_column_id,
+         cast(sum(least(e, slot+1800) - greatest(s, slot)) as bigint) AS f_play_time,
+         cast(sum(CASE WHEN s >= slot AND s < slot+1800 THEN 1 ELSE 0 END) as bigint)
+           AS video_play
+  FROM sliced
+  GROUP BY ALL
+),
+enriched AS (
+  SELECT b.*, v.* EXCLUDE (f_video_id),
+         CASE WHEN b.f_column_id >= 16 THEN 3
+              WHEN b.f_column_id >= 4 THEN 2 ELSE 1 END AS f_column_level,
+         'col_' || cast(b.f_column_id as varchar) AS f_column_name,
+         cast(b.f_column_id // 4 as bigint) AS f_parent_column_id,
+         'col_' || cast(b.f_column_id // 4 as varchar) AS f_parent_column_name,
+         cast(b.f_column_id // 16 as bigint) AS f_parent_parent_column_id,
+         'col_' || cast(b.f_column_id // 16 as varchar) AS f_parent_parent_column_name
+  FROM basic b JOIN vod v USING (f_video_id)
+)
+SELECT f_date, f_hour, f_timerange,
+       cast(count(DISTINCT user_id) as bigint) AS f_user_count,
+       f_video_id, f_video_name,
+       f_province_id, f_province_name, f_city_id, f_city_name,
+       f_region_id, f_region_name, f_terminal,
+       f_content_type, f_cp_id, f_copyright,
+       f_column_level, f_column_id, f_column_name,
+       f_parent_column_id, f_parent_column_name,
+       f_parent_parent_column_id, f_parent_parent_column_name,
+       cast(sum(f_play_time) as bigint) AS f_video_time_sum,
+       cast(max(duration) as bigint) AS f_duration,
+       cast(sum(video_play) as bigint) AS f_click_num,
+       cast(0 as bigint) AS f_screen,
+       cast(0 as bigint) AS f_share,
+       f_series_num, f_series_id, f_series_name
+FROM enriched
+GROUP BY ALL
+"""
+
+
+def _geo_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer→nation→region 3-level geo dim (broadcast everywhere)."""
+    from ..sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region_id = F.col("n_nationkey").cast("bigint") * 10 + F.col("user_id") % 4
+    return (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "user_id",
+            (F.lit(1) + F.col("user_id") % 3).alias("f_terminal"),
+            region_id.alias("f_region_id"),
+            F.concat(F.lit("rg_"), region_id.cast("string")).alias("f_region_name"),
+            F.col("n_nationkey").cast("bigint").alias("f_city_id"),
+            F.col("n_name").alias("f_city_name"),
+            F.col("n_regionkey").cast("bigint").alias("f_province_id"),
+            F.col("r_name").alias("f_province_name"),
+        )
+    )
+
+
+@query("demand_report_full", oracle=_DEMAND_FULL_ORACLE)
+def demand_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timegrid import explode_time_grid
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    geo = _geo_dim(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    vod = part.select(
+        F.col("p_partkey").cast("bigint").alias("f_video_id"),
+        F.concat(F.lit("vd_"), F.col("p_partkey").cast("string")).alias("f_video_name"),
+        (F.lit(1) + F.col("p_partkey") % 8).alias("f_content_type"),
+        F.concat(F.lit("cp_"), (F.col("p_partkey") % 7).cast("string")).alias("f_cp_id"),
+        (F.col("p_partkey") % 2).alias("f_copyright"),
+        (F.lit(600) + (F.col("p_partkey") % 48) * 100).alias("duration"),
+        F.expr("cast(p_partkey div 10 as bigint)").alias("f_series_id"),
+        F.concat(F.lit("sr_"), F.expr("cast(p_partkey div 10 as string)")).alias(
+            "f_series_name"
+        ),
+        (F.col("p_partkey") % 24).alias("f_series_num"),
+    )
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    plays = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_sec").alias("s"),
+            F.floor(F.col("value") * 10).cast("bigint").alias("play"),
+            k.alias("k"),
+        )
+        .where(F.col("play") > 0)
+        .select(
+            "event_id",
+            "user_id",
+            "s",
+            (F.col("s") + F.col("play")).alias("e"),
+            (F.col("k") % 200).alias("f_video_id"),
+            (F.col("k") % 60).alias("f_column_id_raw"),
+            (F.col("user_id") * 10 + F.col("k") % 3).alias("f_device_id"),
+        )
+        .join(F.broadcast(geo), "user_id")
+    )
+    grid = explode_time_grid(plays, "s", "e", 1800, slot_col="slot")
+    geo_keys = [
+        "f_province_id", "f_province_name", "f_city_id", "f_city_name",
+        "f_region_id", "f_region_name", "f_terminal",
+    ]
+    basic = (
+        grid.withColumn("f_date", F.expr("slot div 86400"))
+        .withColumn("f_hour", F.expr("(slot % 86400) div 3600"))
+        .withColumn("f_timerange", F.when(F.col("slot") % 3600 == 0, 30).otherwise(60))
+        .groupBy(
+            "f_date", "f_hour", "f_timerange", "user_id", "f_device_id",
+            "f_video_id", *geo_keys,
+        )
+        .agg(
+            F.max("f_column_id_raw").alias("f_column_id"),
+            F.sum("overlap_sec").cast("bigint").alias("f_play_time"),
+            F.sum(
+                F.when(
+                    (F.col("s") >= F.col("slot")) & (F.col("s") < F.col("slot") + 1800),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("video_play"),
+        )
+    )
+    c = F.col("f_column_id")
+    enriched = basic.join(F.broadcast(vod), "f_video_id").select(
+        "*",
+        F.when(c >= 16, 3).when(c >= 4, 2).otherwise(1).alias("f_column_level"),
+        F.concat(F.lit("col_"), c.cast("string")).alias("f_column_name"),
+        F.expr("cast(f_column_id div 4 as bigint)").alias("f_parent_column_id"),
+        F.concat(F.lit("col_"), F.expr("cast(f_column_id div 4 as string)")).alias(
+            "f_parent_column_name"
+        ),
+        F.expr("cast(f_column_id div 16 as bigint)").alias("f_parent_parent_column_id"),
+        F.concat(F.lit("col_"), F.expr("cast(f_column_id div 16 as string)")).alias(
+            "f_parent_parent_column_name"
+        ),
+    )
+    return enriched.groupBy(
+        "f_date", "f_hour", "f_timerange", "f_video_id", "f_video_name",
+        *geo_keys,
+        "f_content_type", "f_cp_id", "f_copyright",
+        "f_column_level", "f_column_id", "f_column_name",
+        "f_parent_column_id", "f_parent_column_name",
+        "f_parent_parent_column_id", "f_parent_parent_column_name",
+        "f_series_num", "f_series_id", "f_series_name",
+    ).agg(
+        F.countDistinct("user_id").cast("bigint").alias("f_user_count"),
+        F.sum("f_play_time").cast("bigint").alias("f_video_time_sum"),
+        F.max("duration").cast("bigint").alias("f_duration"),
+        F.sum("video_play").cast("bigint").alias("f_click_num"),
+        F.lit(0).cast("bigint").alias("f_screen"),
+        F.lit(0).cast("bigint").alias("f_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DemandPackage bridge + package user tiers (`homed/repots/
+# DemandPackage.scala`): the package dim stores its program membership as a
+# JSON ARRAY STRING `[{"ids":"1,2","type":"a"},...]`; the reference
+# normalizes it with the replace dance at :254-267 (strip brackets,
+# `},{` → `}||{`), then TWO lateral-view explodes (:268-284): split on
+# `||` → per-group JSON fragment → get_json_object ids/type → split ids
+# on `,` → one row per (package, series).  The bridge joins the per-user
+# demand watch fact and feeds `getUserCountPackage` (:98-127): per-user
+# play-time within a package tiered 1/2/3 (≤600 / ≤3600 / rest,
+# :113-115), then user counts per (geo, terminal, cp_sp, package, tier).
+#
+# Spark-first: the two lateral views are two explode(split(...)) — all
+# JVM expressions (get_json_object on each fragment), no driver map();
+# the bridge (≤ packages × series rows) broadcasts into the fact join.
+# Scale: the watch fact shuffles once to the per-user package grain, the
+# tier re-agg is map-side combinable; the JSON normalization runs on the
+# 20-row dim, not the fact.
+_PKG_ORACLE = """
+WITH pkg AS (
+  SELECT p AS package_id,
+         'pk_' || cast(p as varchar) AS package_name,
+         'csp_' || cast(p % 5 as varchar) AS f_cp_sp,
+         '[{"ids":"' || cast(p as varchar) || ',' || cast((p+3) % 20 as varchar)
+           || '","type":"tA"},{"ids":"' || cast((p+7) % 20 as varchar) || ','
+           || cast((p+11) % 20 as varchar) || ',' || cast((p+13) % 20 as varchar)
+           || '","type":"tB"}]' AS program_ids
+  FROM (SELECT unnest(generate_series(0, 19)) AS p)
+),
+frag AS (
+  SELECT package_id, package_name, f_cp_sp,
+         unnest(str_split(replace(regexp_extract(program_ids, '^\[(.+)\]$', 1),
+                                  '},{', '}||{'), '||')) AS grp
+  FROM pkg
+),
+bridge AS (
+  SELECT package_id, package_name, f_cp_sp,
+         json_extract_string(grp, '$.type') AS f_type,
+         cast(unnest(str_split(json_extract_string(grp, '$.ids'), ',')) as bigint)
+           AS f_series_id
+  FROM frag
+),
+geo AS (
+  SELECT c.c_custkey AS user_id,
+         1 + c.c_custkey % 3                                AS f_terminal,
+         cast(n.n_nationkey as bigint)*10 + c.c_custkey % 4 AS f_region_id,
+         'rg_' || cast(cast(n.n_nationkey as bigint)*10 + c.c_custkey % 4 as varchar)
+                                                            AS f_region_name,
+         cast(n.n_nationkey as bigint)                      AS f_city_id,
+         n.n_name                                           AS f_city_name,
+         cast(n.n_regionkey as bigint)                      AS f_province_id,
+         r.r_name                                           AS f_province_name
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+watch AS (
+  SELECT e.user_id,
+         (coalesce(cast(json_extract_string(e.props, '$.k') as bigint), 0) % 200) // 10
+           AS f_series_id,
+         cast(floor(e.value*10) as bigint) AS play,
+         g.f_terminal, g.f_region_id, g.f_region_name, g.f_city_id, g.f_city_name,
+         g.f_province_id, g.f_province_name
+  FROM events e JOIN geo g ON g.user_id = e.user_id
+  WHERE e.event_type = 'click' AND cast(floor(e.value*10) as bigint) > 0
+),
+per_user AS (
+  SELECT w.f_terminal, w.f_region_id, w.f_region_name,
+         w.f_province_id, w.f_province_name, w.f_city_id, w.f_city_name,
+         b.f_cp_sp, b.package_id AS f_package_id, b.package_name AS f_package_name,
+         w.user_id,
+         sum(w.play) AS f_play_time
+  FROM watch w JOIN bridge b USING (f_series_id)
+  GROUP BY ALL
+)
+SELECT f_terminal, f_region_id, f_region_name, f_province_id, f_province_name,
+       f_city_id, f_city_name, f_cp_sp, f_package_id, f_package_name,
+       CASE WHEN f_play_time <= 600 THEN 1
+            WHEN f_play_time <= 3600 THEN 2 ELSE 3 END AS f_user_type,
+       cast(count(*) as bigint) AS f_user_count
+FROM per_user
+GROUP BY ALL
+"""
+
+
+@query("demand_package_tiers", oracle=_PKG_ORACLE)
+def demand_package_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    p = F.col("id")
+    pkg = spark.range(0, 20).select(
+        p.alias("package_id"),
+        F.concat(F.lit("pk_"), p.cast("string")).alias("package_name"),
+        F.concat(F.lit("csp_"), (p % 5).cast("string")).alias("f_cp_sp"),
+        F.concat(
+            F.lit('[{"ids":"'), p.cast("string"), F.lit(","),
+            ((p + 3) % 20).cast("string"),
+            F.lit('","type":"tA"},{"ids":"'), ((p + 7) % 20).cast("string"),
+            F.lit(","), ((p + 11) % 20).cast("string"),
+            F.lit(","), ((p + 13) % 20).cast("string"),
+            F.lit('","type":"tB"}]'),
+        ).alias("program_ids"),
+    )
+    # the reference's normalize-then-double-lateral-view (:254-284)
+    frag = pkg.select(
+        "package_id",
+        "package_name",
+        "f_cp_sp",
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.regexp_extract("program_ids", r"^\[(.+)\]$", 1), r"\},\{", r"}||{"
+                ),
+                r"\|\|",
+            )
+        ).alias("grp"),
+    )
+    bridge = frag.select(
+        "package_id",
+        "package_name",
+        "f_cp_sp",
+        F.get_json_object("grp", "$.type").alias("f_type"),
+        F.explode(F.split(F.get_json_object("grp", "$.ids"), ",")).alias("sid"),
+    ).select(
+        "package_id", "package_name", "f_cp_sp", "f_type",
+        F.col("sid").cast("bigint").alias("f_series_id"),
+    )
+    geo = _geo_dim(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    watch = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.expr(
+                "cast((coalesce(cast(get_json_object(props, '$.k') as bigint), 0) % 200)"
+                " div 10 as bigint)"
+            ).alias("f_series_id"),
+            F.floor(F.col("value") * 10).cast("bigint").alias("play"),
+        )
+        .where(F.col("play") > 0)
+        .join(F.broadcast(geo), "user_id")
+    )
+    per_user = (
+        watch.join(F.broadcast(bridge), "f_series_id")
+        .groupBy(
+            "f_terminal", "f_region_id", "f_region_name",
+            "f_province_id", "f_province_name", "f_city_id", "f_city_name",
+            "f_cp_sp",
+            F.col("package_id").alias("f_package_id"),
+            F.col("package_name").alias("f_package_name"),
+            "user_id",
+        )
+        .agg(F.sum("play").alias("f_play_time"))
+    )
+    tier = (
+        F.when(F.col("f_play_time") <= 600, 1)
+        .when(F.col("f_play_time") <= 3600, 2)
+        .otherwise(3)
+    )
+    return (
+        per_user.withColumn("f_user_type", tier)
+        .groupBy(
+            "f_terminal", "f_region_id", "f_region_name",
+            "f_province_id", "f_province_name", "f_city_id", "f_city_name",
+            "f_cp_sp", "f_package_id", "f_package_name", "f_user_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f_user_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# DemandReportPeriod (`homed/repots/DemandReportPeriod.scala:66-91`):
+# the daily user-grain demand video fact re-aggregated at THREE period
+# grains — day, ISO week (Monday start, the reference's
+# getFirstDateOfWeek), calendar month — each a count(distinct user) +
+# play-time/click re-agg per video with the column hierarchy zeroed out
+# exactly as the reference writes it (`0 as f_column_level, '' as
+# f_column_id …`, :76-78).  Sessions crossing midnight split across days
+# via the day-grid explode (the reference inherited basicDemand's
+# half-hour slices; a day grid is the same cut at day granularity).
+# Period labels are DATE-arithmetic strings (epoch-day → DATE '1970-01-01'
+# + n), so no timestamp/timezone dependence on either engine.
+#
+# Scale: one day-grid fan-out (narrow), one shuffle to the daily
+# user×video grain, then three map-side-combinable re-aggs unioned —
+# the distinct-user recount is per-grain exact (counts can't be summed
+# across periods; the reference re-scanned the daily fact for the same
+# reason).
+_DEMAND_PERIOD_ORACLE = """
+WITH geo AS (
+  SELECT c.c_custkey AS user_id,
+         1 + c.c_custkey % 3                                AS f_terminal,
+         cast(n.n_nationkey as bigint)*10 + c.c_custkey % 4 AS f_region_id,
+         'rg_' || cast(cast(n.n_nationkey as bigint)*10 + c.c_custkey % 4 as varchar)
+                                                            AS f_region_name,
+         cast(n.n_nationkey as bigint)                      AS f_city_id,
+         n.n_name                                           AS f_city_name,
+         cast(n.n_regionkey as bigint)                      AS f_province_id,
+         r.r_name                                           AS f_province_name
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+vod AS (
+  SELECT cast(p_partkey as bigint) AS f_video_id,
+         'vd_' || cast(p_partkey as varchar)       AS f_video_name,
+         1 + p_partkey % 8                         AS f_content_type,
+         'cp_' || cast(p_partkey % 7 as varchar)   AS f_cp_id,
+         p_partkey % 2                             AS f_copyright,
+         600 + (p_partkey % 48) * 100              AS duration,
+         cast(p_partkey // 10 as bigint)           AS f_series_id,
+         'sr_' || cast(p_partkey // 10 as varchar) AS f_series_name,
+         p_partkey % 24                            AS f_series_num
+  FROM part
+),
+plays AS (
+  SELECT e.user_id, epoch_us(e.ts)//1000000 AS s,
+         cast(floor(e.value*10) as bigint) AS play,
+         coalesce(cast(json_extract_string(e.props, '$.k') as bigint), 0) % 200
+           AS f_video_id
+  FROM events e WHERE e.event_type = 'click'
+),
+base AS (
+  SELECT p.user_id, p.s, p.s + p.play AS e, p.f_video_id, g.* EXCLUDE (user_id)
+  FROM plays p JOIN geo g ON g.user_id = p.user_id
+  WHERE p.play > 0
+),
+sliced AS (
+  SELECT b.*, cast(sl.slot as bigint) AS slot
+  FROM base b,
+       LATERAL (SELECT unnest(generate_series((b.s//86400)*86400,
+                                              ((b.e-1)//86400)*86400, 86400)) AS slot) sl
+),
+daily AS (
+  SELECT slot//86400 AS day, user_id, f_video_id,
+         f_province_id, f_province_name, f_city_id, f_city_name,
+         f_region_id, f_region_name, f_terminal,
+         cast(sum(least(e, slot+86400) - greatest(s, slot)) as bigint) AS f_play_time,
+         cast(sum(CASE WHEN s >= slot AND s < slot+86400 THEN 1 ELSE 0 END) as bigint)
+           AS video_play
+  FROM sliced
+  GROUP BY ALL
+),
+enriched AS (
+  SELECT d.*, v.* EXCLUDE (f_video_id)
+  FROM daily d JOIN vod v USING (f_video_id)
+),
+grains AS (
+  SELECT 'day' AS f_grain,
+         strftime(DATE '1970-01-01' + cast(day as int), '%Y-%m-%d') AS f_date, *
+  FROM enriched
+  UNION ALL
+  SELECT 'week' AS f_grain,
+         strftime(DATE '1970-01-01' + cast(((day - 4)//7)*7 + 4 as int), '%Y-%m-%d')
+           AS f_date, *
+  FROM enriched
+  UNION ALL
+  SELECT 'month' AS f_grain,
+         strftime(DATE '1970-01-01' + cast(day as int), '%Y-%m') AS f_date, *
+  FROM enriched
+)
+SELECT f_grain, f_date,
+       cast(count(DISTINCT user_id) as bigint) AS f_count,
+       f_video_id, f_video_name,
+       f_province_id, f_province_name, f_city_id, f_city_name,
+       f_region_id, f_region_name, f_terminal,
+       f_content_type, f_cp_id, f_copyright,
+       cast(0 as int) AS f_column_level, '' AS f_column_id, '' AS f_column_name,
+       cast(0 as bigint) AS f_parent_column_id, '' AS f_parent_column_name,
+       cast(0 as bigint) AS f_parent_parent_column_id,
+       '' AS f_parent_parent_column_name,
+       cast(sum(f_play_time) as bigint) AS f_video_time_sum,
+       cast(max(duration) as bigint) AS f_duration,
+       cast(sum(video_play) as bigint) AS f_click_num,
+       cast(0 as bigint) AS f_screen, cast(0 as bigint) AS f_share,
+       cast(max(f_series_num) as bigint) AS f_series_num,
+       f_series_id, f_series_name
+FROM grains
+GROUP BY ALL
+"""
+
+
+@query("demand_period_grains", oracle=_DEMAND_PERIOD_ORACLE)
+def demand_period_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timegrid import explode_time_grid
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    geo = _geo_dim(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    vod = part.select(
+        F.col("p_partkey").cast("bigint").alias("f_video_id"),
+        F.concat(F.lit("vd_"), F.col("p_partkey").cast("string")).alias("f_video_name"),
+        (F.lit(1) + F.col("p_partkey") % 8).alias("f_content_type"),
+        F.concat(F.lit("cp_"), (F.col("p_partkey") % 7).cast("string")).alias("f_cp_id"),
+        (F.col("p_partkey") % 2).alias("f_copyright"),
+        (F.lit(600) + (F.col("p_partkey") % 48) * 100).alias("duration"),
+        F.expr("cast(p_partkey div 10 as bigint)").alias("f_series_id"),
+        F.concat(F.lit("sr_"), F.expr("cast(p_partkey div 10 as string)")).alias(
+            "f_series_name"
+        ),
+        (F.col("p_partkey") % 24).alias("f_series_num"),
+    )
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    plays = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts_sec").alias("s"),
+            F.floor(F.col("value") * 10).cast("bigint").alias("play"),
+            (k % 200).alias("f_video_id"),
+        )
+        .where(F.col("play") > 0)
+        .withColumn("e", F.col("s") + F.col("play"))
+        .join(F.broadcast(geo), "user_id")
+    )
+    grid = explode_time_grid(plays, "s", "e", 86400, slot_col="slot")
+    geo_keys = [
+        "f_province_id", "f_province_name", "f_city_id", "f_city_name",
+        "f_region_id", "f_region_name", "f_terminal",
+    ]
+    daily = (
+        grid.withColumn("day", F.expr("slot div 86400"))
+        .groupBy("day", "user_id", "f_video_id", *geo_keys)
+        .agg(
+            F.sum("overlap_sec").cast("bigint").alias("f_play_time"),
+            F.sum(
+                F.when(
+                    (F.col("s") >= F.col("slot")) & (F.col("s") < F.col("slot") + 86400),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("video_play"),
+        )
+    )
+    enriched = daily.join(F.broadcast(vod), "f_video_id")
+
+    day_label = F.expr("date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM-dd')")
+    week_label = F.expr(
+        "date_format(date_add(DATE'1970-01-01',"
+        " cast(((day - 4) div 7)*7 + 4 as int)), 'yyyy-MM-dd')"
+    )
+    month_label = F.expr("date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM')")
+    grains = (
+        enriched.select(F.lit("day").alias("f_grain"), day_label.alias("f_date"), "*")
+        .unionByName(
+            enriched.select(F.lit("week").alias("f_grain"), week_label.alias("f_date"), "*")
+        )
+        .unionByName(
+            enriched.select(
+                F.lit("month").alias("f_grain"), month_label.alias("f_date"), "*"
+            )
+        )
+    )
+    return grains.groupBy(
+        "f_grain", "f_date", "f_video_id", "f_video_name", *geo_keys,
+        "f_content_type", "f_cp_id", "f_copyright", "f_series_id", "f_series_name",
+    ).agg(
+        F.countDistinct("user_id").cast("bigint").alias("f_count"),
+        F.lit(0).cast("int").alias("f_column_level"),
+        F.lit("").alias("f_column_id"),
+        F.lit("").alias("f_column_name"),
+        F.lit(0).cast("bigint").alias("f_parent_column_id"),
+        F.lit("").alias("f_parent_column_name"),
+        F.lit(0).cast("bigint").alias("f_parent_parent_column_id"),
+        F.lit("").alias("f_parent_parent_column_name"),
+        F.sum("f_play_time").cast("bigint").alias("f_video_time_sum"),
+        F.max("duration").cast("bigint").alias("f_duration"),
+        F.sum("video_play").cast("bigint").alias("f_click_num"),
+        F.lit(0).cast("bigint").alias("f_screen"),
+        F.lit(0).cast("bigint").alias("f_share"),
+        F.max("f_series_num").cast("bigint").alias("f_series_num"),
+    )
