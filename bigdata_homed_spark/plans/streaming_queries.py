@@ -168,21 +168,41 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, output_mode="complete")
 
 
-@query("stream_online_user_state")  # rows-only: custom keyed state, no SQL twin
+@query(
+    "stream_online_user_state",
+    oracle="""
+    SELECT user_id,
+           max(epoch_us(ts)//1000000) AS last_seen_sec,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(cast(floor(value*1000000 + 0.5) as bigint)) as double)/1000000.0
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_online_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 keyed state (UserStatusByRunLog parity) as a registry entry: the
     applyInPandasWithState job runs to completion and the final per-user
     snapshot is returned (keep-latest over the update-mode emissions).
-    Genuinely non-SQL-expressible (driver records the weaker rows-only
-    check): the state fold's float accumulation order is batch-dependent,
-    but the row set — one final row per user — is deterministic.
+
+    Replay-determinism golden (was rows-only until r4): the oracle is the
+    batch per-user fold over the same replayed input — max(sec), count,
+    and the value total in half-up MICRO-UNITS summed as integers inside
+    the state (jobs.online_user_state), so the emitted double is identical
+    for any batch/row order and hash-compares exactly.  The sf replay is a
+    single availableNow batch and no key sits idle past the event-time
+    timeout mid-replay, so the final snapshot equals the global fold; the
+    expiry emission (watermark jumping to end-of-stream) repeats the same
+    totals and dedups away.
 
     Reset-on-expiry contract (see online_user_state docstring): a key idle
     past the idle timeout loses its running totals; reappearance restarts
     from zero, exactly like the reference's Phoenix TTL deletes.  Totals
     that must survive idle gaps come from composing the per-key snapshot
     sink (stream_foreachbatch_latest), not from keeping dead keys in
-    memory — that trade is what bounds state at 100 TB."""
+    memory — that trade is what bounds state at 100 TB.  Mid-replay expiry
+    resets are exercised by the multi-batch pytest
+    (tests/test_streaming.py::test_state_accumulates_across_microbatches),
+    not by this single-batch oracle."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -516,3 +536,107 @@ def stream_foreachbatch_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared with stream_foreachbatch_latest — see _run_keyed_upsert_stream
     for the multi-batch merge and monotonic-cutoff guarantees."""
     return _run_keyed_upsert_stream(spark, sf_dir, retention_sec=86400)
+
+
+@query(
+    "stream_user_status_by_user_log",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts)//1000000 AS sec,
+             coalesce(cast(json_extract_string(props,'$.k') as bigint), 0) AS k
+      FROM events WHERE event_type IN ('view','click')
+    ),
+    kept AS (
+      SELECT *, CASE WHEN event_type='click' THEN 1 ELSE 0 END AS is_report,
+             k % 10 AS prog, k % 200 AS video, user_id*10 + k%3 AS device_id
+      FROM ev
+      WHERE (event_type='view' AND k%2 = 1) OR (event_type='click' AND k%3 != 0)
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY sec DESC, event_id DESC) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    bus AS (
+      SELECT user_id, max(sec) AS bus_sec FROM kept WHERE is_report = 1
+      GROUP BY user_id
+    ),
+    snap AS (
+      SELECT l.user_id AS f_user_id, l.device_id AS f_device_id,
+             l.prog AS f_program_id, l.video AS f_video_id,
+             coalesce(b.bus_sec, 1) AS f_start_play_sec,
+             CASE WHEN b.bus_sec = l.sec THEN 1 ELSE 0 END AS f_play_count,
+             l.sec AS f_log_sec
+      FROM latest l LEFT JOIN bus b USING (user_id)
+    ),
+    term AS (
+      SELECT c_custkey*10 + j AS d_device_id,
+             cast(1 + (c_custkey + j) % 3 as int) AS d_device_type
+      FROM customer, (SELECT unnest(generate_series(0, 2)) AS j)
+      WHERE c_custkey % 4 != 0
+    )
+    SELECT s.f_user_id, s.f_device_id, s.f_program_id, s.f_video_id,
+           s.f_start_play_sec, cast(s.f_play_count as int) AS f_play_count,
+           s.f_log_sec,
+           'rg_' || cast(s.f_user_id % 20 as varchar) AS f_region_id,
+           'live' AS f_service_type,
+           cast(1 as int) AS f_online_status,
+           coalesce(t.d_device_type, 0) AS f_terminal
+    FROM snap s LEFT JOIN term t ON t.d_device_id = s.f_device_id
+    """,
+)
+def stream_user_status_by_user_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second stateful streaming job (T4b): user-REPORT-log-driven online
+    state (`homed/realtime/UserStatusByUserLog.scala:48-142` — see
+    streaming/jobs.user_status_by_user_log for the semantics delta vs the
+    run-log variant).  Oracle-exact under the same replay-determinism
+    golden as stream_online_user_state: all-integer state, single
+    availableNow batch, keep-latest over the update-mode emissions; the
+    terminal dim left-join + nvl(0) (:120-122) runs on the final snapshot
+    as a broadcast batch join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..streaming.jobs import read_events_stream, user_status_by_user_log
+
+    events = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        user_status_by_user_log(events), output_mode="update"
+    )
+    w = Window.partitionBy("f_user_id").orderBy(
+        F.col("f_log_sec").desc(), F.col("f_play_count").desc()
+    )
+    snap = (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    term = (
+        cust.where(F.col("c_custkey") % 4 != 0)
+        .select(
+            "c_custkey", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j")
+        )
+        .select(
+            (F.col("c_custkey") * 10 + F.col("j")).alias("d_device_id"),
+            (F.lit(1) + (F.col("c_custkey") + F.col("j")) % 3)
+            .cast("int")
+            .alias("d_device_type"),
+        )
+    )
+    return (
+        snap.join(F.broadcast(term), snap["f_device_id"] == term["d_device_id"], "left")
+        .select(
+            "f_user_id", "f_device_id", "f_program_id", "f_video_id",
+            "f_start_play_sec", "f_play_count", "f_log_sec",
+            F.concat(F.lit("rg_"), (F.col("f_user_id") % 20).cast("string")).alias(
+                "f_region_id"
+            ),
+            F.lit("live").alias("f_service_type"),
+            F.lit(1).cast("int").alias("f_online_status"),
+            F.coalesce(F.col("d_device_type"), F.lit(0)).alias("f_terminal"),
+        )
+    )

@@ -216,30 +216,35 @@ def online_user_state(
         [
             T.StructField("last_seen_sec", T.LongType()),
             T.StructField("n_events", T.LongType()),
-            T.StructField("total_value", T.DoubleType()),
+            T.StructField("value_units", T.LongType()),
         ]
     )
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
-        def snapshot(last_seen, n, total):
+        def snapshot(last_seen, n, units):
             return pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "last_seen_sec": [last_seen],
                     "n_events": [n],
-                    "total_value": [total],
+                    # integer micro-units → double: deterministic for any
+                    # batch/row order (registry rule 1 applied to state —
+                    # a float running sum would be order-dependent and
+                    # unverifiable against a batch oracle)
+                    "total_value": [units / 1e6],
                 }
             )
 
         if state.hasTimedOut:
-            last_seen, n, total = state.get
+            last_seen, n, units = state.get
             state.remove()
-            yield snapshot(last_seen, n, total)
+            yield snapshot(last_seen, n, units)
             return
 
-        last_seen, n, total = state.get if state.exists else (None, 0, 0.0)
+        last_seen, n, units = state.get if state.exists else (None, 0, 0)
         for pdf in pdfs:
             if len(pdf):
                 # ts_sec is integral epoch seconds, derived Spark-side in
@@ -248,8 +253,11 @@ def online_user_state(
                 sec = pdf["ts_sec"].max()
                 last_seen = int(sec) if last_seen is None else max(last_seen, int(sec))
                 n += int(len(pdf))
-                total += float(pdf["value"].sum())
-        state.update((last_seen, n, total))
+                # per-row half-up micro-units (floor(v*1e6 + 0.5) — the
+                # same expression the DuckDB oracle runs), summed exactly
+                # as integers: order-independent, batch-independent
+                units += int(np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).sum())
+        state.update((last_seen, n, units))
         # expire idle_timeout_sec of EVENT time after the last event; the
         # timestamp must sit past the current watermark or Spark rejects it
         expiry_ms = max(
@@ -257,9 +265,147 @@ def online_user_state(
             state.getCurrentWatermarkMs() + 1,
         )
         state.setTimeoutTimestamp(expiry_ms)
-        yield snapshot(last_seen, n, total)
+        yield snapshot(last_seen, n, units)
 
     return events.withWatermark("event_time", watermark_delay).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update, out_schema, state_schema, "update", "EventTimeTimeout"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4b — user-report-log-driven state (UserStatusByUserLog parity).
+
+
+def user_status_by_user_log(
+    events: DataFrame,
+    idle_timeout_sec: int = 3600,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Second stateful job: online-user status driven by USER-REPORT logs
+    (`homed/realtime/UserStatusByUserLog.scala:48-142`), whose event
+    semantics differ from the run-log variant (``online_user_state``):
+
+    - the pre-parse filter (:70-71) keeps live-scene HEARTBEATS (``(S,1)``)
+      and business LIVE REPORTS unless ``(S,0)`` — here: 'view' events with
+      scene==1, 'click' events with scene!=0 (scene derived from props.k);
+    - per user the reference kept the max-log-timestamp record, LEFT-joined
+      the max BUSINESS-log timestamp (:109-118), set ``f_start_play_time =
+      nvl(bus_log_time,'1')`` and ``f_play_count = 1`` iff the latest
+      record IS the business-latest (:117-122);
+    - service_type is 'live' for every surviving record (:84 — the filter
+      admits only live-scene rows).
+
+    Here that whole per-batch dance is keyed state: (latest record by
+    (sec, event_id), latest business sec) per user — all-integer state, so
+    snapshots are deterministic for any batch/row split (the run-log
+    variant's micro-unit rule).  The tie refinement is explicit: the
+    reference's equality join could duplicate rows when a heartbeat and a
+    report share a timestamp; we order by (sec, event_id) and define
+    play_count = (bus_sec == last_sec), which is tie-stable.
+
+    Terminal resolution (the ``nvl(d_device_type,0)`` left join at
+    :120-122) happens OUTSIDE the stateful operator on the final snapshot
+    — a stream-static/batch dim join, not per-key Python work.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    is_report = (F.col("event_type") == "click").cast("int")
+    scene = F.when(F.col("event_type") == "click", k % 3).otherwise(k % 2)
+    kept = (
+        events.where(F.col("event_type").isin("view", "click"))
+        .withColumn("scene", scene)
+        .where(
+            ((F.col("event_type") == "view") & (F.col("scene") == 1))
+            | ((F.col("event_type") == "click") & (F.col("scene") != 0))
+        )
+        .select(
+            "user_id",
+            "event_time",
+            "ts_sec",
+            "event_id",
+            is_report.alias("is_report"),
+            (k % 10).alias("prog"),
+            (k % 200).alias("video"),
+            (F.col("user_id") * 10 + k % 3).alias("device_id"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("f_user_id", T.LongType()),
+            T.StructField("f_device_id", T.LongType()),
+            T.StructField("f_program_id", T.LongType()),
+            T.StructField("f_video_id", T.LongType()),
+            T.StructField("f_start_play_sec", T.LongType()),
+            T.StructField("f_play_count", T.IntegerType()),
+            T.StructField("f_log_sec", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_sec", T.LongType()),
+            T.StructField("last_eid", T.LongType()),
+            T.StructField("prog", T.LongType()),
+            T.StructField("video", T.LongType()),
+            T.StructField("device_id", T.LongType()),
+            T.StructField("bus_sec", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        def snapshot(last_sec, last_eid, prog, video, device, bus_sec):
+            return pd.DataFrame(
+                {
+                    "f_user_id": [key[0]],
+                    "f_device_id": [device],
+                    "f_program_id": [prog],
+                    "f_video_id": [video],
+                    # nvl(bus_log_time, '1') — the reference's sentinel
+                    "f_start_play_sec": [bus_sec if bus_sec is not None else 1],
+                    "f_play_count": [1 if bus_sec == last_sec else 0],
+                    "f_log_sec": [last_sec],
+                }
+            )
+
+        if state.hasTimedOut:
+            vals = state.get
+            state.remove()
+            yield snapshot(*vals)
+            return
+
+        (last_sec, last_eid, prog, video, device, bus_sec) = (
+            state.get if state.exists else (None, None, None, None, None, None)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts_sec"].to_numpy()))
+            row = pdf.iloc[order[-1]]
+            cand = (int(row["ts_sec"]), int(row["event_id"]))
+            if last_sec is None or cand > (last_sec, last_eid):
+                last_sec, last_eid = cand
+                prog = int(row["prog"])
+                video = int(row["video"])
+                device = int(row["device_id"])
+            rep = pdf[pdf["is_report"] == 1]
+            if len(rep):
+                mx = int(rep["ts_sec"].max())
+                bus_sec = mx if bus_sec is None else max(bus_sec, mx)
+        state.update((last_sec, last_eid, prog, video, device, bus_sec))
+        expiry_ms = max(
+            (last_sec + idle_timeout_sec) * 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(expiry_ms)
+        yield snapshot(last_sec, last_eid, prog, video, device, bus_sec)
+
+    return kept.withWatermark("event_time", watermark_delay).groupBy(
         "user_id"
     ).applyInPandasWithState(
         update, out_schema, state_schema, "update", "EventTimeTimeout"
