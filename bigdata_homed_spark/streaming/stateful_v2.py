@@ -3,15 +3,29 @@ the successor API to `applyInPandasWithState` (explicit state variables,
 timers, TTL support).
 
 The reference's realtime jobs keep per-user state in Phoenix and
-full-outer-join each batch against it (UserStatusByRunLog.scala:102-318);
-`streaming/jobs.py::online_user_state` is the tested applyInPandasWithState
-port.  This module carries the same semantics on the v2 API.
+full-outer-join each batch against it (UserStatusByRunLog.scala:102-318),
+with retention handled by Phoenix TTL deletes; `streaming/jobs.py::
+online_user_state` is the tested applyInPandasWithState port.  This module
+carries the same semantics on the v2 API, including the TTL:
+``getValueState(..., ttlDurationMs=...)`` is the declarative spelling of
+the reference's Phoenix row TTL (UserStatusByRunLog retention parity).
 
-GATED: the v2 API's driver↔worker control channel needs the python
-``protobuf`` package, which this container does not ship (and installs are
-disallowed).  ``transform_with_state_available()`` probes for it; the test
-suite skips when unavailable.  On a real cluster image (protobuf present)
-this runs as-is with the RocksDB state store provider.
+GATED — container impossibility note (verified 2026-08-14, round 4):
+the v2 API's driver↔worker control channel is protobuf-based
+(``pyspark/sql/streaming/proto/StateMessage_pb2.py``); importing it needs
+the python ``protobuf`` package, which this container does not ship and
+installs are disallowed.  The exact failure:
+
+    >>> import google.protobuf
+    ModuleNotFoundError: No module named 'google'
+
+``transform_with_state_available()`` probes for it; the EXECUTION tests
+skip when unavailable.  The processor's fold/TTL logic is still covered
+in-container: ``tests/test_streaming.py::test_stateful_v2_processor_logic``
+drives the StatefulProcessor directly against a fake handle/state (no
+control channel involved), so only the wire layer is untested here.  On a
+real cluster image (protobuf present) the job runs as-is with the RocksDB
+state store provider.
 """
 
 from __future__ import annotations
@@ -27,7 +41,7 @@ OUT_SCHEMA = StructType(
     ]
 )
 STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("tv", DoubleType())]
+    [StructField("n", LongType()), StructField("units", LongType())]
 )
 
 
@@ -41,19 +55,59 @@ def transform_with_state_available() -> bool:
         return False
 
 
-def online_user_state_v2(events: DataFrame) -> DataFrame:
+class UserCounter:
+    """Per-user running (n_events, total_value) fold for the v2 API.
+
+    Defined module-level (not closure-local) so the fold and TTL wiring
+    are unit-testable against a fake handle without the protobuf control
+    channel — the class only becomes a real ``StatefulProcessor`` when the
+    runtime is present (see :func:`online_user_state_v2`).
+
+    Determinism: the value total accumulates in half-up MICRO-UNITS summed
+    as integers (same rule as jobs.online_user_state), so the emitted
+    double is identical for any batch/row order.
+
+    ``ttl_ms`` (None = keep forever) maps the reference's Phoenix TTL
+    (UserStatusByRunLog.scala:102-318 retention): state rows idle past the
+    TTL are dropped by the state store itself, bounding state to the
+    active key set without timer bookkeeping.
+    """
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self.state = handle.getValueState("agg", STATE_SCHEMA, ttlDurationMs=self.ttl_ms)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+        import pandas as pd
+
+        n, units = (self.state.get() if self.state.exists() else (0, 0))
+        for pdf in rows:
+            n += len(pdf)
+            units += int(np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).sum())
+        self.state.update((n, units))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [units / 1e6]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def online_user_state_v2(
+    events: DataFrame, ttl_sec: int | None = None
+) -> DataFrame:
     """Per-user running (n_events, total_value) via transformWithStateInPandas.
 
     Same contract as jobs.online_user_state: update-mode emission of the
     post-batch snapshot per key.  State is a single ValueState row per user
     — RocksDB-backed, so 100 TB-scale key cardinality spills off-heap
-    instead of exhausting executor memory.
+    instead of exhausting executor memory; ``ttl_sec`` bounds it further to
+    the active key set (Phoenix-TTL parity).
     """
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     spark = events.sparkSession
     spark.conf.set(
@@ -61,27 +115,17 @@ def online_user_state_v2(events: DataFrame) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
 
-    class UserCounter(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self.state = handle.getValueState("agg", STATE_SCHEMA)
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, tv = (self.state.get() if self.state.exists() else (0, 0.0))
-            for pdf in rows:
-                n += len(pdf)
-                tv += float(pdf["value"].sum())
-            self.state.update((n, tv))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [tv]}
-            )
-
-        def close(self) -> None:
-            pass
+    # graft the module-level fold onto the runtime ABC only when building
+    # the real plan (the ABC import itself is protobuf-free; the control
+    # channel is what needs protobuf, at execution)
+    processor_cls = type("UserCounterV2", (UserCounter, StatefulProcessor), {})
 
     return events.select("user_id", "value", "event_time").groupBy(
         "user_id"
     ).transformWithStateInPandas(
-        statefulProcessor=UserCounter(),
+        statefulProcessor=processor_cls(
+            None if ttl_sec is None else ttl_sec * 1000
+        ),
         outputStructType=OUT_SCHEMA,
         outputMode="Update",
         timeMode="None",

@@ -269,3 +269,65 @@ def test_transform_with_state_v2(spark, sf_dir):
     final = out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
     joined = final.join(batch, "user_id")
     assert joined.where(F.col("n_events") != F.col("n")).count() == 0
+
+
+def test_stateful_v2_processor_logic():
+    """The v2 fold/TTL logic tested WITHOUT the protobuf control channel
+    (container impossibility note in streaming/stateful_v2.py): drive the
+    StatefulProcessor directly against a fake handle + state.  Covers the
+    fold semantics (micro-unit determinism, cross-call accumulation) and
+    the TTL wiring (ttlDurationMs passed through to getValueState — the
+    Phoenix-TTL retention parity of UserStatusByRunLog.scala:102-318)."""
+    import pandas as pd
+
+    from bigdata_homed_spark.streaming.stateful_v2 import STATE_SCHEMA, UserCounter
+
+    class FakeState:
+        def __init__(self):
+            self.value = None
+
+        def exists(self):
+            return self.value is not None
+
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.calls = []
+            self.state = FakeState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.calls.append((name, schema, ttlDurationMs))
+            return self.state
+
+    # TTL wiring: ttl_sec*1000 must reach getValueState
+    proc = UserCounter(ttl_ms=7200 * 1000)
+    handle = FakeHandle()
+    proc.init(handle)
+    assert handle.calls == [("agg", STATE_SCHEMA, 7200 * 1000)]
+
+    # fold: two micro-batches accumulate; totals are exact micro-units
+    out1 = list(
+        proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [1.25, 2.5]})]), None
+        )
+    )[0]
+    assert out1["n_events"][0] == 2
+    assert out1["total_value"][0] == 3.75
+    out2 = list(
+        proc.handleInputRows((7,), iter([pd.DataFrame({"value": [0.25]})]), None)
+    )[0]
+    assert out2["n_events"][0] == 3
+    assert out2["total_value"][0] == 4.0
+    # state holds integer units — order/batch independent by construction
+    assert handle.state.value == (3, 4_000_000)
+
+    # no-TTL default: None passed through (keep-forever contract)
+    proc2 = UserCounter()
+    handle2 = FakeHandle()
+    proc2.init(handle2)
+    assert handle2.calls[0][2] is None
