@@ -643,6 +643,102 @@ def lookback_channel_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LookbackUser — per-user lookback grain: distinct lookback USERS per
+# (geo, terminal, content_type) at day + history grains.
+@query(
+    "lookback_user_grains",
+    oracle=f"""
+    WITH lb AS (
+      SELECT e.user_id,
+             CASE WHEN (e.event_id * 37) % 100000 < 50000
+                  THEN 'tv' ELSE 'mobile' END AS terminal,
+             1 + coalesce(cast(json_extract_string(e.props, '$.k') as bigint), 0) % 3
+               AS content_type,
+             coalesce(c.c_nationkey, -1) AS region_id,
+             ((epoch_us(e.ts)//1000000)//{DAY})*{DAY} AS day
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'error'
+    ),
+    by_day AS (
+      SELECT 1 AS f_type, day AS f_start_date, day AS f_end_date,
+             region_id, terminal, content_type,
+             cast(count(DISTINCT user_id) as bigint) AS f_count
+      FROM lb GROUP BY day, region_id, terminal, content_type
+    ),
+    history AS (
+      SELECT 3 AS f_type,
+             cast(min(day) as bigint) AS f_start_date,
+             cast(max(day) as bigint) AS f_end_date,
+             region_id, terminal, content_type,
+             cast(count(DISTINCT user_id) as bigint) AS f_count
+      FROM lb GROUP BY region_id, terminal, content_type
+    )
+    SELECT * FROM by_day UNION ALL SELECT * FROM history
+    """,
+)
+def lookback_user_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LookbackUser.scala:35-73 — the per-USER lookback grain (distinct
+    lookback users per geo x terminal x content_type), day grain plus the
+    multi-day ``getLookUserHistory`` range marked with ``f_type`` (the
+    reference tags week-history rows ``f_type=3``).  The reference filters
+    ``f_content_type != 0``; the synthetic content_type is ``1 + k%3`` so
+    the filter is structurally satisfied and every row carries a non-zero
+    type.  Scale: the fact shuffles once per grain on the group keys
+    (count-distinct re-shuffles on +user_id internally), the customer geo
+    dim is broadcast; the history grain aggregates the SAME pre-filtered
+    fact, so adding grains adds map-side work, not extra scans."""
+    from ..sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select("user_id", "event_id", "props", "ts_sec")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    lb = (
+        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "left")
+        .select(
+            "user_id",
+            F.when((F.col("event_id") * 37) % 100000 < 50000, "tv")
+            .otherwise("mobile")
+            .alias("terminal"),
+            (
+                1
+                + F.coalesce(
+                    F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)
+                )
+                % 3
+            ).alias("content_type"),
+            F.coalesce(F.col("c_nationkey").cast("bigint"), F.lit(-1)).alias("region_id"),
+            ((F.col("ts_sec") / DAY).cast("bigint") * DAY).alias("day"),
+        )
+    )
+    by_day = (
+        lb.groupBy("day", "region_id", "terminal", "content_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("f_count"))
+        .select(
+            F.lit(1).alias("f_type"),
+            F.col("day").alias("f_start_date"),
+            F.col("day").alias("f_end_date"),
+            "region_id", "terminal", "content_type", "f_count",
+        )
+    )
+    history = (
+        lb.groupBy("region_id", "terminal", "content_type")
+        .agg(
+            F.min("day").cast("bigint").alias("f_start_date"),
+            F.max("day").cast("bigint").alias("f_end_date"),
+            F.countDistinct("user_id").cast("bigint").alias("f_count"),
+        )
+        .select(
+            F.lit(3).alias("f_type"), "f_start_date", "f_end_date",
+            "region_id", "terminal", "content_type", "f_count",
+        )
+    )
+    return by_day.unionByName(history)
+
+
+# --------------------------------------------------------------------------
 # OnlineUsersAndDevices — per-slot per-terminal concurrency with ALL rollup.
 @query(
     "online_users_devices",

@@ -1229,7 +1229,7 @@ def demand_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: the watch fact shuffles once to the per-user package grain, the
 # tier re-agg is map-side combinable; the JSON normalization runs on the
 # 20-row dim, not the fact.
-_PKG_ORACLE = """
+_PKG_ORACLE = r"""
 WITH pkg AS (
   SELECT p AS package_id,
          'pk_' || cast(p as varchar) AS package_name,

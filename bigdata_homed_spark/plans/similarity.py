@@ -251,24 +251,51 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "similarity" threshold is scaled to the data; real near-dup corpora sit
 # at ≥0.9 where a single table suffices.)
 ANN_TABLES = 3
-ANN_PLANES = 6  # 64 buckets/table: ~n/64 per block keeps candidate pairs ~linear
+ANN_PLANES = 6  # floor; the live count adapts to corpus size (ann_planes_for)
 ANN_THRESHOLD = 0.3
-_WT = [hyperplane_weights(ANN_PLANES, DIMS, seed_offset=t * 100) for t in range(ANN_TABLES)]
+# Target rows per bucket.  Plane-count rule: with p planes a table has 2^p
+# buckets, so expected occupancy is n/2^p; holding occupancy at ~TARGET
+# keeps per-bucket self-join work (occupancy² per bucket × 2^p buckets =
+# n²/2^p) LINEAR in n as the corpus grows: p = log2(n/TARGET).  The floor
+# of 6 pins the oracle-checked SFs (500–2 000 vectors → exactly 6 planes,
+# same buckets as the static SQL oracle); a 100 TB corpus (say 10^10 docs)
+# gets p = log2(10^10/32) ≈ 28 — still cheap to evaluate, and occupancy
+# stays ~32 instead of 10^8.
+ANN_TARGET_BUCKET_ROWS = 32
+
+
+def ann_planes_for(n_vectors: int, target: int = ANN_TARGET_BUCKET_ROWS) -> int:
+    """Plane count for a corpus of ``n_vectors``: max(6, ceil(log2(n/target)))."""
+    import math
+
+    if n_vectors <= target:
+        return ANN_PLANES
+    return max(ANN_PLANES, math.ceil(math.log2(n_vectors / target)))
+
+
+_WT_CACHE: dict[tuple[int, int], list[list[float]]] = {}
+
+
+def _wt(t: int, planes: int = ANN_PLANES) -> list[list[float]]:
+    key = (t, planes)
+    if key not in _WT_CACHE:
+        _WT_CACHE[key] = hyperplane_weights(planes, DIMS, seed_offset=t * 100)
+    return _WT_CACHE[key]
 
 
 def _table_bucket_sql(t: int) -> str:
     bits = " + ".join(
-        f"(CASE WHEN {_dot_sql('embedding', '[' + ','.join(str(w) for w in _WT[t][h]) + ']')} > 0"
+        f"(CASE WHEN {_dot_sql('embedding', '[' + ','.join(str(w) for w in _wt(t)[h]) + ']')} > 0"
         f" THEN {1 << h} ELSE 0 END)"
         for h in range(ANN_PLANES)
     )
     return f"cast({bits} as bigint)"
 
 
-def _table_bucket_col(t: int) -> Column:
+def _table_bucket_col(t: int, planes: int = ANN_PLANES) -> Column:
     total = F.lit(0)
-    for h in range(ANN_PLANES):
-        wlit = F.array(*[F.lit(w) for w in _WT[t][h]])
+    for h in range(planes):
+        wlit = F.array(*[F.lit(w) for w in _wt(t, planes)[h]])
         total = total + F.when(_dot("embedding", wlit) > 0, F.lit(1 << h)).otherwise(F.lit(0))
     return total.cast("bigint")
 
@@ -302,6 +329,11 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an OR residual — the plan shape that survives 100×."""
     from ..sources.tables import load_table
 
+    # plane count tracks corpus size (ann_planes_for rule); the count is a
+    # column-pruned scan — negligible next to the signature+join stages.
+    # At every oracle-checked SF (≤2 000 vectors) the rule returns the
+    # floor of 6, matching the static SQL oracle's buckets exactly.
+    planes = ann_planes_for(load_table(spark, sf_dir, "embeddings").count())
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -309,7 +341,7 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         _norm("embedding").alias("norm"),
-        *[_table_bucket_col(t).alias(f"b{t}") for t in range(ANN_TABLES)],
+        *[_table_bucket_col(t, planes).alias(f"b{t}") for t in range(ANN_TABLES)],
     ).cache()
     # candidate generation carries ONLY the id pair — the 64-float vectors
     # would otherwise be shuffled through every bucket join and the dedup.
@@ -860,7 +892,13 @@ def incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates from one (table, bucket) equi-join against the index
     parquet, exact cosine only on candidates, per-label admit/drop
     accounting.  The oracle computes the same split directly — the
-    persisted index is lossless (ids + bucket keys), so values match."""
+    persisted index is lossless (ids + bucket keys), so values match.
+
+    Plane count is pinned at INDEX-CREATION time (here the floor of 6, per
+    ann_planes_for at oracle SFs): bucket keys of new rows must hash with
+    the same planes as the persisted keys or the equi-join misses, so a
+    grown corpus re-chooses planes only on index REBUILD — the standard
+    LSH-index contract, same as any hash-partitioned store."""
     from ..sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -63,6 +63,23 @@ def test_hyperplane_weights_deterministic():
     assert hyperplane_weights(2, 8, seed_offset=100) != a
 
 
+def test_ann_planes_rule():
+    """planes = max(6, ceil(log2(n/32))): floor pins oracle SFs, growth is
+    logarithmic so occupancy (n/2^p) stays ~32 at any corpus size."""
+    from bigdata_homed_spark.plans.similarity import ann_planes_for
+
+    # every oracle-checked SF (500-2 000 vectors) must get the floor — the
+    # static SQL oracles hash with exactly 6 planes
+    assert ann_planes_for(500) == 6
+    assert ann_planes_for(2000) == 6
+    assert ann_planes_for(20000) == 10
+    # occupancy bound: n / 2^p <= 32 once past the floor
+    for n in (10**5, 10**7, 10**10):
+        p = ann_planes_for(n)
+        assert n / (1 << p) <= 32
+        assert n / (1 << (p - 1)) > 32  # and p is minimal
+
+
 def test_tokens_and_shingles(spark):
     df = spark.createDataFrame([("The quick, QUICK fox!",)], ["text"])
     r = df.select(
