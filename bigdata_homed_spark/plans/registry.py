@@ -85,6 +85,25 @@ from . import parity_extras  # noqa: E402,F401
 # committed full-gate log.  Late-round additions that no safe eviction
 # remains for (r3: rag_chunking, bpe_pair_counts) wait one round outside —
 # the committed GATELOG covers them until rotation frees a slot.
+#
+# Round-4 rotation: IN = rag_chunking + bpe_pair_counts (promised r3),
+# iacs_login_sessions, demand_report_full, demand_period_grains,
+# stream_user_status_by_user_log, lookback_user_grains.  OUT (each §2 row
+# keeps an in-window anchor; all stay green in GATELOG_r4):
+#   gap_sessions          -> W1 anchored by video_play_report's pairing +
+#                            capped_play_sessions' lead() windows
+#   props_struct_parse    -> §2.8 JSON anchored by demand_report_full /
+#                            demand_package_tiers' from_json normalization
+#                            + search_result_category_report's str_to_map
+#   union_period_grains   -> U1 anchored by demand_period_grains (the
+#                            period-grain union itself)
+#   ngram_jaccard_pairs   -> dedup family anchored by fingerprint/minhash/
+#                            simhash/near_dup_components/incremental
+#   source_mixing_weights -> mixing family anchored by ngram_novelty
+#   embedding_quantization_error -> embedding family anchored by
+#                            label_centroids/kmeans_clusters/label_top_direction
+#   bitmap_multi_period_distinct -> A7 anchored by business_user_array_cycle's
+#                            pack->persist->unpack cycle
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
@@ -93,19 +112,14 @@ PRIORITY_QUERIES = [
     "rollup_region_nation",       # A6
     "customer_tier_pivot",        # A5
     "clickers_without_purchase",  # J10/U2
-    "union_period_grains",        # U1 + date fns
     "partitioned_fact_roundtrip", # S2/S7/S8
     "value_percentiles",          # exact percentile
     # events/behavior chain (SURVEY §2 W1-W4, A7, §2.8)
-    "gap_sessions",               # W1
     "capped_play_sessions",       # W3/T6
     "live_channel_halfhour_full", # NEW r3: LiveChannelStatistics full
                                   # half-hour chain — time-grid explode
                                   # (halfhour_activity's slot), geo grains,
                                   # ShareSuccess 5-key left join
-    "bitmap_multi_period_distinct",  # A7 exact-bitmap path (r2; replaces
-                                  # multi_period_distinct_users' window slot)
-    "props_struct_parse",         # JSON from_json
     "heartbeat_online_time",      # W2/T5
     "search_result_category_report",  # NEW r3: SearchDetailNew 26-range
                                   # classifier (runlog_parse_terminals'
@@ -126,7 +140,6 @@ PRIORITY_QUERIES = [
     "fingerprint_dedup",          # (+ dedup_exact's md5-groupBy shape)
     "minhash_lsh_pairs",
     "simhash_near_pairs",
-    "ngram_jaccard_pairs",
     "near_dup_components",
     "incremental_dedup_report",
     "decontamination",
@@ -135,14 +148,11 @@ PRIORITY_QUERIES = [
     "tfidf_top_terms",            # TF-IDF / DF
     "ngram_novelty",              # r2: first-seen shingle novelty (hash-
                                   # aligned oracle, r3)
-    "source_mixing_weights",      # r2: temperature mixing weights
-    # embeddings / similarity search
     "embedding_ann_pairs",        # sign-LSH ANN
     "embedding_knn_ivf",          # IVF probe (embedding_knn brute-force
                                   # baseline stays in the local gate)
     "label_centroids",            # centroids/outliers/decisions family
     "kmeans_clusters",            # r2: Lloyd iterations, oracle-exact
-    "embedding_quantization_error",  # r2: int8 quantization + MSE
     "label_top_direction",        # r3: certified-invariant oracle (was
                                   # rows-only)
     # approximate-sketch accuracy now verified IN the gate (r3)
@@ -158,7 +168,17 @@ PRIORITY_QUERIES = [
     "stream_foreachbatch_ttl",      # NEW r3: S10/T8 + S13 retention —
                                   # supersedes stream_foreachbatch_latest's
                                   # slot (same upsert path + expire())
-    "stream_online_user_state",     # T4 (rows-only: stateful snapshot)
+    "stream_online_user_state",     # T4 — NOW oracle-shaped (r4: replay-
+                                  # determinism golden, integer state folds)
+    # round-4 rotation: first driver verdicts (see header comment)
+    "rag_chunking",                 # r3 leftover: RAG chunk splitter
+    "bpe_pair_counts",              # r3 leftover + r4 top-k rewrite
+    "iacs_login_sessions",          # NEW r4: IacsLogParser pairing ETL
+    "demand_report_full",           # NEW r4: DemandReport full columns
+    "demand_period_grains",         # NEW r4: DemandReportPeriod re-agg
+                                  # (also anchors U1 union-of-grains)
+    "stream_user_status_by_user_log",  # NEW r4: user-log stateful variant
+    "lookback_user_grains",         # NEW r4: LookbackUser per-user grain
 ]
 
 
