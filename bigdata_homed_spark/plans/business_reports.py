@@ -564,3 +564,111 @@ def home_open_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_region_id", "f_region_name", "f_city_id", "f_city_name",
         "f_province_id", "f_province_name",
     )
+
+
+# --------------------------------------------------------------------------
+# rank/reports/LabelToMqsql.scala:48-160 — the user-profile LABEL table:
+# one wide row per user assembling independent behavioral facets (total
+# watch duration, distinct active days, favorite series, favorite
+# behavior type, media ratio).  The reference computed each facet into a
+# driver-side mutable HashMap and issued per-user UPDATE statements; here
+# each facet is a per-user aggregate (argmax facets via a row_number=1
+# window PARTITIONED BY USER — thousands of tiny windows, never a global
+# one) and the wide row is a left-join assembly on the user grain.
+# Scale: every shuffle is keyed by user_id; the facet joins co-partition
+# on the same key so AQE folds them into one exchange per side.
+@query(
+    "user_profile_labels",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, value,
+             (epoch_us(ts)//1000000)//86400 AS day,
+             coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 40 AS series
+      FROM events
+    ),
+    base AS (
+      SELECT user_id,
+             cast(count(DISTINCT day) as bigint) AS f_active_days,
+             cast(count(*) as bigint) AS n_total,
+             cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_view,
+             cast(sum(cast(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END
+                           as decimal(27,6))) as double) AS f_duration
+      FROM ev GROUP BY user_id
+    ),
+    fav_series AS (
+      SELECT user_id, series AS f_fav_series FROM (
+        SELECT user_id, series,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, series) AS rn
+        FROM ev WHERE event_type = 'view' GROUP BY user_id, series
+      ) WHERE rn = 1
+    ),
+    fav_type AS (
+      SELECT user_id, event_type AS f_fav_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rn
+        FROM ev GROUP BY user_id, event_type
+      ) WHERE rn = 1
+    )
+    SELECT b.user_id, b.f_active_days, b.f_duration,
+           round(b.n_view * 1.0 / b.n_total, 6) AS f_media_ratio,
+           fs.f_fav_series, ft.f_fav_type
+    FROM base b
+    LEFT JOIN fav_series fs ON fs.user_id = b.user_id
+    LEFT JOIN fav_type ft ON ft.user_id = b.user_id
+    """,
+)
+def user_profile_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts_sec div 86400").alias("day"),
+        (
+            F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)) % 40
+        ).alias("series"),
+    )
+    is_view = F.col("event_type") == "view"
+    base = ev.groupBy("user_id").agg(
+        F.countDistinct("day").cast("bigint").alias("f_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(is_view, 1).otherwise(0)).cast("bigint").alias("n_view"),
+        F.sum(
+            F.when(is_view, F.col("value")).otherwise(F.lit(0.0)).cast("decimal(27,6)")
+        )
+        .cast("double")
+        .alias("f_duration"),
+    )
+    ws = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("series"))
+    fav_series = (
+        ev.where(is_view)
+        .groupBy("user_id", "series")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("series").alias("f_fav_series"))
+    )
+    wt = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type"))
+    fav_type = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("f_fav_type"))
+    )
+    return (
+        base.join(fav_series, "user_id", "left")
+        .join(fav_type, "user_id", "left")
+        .select(
+            "user_id", "f_active_days", "f_duration",
+            F.round(F.col("n_view") * F.lit(1.0) / F.col("n_total"), 6).alias(
+                "f_media_ratio"
+            ),
+            "f_fav_series", "f_fav_type",
+        )
+    )

@@ -305,3 +305,105 @@ def iacs_login_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum("online_sec").cast("bigint").alias("total_online_sec"),
     )
+
+
+# --------------------------------------------------------------------------
+# OnlineTimePatch.scala:92-124 (same SQL in ReportLogParser.scala:115-160)
+# — the boot-duration REPAIR pass: per device-day, select the heartbeat
+# rows that mark run boundaries (the first row, the last row, or a
+# heartbeat immediately followed by a SYSTEM_OPEN), link them with a
+# second lead() over the SELECTED set, and emit one repaired run from the
+# first heartbeat to the next boundary; a run whose next event is an OPEN
+# means the box rebooted, so its playtime is zeroed (and then dropped by
+# the playtime > 0 filter), exactly as the reference's CASE does.  Two
+# stacked window passes with DIFFERENT frames over the same
+# (device, day)-partitioned sort — one sort, two logical windows, no
+# re-shuffle (both windows share the partition key).
+_RUN_REPAIR_ORACLE = """
+WITH log AS (
+  SELECT event_id, user_id,
+         user_id * 10 + coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 3
+           AS device,
+         CASE event_type WHEN 'view' THEN 701 WHEN 'signup' THEN 601 ELSE 100 END
+           AS service,
+         epoch_us(ts)//1000000 AS sec,
+         (epoch_us(ts)//1000000)//86400 AS day
+  FROM events
+),
+t1 AS (
+  SELECT *,
+         lead(service, 1, 0) OVER w AS service2,
+         first_value(sec) OVER w AS first_sec
+  FROM log
+  WINDOW w AS (PARTITION BY device, day ORDER BY sec, event_id)
+),
+boundaries AS (
+  SELECT * FROM t1
+  WHERE service = 701
+    AND (sec = first_sec OR service2 = 0 OR service2 = 601)
+),
+t2 AS (
+  SELECT *,
+         lead(sec, 1, sec) OVER (PARTITION BY device, day ORDER BY sec, event_id)
+           AS sec2
+  FROM boundaries
+)
+SELECT DISTINCT user_id, device, day,
+       sec AS start_sec,
+       CASE WHEN service2 = 601 THEN sec ELSE sec2 END AS end_sec,
+       CASE WHEN service2 = 601 THEN 0 ELSE sec2 - sec END AS playtime
+FROM t2
+WHERE sec = first_sec AND (CASE WHEN service2 = 601 THEN 0 ELSE sec2 - sec END) > 0
+"""
+
+
+@query("heartbeat_run_repair", oracle=_RUN_REPAIR_ORACLE)
+def heartbeat_run_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    log = ev.select(
+        "event_id",
+        "user_id",
+        (F.col("user_id") * 10 + k % 3).alias("device"),
+        F.when(F.col("event_type") == "view", 701)
+        .when(F.col("event_type") == "signup", 601)
+        .otherwise(100)
+        .alias("service"),
+        F.col("ts_sec").alias("sec"),
+        F.expr("ts_sec div 86400").alias("day"),
+    )
+    w = Window.partitionBy("device", "day").orderBy("sec", "event_id")
+    t1 = log.select(
+        "*",
+        F.lead("service", 1, 0).over(w).alias("service2"),
+        F.first("sec").over(w).alias("first_sec"),
+    )
+    boundaries = t1.where(
+        (F.col("service") == 701)
+        & (
+            (F.col("sec") == F.col("first_sec"))
+            | (F.col("service2") == 0)
+            | (F.col("service2") == 601)
+        )
+    )
+    t2 = boundaries.select("*", F.lead("sec", 1).over(w).alias("sec2_raw")).withColumn(
+        "sec2", F.coalesce(F.col("sec2_raw"), F.col("sec"))
+    )
+    end_sec = F.when(F.col("service2") == 601, F.col("sec")).otherwise(F.col("sec2"))
+    playtime = F.when(F.col("service2") == 601, F.lit(0)).otherwise(
+        F.col("sec2") - F.col("sec")
+    )
+    return (
+        t2.where((F.col("sec") == F.col("first_sec")) & (playtime > 0))
+        .select(
+            "user_id", "device", "day",
+            F.col("sec").alias("start_sec"),
+            end_sec.alias("end_sec"),
+            playtime.alias("playtime"),
+        )
+        .distinct()
+    )
