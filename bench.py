@@ -90,6 +90,10 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: warm {dt:.2f}s / cold {cold:.2f}s ({n} rows)", file=sys.stderr)
+        # drop this query's persisted intermediates so cache memory doesn't
+        # accumulate across the suite and inflate later queries (each query
+        # still keeps its own cache between its cold and warm runs)
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

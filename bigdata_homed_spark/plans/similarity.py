@@ -274,6 +274,7 @@ def ann_planes_for(n_vectors: int, target: int = ANN_TARGET_BUCKET_ROWS) -> int:
 
 
 _WT_CACHE: dict[tuple[int, int], list[list[float]]] = {}
+_ANN_PLANES_CACHE: dict[str, int] = {}
 
 
 def _wt(t: int, planes: int = ANN_PLANES) -> list[list[float]]:
@@ -330,10 +331,18 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
     # plane count tracks corpus size (ann_planes_for rule); the count is a
-    # column-pruned scan — negligible next to the signature+join stages.
+    # column-pruned scan — negligible next to the signature+join stages —
+    # and is cached per (session, sf_dir) so repeat runs skip the job.
     # At every oracle-checked SF (≤2 000 vectors) the rule returns the
     # floor of 6, matching the static SQL oracle's buckets exactly.
-    planes = ann_planes_for(load_table(spark, sf_dir, "embeddings").count())
+    from ..session import session_cache_key
+
+    ck = session_cache_key(spark, sf_dir)
+    if ck not in _ANN_PLANES_CACHE:
+        _ANN_PLANES_CACHE[ck] = ann_planes_for(
+            load_table(spark, sf_dir, "embeddings").count()
+        )
+    planes = _ANN_PLANES_CACHE[ck]
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )

@@ -1178,13 +1178,23 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
     ).select("doc_id", hash64(F.col("shingle")).alias("sh_h"))
-    first_seen = sh.groupBy("sh_h").agg(F.min("doc_id").alias("first_doc"))
-    joined = sh.join(first_seen, "sh_h")
-    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+    # ONE explode pass: reduce occurrences to (doc, shingle, n_occ) with a
+    # map-side combine, take first-seen via a shingle-partitioned min window
+    # on the REDUCED table (thousands of small partitions, never global),
+    # then fold to the doc grain — replaces the former occurrence-table
+    # self-join, which tokenized the corpus twice and sort-merge-joined
+    # every shingle occurrence against the distinct-shingle table.
+    from pyspark.sql import Window
+
+    red = sh.groupBy("doc_id", "sh_h").agg(F.count(F.lit(1)).alias("n_occ"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("sh_h"))
+    marked = red.withColumn("first_doc", first_doc)
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), F.col("n_occ")).otherwise(0))
+    total = F.sum("n_occ")
+    return marked.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_shingles"),
         novel.cast("bigint").alias("n_novel"),
-        F.round(novel * F.lit(1.0) / F.count(F.lit(1)), 6).alias("novelty"),
+        F.round(novel * F.lit(1.0) / total, 6).alias("novelty"),
     )
 
 
