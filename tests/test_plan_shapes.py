@@ -201,3 +201,39 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_business_reports_broadcast_and_no_global_windows(spark, sf_dir):
+    """Round-4 report family plan pins: every dim join broadcasts, no
+    report query plans a partition-less global window, and the lifecycle
+    CASE's window predicate reaches the orders scan."""
+    from bigdata_homed_spark.plans.business_reports import (
+        billing_program_revenue,
+        package_revenue_report,
+        recommend_result_enrich,
+        user_profile_labels,
+    )
+
+    for fn in (package_revenue_report, billing_program_revenue, recommend_result_enrich):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+
+    # argmax windows must be user-partitioned, never "No Partition Defined"
+    plan = plan_of(user_profile_labels(spark, sf_dir))
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "user_id" in line, line
+
+
+def test_package_revenue_pushes_window_filter(spark, sf_dir):
+    """The buy/exp window predicate is derived (day arithmetic), so it
+    cannot reach PushedFilters — but it must still run BEFORE the joins
+    (filter below the broadcast joins), keeping the fact slice minimal."""
+    from bigdata_homed_spark.plans.business_reports import package_revenue_report
+
+    plan = formatted(package_revenue_report(spark, sf_dir))
+    filter_pos = plan.find("Filter")
+    join_pos = plan.find("BroadcastHashJoin")
+    assert filter_pos != -1 and join_pos != -1
