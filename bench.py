@@ -66,6 +66,14 @@ BENCH_QUERIES = [
     "live_channel_halfhour_full",
     "rag_chunking",
     "bpe_pair_counts",
+    # round-4 widening: raw-log pairing ETL, the demand full-column chain,
+    # the order-lifecycle revenue report, and the per-user label assembly
+    # (argmax windows + wide-row join) — the new shapes added this round.
+    # Totals remain incomparable across rounds; compare per-query.
+    "iacs_login_sessions",
+    "demand_report_full",
+    "package_revenue_report",
+    "user_profile_labels",
 ]
 
 
