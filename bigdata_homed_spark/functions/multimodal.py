@@ -142,3 +142,90 @@ def downsample_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return docs.select("doc_id", text_col).mapInPandas(run, THUMB_SCHEMA)
+
+
+DISPATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("feature_hash", T.StringType()),
+        T.StructField("feature_val", T.LongType()),
+    ]
+)
+
+
+def modality_dispatch(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Modality routing: payloads carry a mime type and each modality runs
+    its OWN decoder — the union-of-decoders shape of a real multimodal
+    ingest (image → thumbnail, audio → energy, video → keyframe).  The
+    split is a filter per branch (one scan each, pushdown keeps it cheap),
+    each branch is an independent Arrow ``mapInPandas`` with its own batch
+    profile, and the outputs union on a common feature schema.  Decoders
+    are the deterministic byte-level stand-ins (module docstring): image =
+    strided thumbnail hash, audio = total codepoint energy + window count,
+    video = sampled-keyframe count + first-frame hash."""
+    import hashlib
+
+    typed = docs.select(
+        "doc_id",
+        text_col,
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+    )
+
+    def run_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [s[::THUMB_STRIDE] for s in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "mime": pdf["mime"].values,
+                    "feature_hash": [
+                        hashlib.md5(t.encode("utf-8")).hexdigest() for t in thumbs
+                    ],
+                    "feature_val": [len(t) for t in thumbs],
+                }
+            )
+
+    def run_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            energies = [sum(ord(c) for c in s) for s in pdf[text_col]]
+            windows = [(len(s) + FRAME_CHARS - 1) // FRAME_CHARS for s in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "mime": pdf["mime"].values,
+                    "feature_hash": [
+                        hashlib.md5(str(w).encode()).hexdigest() for w in windows
+                    ],
+                    "feature_val": energies,
+                }
+            )
+
+    def run_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, hashes, vals = [], [], [], []
+            for doc_id, mime, s in zip(pdf["doc_id"], pdf["mime"], pdf[text_col]):
+                n_frames = len(s) // FRAME_CHARS
+                sampled = list(range(0, n_frames, FRAME_STRIDE))
+                first = s[:FRAME_CHARS]
+                ids.append(doc_id)
+                mimes.append(mime)
+                hashes.append(hashlib.md5(first.encode("utf-8")).hexdigest())
+                vals.append(len(sampled))
+            yield pd.DataFrame(
+                {"doc_id": ids, "mime": mimes, "feature_hash": hashes, "feature_val": vals}
+            )
+
+    image = typed.where(F.col("mime") == "image/png").mapInPandas(
+        run_image, DISPATCH_SCHEMA
+    )
+    audio = typed.where(F.col("mime") == "audio/wav").mapInPandas(
+        run_audio, DISPATCH_SCHEMA
+    )
+    video = typed.where(F.col("mime") == "video/mp4").mapInPandas(
+        run_video, DISPATCH_SCHEMA
+    )
+    return image.unionByName(audio).unionByName(video)
