@@ -105,6 +105,10 @@ from . import business_reports  # noqa: E402,F401
 #                            label_centroids/kmeans_clusters/label_top_direction
 #   bitmap_multi_period_distinct -> A7 anchored by business_user_array_cycle's
 #                            pack->persist->unpack cycle
+# Late-r4 additions with no safe eviction left (business/revenue family,
+# heartbeat_run_repair, user_profile_labels, media_dedup_by_content,
+# modality_dispatch_features, lookback_user_grains' siblings) wait outside
+# the window per policy — GATELOG_r4 covers them until r5 rotation.
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1

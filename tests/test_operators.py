@@ -315,3 +315,44 @@ def test_label_top_direction(spark, sf_dir):
 
     again = run()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_global_top_k_matches_window_ranking(spark):
+    """Property: global_top_k (distributed TakeOrdered + k-row rank) must
+    equal the naive partition-less row_number window it replaced, for any
+    data and k — including ties in the value column (broken by id)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.operators.aggregate import global_top_k
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=30),
+        k=st.integers(min_value=1, max_value=10),
+    )
+    def run(vals, k):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+        )
+        order = [F.col("v").desc(), F.col("id").asc()]
+        got = {
+            (r.id, r.v, r.rnk)
+            for r in global_top_k(df, order, k).collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            (r.id, r.v, r.rnk)
+            for r in df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .collect()
+        }
+        assert got == want
+
+    run()
