@@ -93,9 +93,12 @@ from . import business_reports  # noqa: E402,F401
 # keeps an in-window anchor; all stay green in GATELOG_r4):
 #   gap_sessions          -> W1 anchored by video_play_report's pairing +
 #                            capped_play_sessions' lead() windows
-#   props_struct_parse    -> §2.8 JSON anchored by demand_report_full /
-#                            demand_package_tiers' from_json normalization
-#                            + search_result_category_report's str_to_map
+#   live_channel_halfhour_full -> r3 verdict already recorded; its rows
+#                            (time-grid explode, geo grains, multi-grain
+#                            union, left-join nvl) anchored by
+#                            demand_report_full + video_play_report
+#                            (props_struct_parse stays IN: it is the only
+#                            window anchor for the typed from_json shape)
 #   union_period_grains   -> U1 anchored by demand_period_grains (the
 #                            period-grain union itself)
 #   ngram_jaccard_pairs   -> dedup family anchored by fingerprint/minhash/
@@ -121,10 +124,7 @@ PRIORITY_QUERIES = [
     "value_percentiles",          # exact percentile
     # events/behavior chain (SURVEY §2 W1-W4, A7, §2.8)
     "capped_play_sessions",       # W3/T6
-    "live_channel_halfhour_full", # NEW r3: LiveChannelStatistics full
-                                  # half-hour chain — time-grid explode
-                                  # (halfhour_activity's slot), geo grains,
-                                  # ShareSuccess 5-key left join
+    "props_struct_parse",         # JSON from_json (sole typed-JSON anchor)
     "heartbeat_online_time",      # W2/T5
     "search_result_category_report",  # NEW r3: SearchDetailNew 26-range
                                   # classifier (runlog_parse_terminals'
