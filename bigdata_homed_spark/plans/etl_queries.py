@@ -25,7 +25,7 @@ WITH ev AS (
 ),
 lines AS (
   SELECT event_id,
-    '[' || cast(event_id % 32768 as varchar) || ']'
+    '[' || cast(event_id as varchar) || ']'
         || strftime(make_timestamp(sec*1000000), '%Y-%m-%d %H:%M:%S')
         || ' - [INFO] - '
         || CASE event_type WHEN 'signup' THEN 'Success'

@@ -14,19 +14,20 @@ from bigdata_homed_spark.streaming.jobs import kafka_stream_options
 def test_parse_drops_malformed_lines(spark):
     lines = spark.createDataFrame(
         [
-            (1, "[123]2024-01-05 10:00:00 - [INFO] - Success, DA 7, DeviceId 5, ProgramMethod live, ProgramID 3, PlayS 60"),
-            (2, "no header at all"),
-            (3, "[9]bad-date - [INFO] - Success, DA 7"),
-            (4, ""),
-            (5, "[1]2024-01-05 10:00:00 - [INFO] - BINARYC, DA 1, DeviceId 2"),  # blacklist
-            (6, "[5]2024-01-05 11:00:00 - [INFO] - Finished, DA 7, DeviceId 5, ProgramMethod live, ProgramID 3, PlayS 61"),
+            ("[123]2024-01-05 10:00:00 - [INFO] - Success, DA 7, DeviceId 5, ProgramMethod live, ProgramID 3, PlayS 60",),
+            ("no header at all",),
+            ("[9]bad-date - [INFO] - Success, DA 7",),
+            ("",),
+            ("[1]2024-01-05 10:00:00 - [INFO] - BINARYC, DA 1, DeviceId 2",),  # blacklist
+            ("[5]2024-01-05 11:00:00 - [INFO] - Finished, DA 7, DeviceId 5, ProgramMethod live, ProgramID 3, PlayS 61",),
         ],
-        ["event_id", "line"],
+        ["line"],
     )
     parsed = parse_lines(filter_blacklist(lines))
     rows = parsed.collect()
-    assert sorted(r.event_id for r in rows) == [1, 6]
-    good = [r for r in rows if r.event_id == 1][0]
+    # event_id is recovered from the [pid] slot of the surviving lines
+    assert sorted(r.event_id for r in rows) == [5, 123]
+    good = [r for r in rows if r.event_id == 123][0]
     assert good.user_id == 7 and good.device_id == 5 and good.plays == 60
     assert good.sec == 1704448800  # 2024-01-05 10:00:00 UTC
 

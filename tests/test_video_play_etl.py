@@ -111,19 +111,13 @@ def test_text_file_multipath_read_matches_inline(spark, sf_dir, tmp_path):
     half1.select("line").write.mode("overwrite").text(p1)
     half2.select("line").write.mode("overwrite").text(p2)
 
-    # a real file read carries no synthetic event_id; assign a fresh one
-    # (parse_lines threads it as a tiebreaker) and compare on the PARSED
-    # CONTENT columns, which must match the inline path exactly
-    from_files = (
-        spark.read.text([p1, p2])
-        .withColumnRenamed("value", "line")
-        .withColumn("event_id", F.monotonically_increasing_id())
-    )
-    cols = ["sec", "keyword", "user_id", "device_id", "method", "program_id", "plays"]
+    # the line text itself carries the event id (the [pid] slot), so the
+    # file path and the inline path must agree on EVERY parsed column,
+    # including the deterministic tiebreaker
+    from_files = spark.read.text([p1, p2]).withColumnRenamed("value", "line")
+    cols = ["event_id", "sec", "keyword", "user_id", "device_id", "method", "program_id", "plays"]
     parsed_files = parse_lines(filter_blacklist(from_files)).select(*cols)
-    parsed_inline = parse_lines(
-        filter_blacklist(lines.select("line", "event_id"))
-    ).select(*cols)
+    parsed_inline = parse_lines(filter_blacklist(lines.select("line"))).select(*cols)
 
     a = sorted(map(tuple, parsed_files.collect()))
     b = sorted(map(tuple, parsed_inline.collect()))
