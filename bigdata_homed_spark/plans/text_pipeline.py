@@ -1361,9 +1361,14 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size(tk) >= 2)
         .select(F.explode(pairs).alias("pair"))
     )
+    # both consumers below (global total + top-k) re-aggregate from the raw
+    # explode without this persist — one materialized pass over the corpus
+    # instead of two.  The aggregated pair table is vocabulary-bounded (far
+    # smaller than the corpus); at 100 TB this is "stage the pair counts",
+    # which is exactly what a real BPE trainer does between merge rounds.
     counts = exploded.groupBy("pair").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occ")
-    )
+    ).persist()
     from ..operators.aggregate import global_top_k
 
     tot = F.broadcast(counts.agg(F.sum("n_occ").cast("bigint").alias("n_total")))
