@@ -144,25 +144,27 @@ def channel_report(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFram
 # day-count/report-date scalars ride a 1-row broadcast, no driver collect.
 
 _REG = ["f_terminal", "f_region_id", "f_city_id", "f_province_id"]
-_NAMES = ["f_region_name", "f_city_name", "f_province_name"]
-_CH = ["f_channel_id", "f_channel_name"]
-_PROG = ["f_program_id", "f_program_name", "f_relevance_id", "f_program_start_time"]
+_CH = ["f_channel_id"]
+_PROG = ["f_program_id"]
 
 
 def build_channel_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The t_chanel_data_base analog: one row per watch event with the
-    full terminal/geo/channel/program/user column set.  Geo comes from the
-    customer→nation→region dims (broadcast, they are tiny); the program is
-    resolved by slot arithmetic against the uniform synthetic EPG (the
-    interval-join spelling is exercised by `channel_report`)."""
+    """The t_chanel_data_base analog: one row per watch event — but NARROW.
+
+    Every name/program-attribute column of the reference's base table is
+    FUNCTIONAL on an id already present here (f_region_name = 'rg_'+id,
+    f_channel_name = 'ch_'+id, program name/relevance/start_time all derive
+    from f_program_id, city/province names are 25/5-row dim lookups), so
+    this base carries only the 9 numeric columns.  Names are derived or
+    broadcast-joined AFTER aggregation (`_with_geo_names`) — at 100 TB that
+    keeps repeated strings out of every one of the report's nine shuffles
+    instead of hashing/sorting them billions of times.  Geo ids come from
+    the customer→nation dims (broadcast, tiny)."""
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_nationkey"
     )
-    nat = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
-    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
     plays = ev.select(
         "user_id",
@@ -175,10 +177,8 @@ def build_channel_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts_sec") >= GUIDE_START) & (F.col("ts_sec") < GUIDE_END)
     )
     slot = F.floor((F.col("ts_sec") - GUIDE_START) / PROGRAM_SEC).cast("bigint")
-    geo = (
-        plays.join(F.broadcast(cust), "user_id")
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    geo = plays.join(F.broadcast(cust), "user_id").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
     )
     region_id = (F.col("n_nationkey").cast("bigint") * 10 + F.col("user_id") % 4)
     prog_id = F.col("f_channel_id") * 10000 + slot
@@ -188,24 +188,25 @@ def build_channel_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         region_id.alias("f_region_id"),
         F.col("n_nationkey").cast("bigint").alias("f_city_id"),
         F.col("n_regionkey").cast("bigint").alias("f_province_id"),
-        F.concat(F.lit("rg_"), region_id.cast("string")).alias("f_region_name"),
-        F.col("n_name").alias("f_city_name"),
-        F.col("r_name").alias("f_province_name"),
         "f_channel_id",
-        F.concat(F.lit("ch_"), F.col("f_channel_id").cast("string")).alias(
-            "f_channel_name"
-        ),
         prog_id.alias("f_program_id"),
-        F.concat(
-            F.lit("prog_"),
-            F.col("f_channel_id").cast("string"),
-            F.lit("_"),
-            slot.cast("string"),
-        ).alias("f_program_name"),
-        (F.lit(5000000) + prog_id).alias("f_relevance_id"),
-        (F.lit(GUIDE_START) + slot * PROGRAM_SEC).alias("f_program_start_time"),
         F.col("user_id").alias("f_user_id"),
         "f_play_sec",
+    )
+
+
+# program attributes are pure arithmetic on f_program_id (slot count is 372
+# per month, far under the 10000 packing radix)
+def _prog_slot() -> F.Column:
+    return F.col("f_program_id") % 10000
+
+
+def _prog_name() -> F.Column:
+    return F.concat(
+        F.lit("prog_"),
+        (F.col("f_program_id") / 10000).cast("bigint").cast("string"),
+        F.lit("_"),
+        _prog_slot().cast("string"),
     )
 
 
@@ -264,13 +265,16 @@ def _rating_pack(cat: DataFrame, keys: list[str], top_n: int) -> DataFrame:
         F.lit("."),
         F.lpad((F.col("rating_e8") % 100000000).cast("string"), 8, "0"),
     )
+    # relevance id / program name / start time are arithmetic on the packed
+    # f_program_id — derived here, at the ≤topN·groups row count, instead of
+    # being carried as strings through the fact shuffles
     pack = F.concat_ws(
         "&",
-        F.col("f_relevance_id"),
+        (F.lit(5000000) + F.col("f_program_id")),
         F.col("f_program_id"),
-        F.col("f_program_name"),
+        _prog_name(),
         rating_str,
-        F.col("f_program_start_time"),
+        (F.lit(GUIDE_START) + _prog_slot() * PROGRAM_SEC),
     )
     return top.groupBy(*keys).agg(
         F.concat_ws(",", F.array_sort(F.collect_set(pack))).alias("f_rating_arr")
@@ -286,7 +290,8 @@ def channel_report_full(spark: SparkSession, sf_dir: str, top_n: int = 3) -> Dat
 
     # the base fans out to 3 aggregation families × 3 grains; persist it
     # once like the reference (`base.persist(StorageLevel.DISK_ONLY)`,
-    # ChannelReport.scala:110) so the scan+parse+dim-join runs once
+    # ChannelReport.scala:110) so the scan+parse+dim-join runs once — and
+    # narrow (9 numeric columns): names re-attach post-agg, see finalize
     base = build_channel_base(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     scal = F.broadcast(
         base.agg(
@@ -303,50 +308,49 @@ def channel_report_full(spark: SparkSession, sf_dir: str, top_n: int = 3) -> Dat
         F.countDistinct("f_user_id").alias("f_uv")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     per_user_r = (
-        base.groupBy(*_REG, *_NAMES, *_CH, "f_user_id")
+        base.groupBy(*_REG, *_CH, "f_user_id")
         .agg(F.sum("f_play_sec").alias("upt"))
         .crossJoin(scal)
     )
-    df1_r = _tier_counts(per_user_r, _REG + _NAMES + _CH).persist(
+    df1_r = _tier_counts(per_user_r, _REG + _CH).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    df2_r = base.groupBy(*_REG, *_NAMES, *_CH, *_PROG).agg(
+    df2_r = base.groupBy(*_REG, *_CH, *_PROG).agg(
         F.sum("f_play_sec").cast("bigint").alias("f_program_play_time")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cat_r = df0_r.join(df2_r, _REG).crossJoin(scal)
-    df3_r = _rating_pack(cat_r, _REG + _NAMES + _CH, top_n)
-    df4_r = df1_r.join(df3_r, _REG + _NAMES + _CH).crossJoin(scal)
+    df3_r = _rating_pack(cat_r, _REG + _CH, top_n)
+    df4_r = df1_r.join(df3_r, _REG + _CH).crossJoin(scal)
 
     # ---- city grain: RE-AGGREGATED from the region outputs -------------
     city_k = ["f_terminal", "f_city_id", "f_province_id"]
-    city_nk = ["f_city_name", "f_province_name"]
     df0_c = df0_r.groupBy(*city_k).agg(F.sum("f_uv").cast("bigint").alias("f_uv"))
-    df1_c = df1_r.groupBy(*city_k, *city_nk, *_CH).agg(
+    df1_c = df1_r.groupBy(*city_k, *_CH).agg(
         F.sum("f_browse_user_count").cast("bigint").alias("f_browse_user_count"),
         F.sum("f_hobby_user_count").cast("bigint").alias("f_hobby_user_count"),
         F.sum("f_steady_user_count").cast("bigint").alias("f_steady_user_count"),
     )
-    df2_c = df2_r.groupBy(*city_k, *city_nk, *_CH, *_PROG).agg(
+    df2_c = df2_r.groupBy(*city_k, *_CH, *_PROG).agg(
         F.sum("f_program_play_time").cast("bigint").alias("f_program_play_time")
     )
     cat_c = df0_c.join(df2_c, city_k).crossJoin(scal)
-    df3_c = _rating_pack(cat_c, city_k + city_nk + _CH, top_n)
-    df4_c = df1_c.join(df3_c, city_k + city_nk + _CH).crossJoin(scal)
+    df3_c = _rating_pack(cat_c, city_k + _CH, top_n)
+    df4_c = df1_c.join(df3_c, city_k + _CH).crossJoin(scal)
 
     # ---- province grain: re-aggregated again ---------------------------
     prov_k = ["f_terminal", "f_province_id"]
     df0_p = df0_r.groupBy(*prov_k).agg(F.sum("f_uv").cast("bigint").alias("f_uv"))
-    df1_p = df1_r.groupBy(*prov_k, "f_province_name", *_CH).agg(
+    df1_p = df1_r.groupBy(*prov_k, *_CH).agg(
         F.sum("f_browse_user_count").cast("bigint").alias("f_browse_user_count"),
         F.sum("f_hobby_user_count").cast("bigint").alias("f_hobby_user_count"),
         F.sum("f_steady_user_count").cast("bigint").alias("f_steady_user_count"),
     )
-    df2_p = df2_r.groupBy(*prov_k, "f_province_name", *_CH, *_PROG).agg(
+    df2_p = df2_r.groupBy(*prov_k, *_CH, *_PROG).agg(
         F.sum("f_program_play_time").cast("bigint").alias("f_program_play_time")
     )
     cat_p = df0_p.join(df2_p, prov_k).crossJoin(scal)
-    df3_p = _rating_pack(cat_p, prov_k + ["f_province_name"] + _CH, top_n)
-    df4_p = df1_p.join(df3_p, prov_k + ["f_province_name"] + _CH).crossJoin(scal)
+    df3_p = _rating_pack(cat_p, prov_k + _CH, top_n)
+    df4_p = df1_p.join(df3_p, prov_k + _CH).crossJoin(scal)
 
     user_type = F.concat(
         F.lit("1:"),
@@ -357,7 +361,25 @@ def channel_report_full(spark: SparkSession, sf_dir: str, top_n: int = 3) -> Dat
         F.col("f_steady_user_count"),
     )
 
+    # city/province display names are 25/5-row dim lookups — broadcast
+    # joined onto the AGGREGATED rows (thousands), never onto the fact
+    nat_names = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("bigint").alias("f_city_id"),
+            F.col("n_name").alias("__city_name"),
+        )
+    )
+    reg_names = F.broadcast(
+        load_table(spark, sf_dir, "region").select(
+            F.col("r_regionkey").cast("bigint").alias("f_province_id"),
+            F.col("r_name").alias("f_province_name"),
+        )
+    )
+
     def finalize(df: DataFrame, region: bool, city: bool) -> DataFrame:
+        df = df.join(reg_names, ["f_province_id"])
+        if city:
+            df = df.join(nat_names, ["f_city_id"])
         return df.select(
             F.col("f_date_label").alias("f_date"),
             "f_terminal",
@@ -368,11 +390,17 @@ def channel_report_full(spark: SparkSession, sf_dir: str, top_n: int = 3) -> Dat
                 "f_city_id"
             ),
             F.col("f_province_id").cast("string").alias("f_province_id"),
-            (F.col("f_region_name") if region else F.lit("-1")).alias("f_region_name"),
-            (F.col("f_city_name") if city else F.lit("-1")).alias("f_city_name"),
+            (
+                F.concat(F.lit("rg_"), F.col("f_region_id").cast("string"))
+                if region
+                else F.lit("-1")
+            ).alias("f_region_name"),
+            (F.col("__city_name") if city else F.lit("-1")).alias("f_city_name"),
             "f_province_name",
             F.col("f_channel_id").cast("string").alias("f_channel_id"),
-            "f_channel_name",
+            F.concat(F.lit("ch_"), F.col("f_channel_id").cast("string")).alias(
+                "f_channel_name"
+            ),
             "f_rating_arr",
             user_type.alias("f_user_type"),
         )
