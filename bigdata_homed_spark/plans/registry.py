@@ -67,6 +67,7 @@ from . import asof_subqueries  # noqa: E402,F401
 from . import analysis_queries  # noqa: E402,F401
 from . import parity_extras  # noqa: E402,F401
 from . import business_reports  # noqa: E402,F401
+from . import demand_columns  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Evaluation-order curation.  The correctness driver checks registered

@@ -1296,10 +1296,14 @@ GROUP BY ALL
 """
 
 
-@query("demand_package_tiers", oracle=_PKG_ORACLE)
-def demand_package_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import load_table
+def _package_bridge(spark: SparkSession) -> DataFrame:
+    """Package→series membership bridge (`DemandPackage.scala:254-284`).
 
+    The package dim stores members as a JSON array string; the reference
+    normalizes it (strip brackets, ``},{`` → ``}||{``) then runs two
+    lateral-view explodes.  Here both are ``explode(split(...))`` over the
+    20-row dim — all JVM expressions, broadcast into any fact join.
+    """
     p = F.col("id")
     pkg = spark.range(0, 20).select(
         p.alias("package_id"),
@@ -1328,7 +1332,7 @@ def demand_package_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("grp"),
     )
-    bridge = frag.select(
+    return frag.select(
         "package_id",
         "package_name",
         "f_cp_sp",
@@ -1338,6 +1342,13 @@ def demand_package_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "package_id", "package_name", "f_cp_sp", "f_type",
         F.col("sid").cast("bigint").alias("f_series_id"),
     )
+
+
+@query("demand_package_tiers", oracle=_PKG_ORACLE)
+def demand_package_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    bridge = _package_bridge(spark)
     geo = _geo_dim(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
     k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
