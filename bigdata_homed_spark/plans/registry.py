@@ -68,6 +68,8 @@ from . import analysis_queries  # noqa: E402,F401
 from . import parity_extras  # noqa: E402,F401
 from . import business_reports  # noqa: E402,F401
 from . import demand_columns  # noqa: E402,F401
+from . import user_census  # noqa: E402,F401
+from . import realtime_snapshots  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Evaluation-order curation.  The correctness driver checks registered
