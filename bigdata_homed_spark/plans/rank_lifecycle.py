@@ -420,3 +420,217 @@ def user_channel_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_channels"),
         F.concat_ws("|", ranked).alias("top_channels"),
     )
+
+
+# --------------------------------------------------------------------------
+# StarRankWeek/StarRankMonth (`rank/reports/StarRankWeek.scala:64-181`,
+# StarRankMonth is the same pipeline at month grain): three heat feeds —
+# search/attention/click (loadSearchAttentionClick), net attention
+# (loadNetAttention), media heat (computeMediaHeat) — are unioned with
+# each feed filling only its own columns (:67), summed per (star, period)
+# (sql2 :84-91), totalled per period (sql3 :92-98), share-joined
+# (sql4 :102-109), and the composite heat is
+#   attention_share×0.35 + media_heat_share×0.25 + search_share×0.20
+#   + click_share×0.15 + net_share×0.5
+# rounded to 4 dp (`computeActorHeat:167-177`; the 0.5 net weight is the
+# reference's literal `ACTOR_RANK_NET_SEARCH_PROPORTION` — the weights
+# deliberately sum to 1.45 exactly as deployed).  periodType: week=2,
+# month=3 (`rank/common/Constant.scala:83-85`).
+#
+# Spark-first: the reference computed heat row-by-row in a mapPartitions
+# over collected Longs (:112-133); here it is one column expression.  The
+# per-period totals are a per-date 1-row-per-group broadcast join, the
+# final rank is a date-PARTITIONED window (top-100 per period — never a
+# partition-less global window), and all double math is decimal-summed
+# before the single share division so both engines see identical bits.
+# Star = supplier, clicks = lineitems, searches = distinct orders,
+# attention = quantity, net attention = first-line lineitems (the dim the sf schema keeps), media
+# heat = non-returned revenue.
+_STAR_PERIOD_ORACLE = """
+WITH base AS (
+  SELECT s.s_suppkey AS f_star_id, s.s_name AS f_star_name,
+         l.l_orderkey, l.l_quantity, l.l_returnflag, l.l_linenumber,
+         cast(l.l_extendedprice*(1-l.l_discount) as decimal(27,6)) AS rev,
+         datediff('day', DATE '1970-01-01', o.o_orderdate) AS day
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+),
+labelled AS (
+  SELECT 2 AS f_period_type,
+         strftime(DATE '1970-01-01' + cast(((day - 4)//7)*7 + 4 as int), '%Y-%m-%d')
+           AS f_date, *
+  FROM base
+  UNION ALL
+  SELECT 3 AS f_period_type,
+         strftime(DATE '1970-01-01' + cast(day as int), '%Y-%m') AS f_date, *
+  FROM base
+),
+sna AS (
+  SELECT f_period_type, f_date, f_star_id, f_star_name,
+         cast(count(*) as bigint) AS f_click_count,
+         cast(count(DISTINCT l_orderkey) as bigint) AS f_search_count,
+         cast(sum(l_quantity) as bigint) AS f_attention_count,
+         cast(0 as bigint) AS f_net_attention_count,
+         cast(0 as decimal(27,6)) AS heat_dec
+  FROM labelled GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT f_period_type, f_date, f_star_id, f_star_name,
+         0, 0, 0, cast(count(*) as bigint), cast(0 as decimal(27,6))
+  FROM labelled WHERE l_linenumber = 1 GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT f_period_type, f_date, f_star_id, f_star_name,
+         0, 0, 0, 0, cast(sum(rev) as decimal(27,6))
+  FROM labelled WHERE l_returnflag != 'R' GROUP BY 1, 2, 3, 4
+),
+per_star AS (
+  SELECT f_period_type, f_date, f_star_id, f_star_name,
+         cast(sum(f_click_count) as bigint) AS f_click_count,
+         cast(sum(f_search_count) as bigint) AS f_search_count,
+         cast(sum(f_attention_count) as bigint) AS f_attention_count,
+         cast(sum(f_net_attention_count) as bigint) AS f_net_attention_count,
+         cast(sum(heat_dec) as decimal(27,6)) AS heat_dec
+  FROM sna GROUP BY 1, 2, 3, 4
+),
+totals AS (
+  SELECT f_period_type, f_date,
+         cast(sum(f_click_count) as bigint) AS t_click,
+         cast(sum(f_search_count) as bigint) AS t_search,
+         cast(sum(f_attention_count) as bigint) AS t_attention,
+         cast(sum(f_net_attention_count) as bigint) AS t_net,
+         cast(sum(heat_dec) as decimal(27,6)) AS t_heat
+  FROM per_star GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.*,
+         round(
+           (CASE WHEN t.t_attention = 0 THEN 0.0
+                 ELSE cast(p.f_attention_count as double)/cast(t.t_attention as double)
+            END) * 0.35
+           + (CASE WHEN t.t_heat = 0 THEN 0.0
+                   ELSE cast(p.heat_dec as double)/cast(t.t_heat as double) END) * 0.25
+           + (CASE WHEN t.t_search = 0 THEN 0.0
+                   ELSE cast(p.f_search_count as double)/cast(t.t_search as double)
+              END) * 0.20
+           + (CASE WHEN t.t_click = 0 THEN 0.0
+                   ELSE cast(p.f_click_count as double)/cast(t.t_click as double)
+              END) * 0.15
+           + (CASE WHEN t.t_net = 0 THEN 0.0
+                   ELSE cast(p.f_net_attention_count as double)/cast(t.t_net as double)
+              END) * 0.5, 4) AS f_heat
+  FROM per_star p JOIN totals t USING (f_period_type, f_date)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY f_period_type, f_date
+                               ORDER BY f_heat DESC, f_star_id) AS f_rank
+  FROM scored
+)
+SELECT f_period_type, f_date, f_rank, f_star_id, f_star_name,
+       f_click_count, f_search_count, f_attention_count, f_net_attention_count,
+       cast(heat_dec as double) AS f_actor_heat, f_heat
+FROM ranked WHERE f_rank <= 100
+"""
+
+
+@query("star_rank_period_heat", oracle=_STAR_PERIOD_ORACLE)
+def star_rank_period_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import top_n_per_group
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity", "l_returnflag", "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(27,6)")
+        .alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("datediff(o_orderdate, DATE'1970-01-01')").alias("day")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("f_star_id"), F.col("s_name").alias("f_star_name")
+    )
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("f_star_id"))
+        .drop("o_orderkey", "l_suppkey")
+    )
+    week = F.expr(
+        "date_format(date_add(DATE'1970-01-01',"
+        " cast(((day - 4) div 7)*7 + 4 as int)), 'yyyy-MM-dd')"
+    )
+    month = F.expr("date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM')")
+    labelled = base.select(
+        F.lit(2).alias("f_period_type"), week.alias("f_date"), "*"
+    ).unionByName(base.select(F.lit(3).alias("f_period_type"), month.alias("f_date"), "*"))
+
+    keys = ["f_period_type", "f_date", "f_star_id", "f_star_name"]
+    zb = F.lit(0).cast("bigint")
+    zdec = F.lit(0).cast("decimal(27,6)")
+    sac = labelled.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("f_click_count"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("f_search_count"),
+        F.sum("l_quantity").cast("bigint").alias("f_attention_count"),
+    ).select(*keys, "f_click_count", "f_search_count", "f_attention_count",
+             zb.alias("f_net_attention_count"), zdec.alias("heat_dec"))
+    net = labelled.where(F.col("l_linenumber") == 1).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("f_net_attention_count")
+    ).select(*keys, zb.alias("f_click_count"), zb.alias("f_search_count"),
+             zb.alias("f_attention_count"), "f_net_attention_count",
+             zdec.alias("heat_dec"))
+    heat = labelled.where(F.col("l_returnflag") != "R").groupBy(*keys).agg(
+        F.sum("rev").cast("decimal(27,6)").alias("heat_dec")
+    ).select(*keys, zb.alias("f_click_count"), zb.alias("f_search_count"),
+             zb.alias("f_attention_count"), zb.alias("f_net_attention_count"),
+             "heat_dec")
+
+    per_star = (
+        sac.unionByName(net).unionByName(heat)
+        .groupBy(*keys)
+        .agg(
+            F.sum("f_click_count").cast("bigint").alias("f_click_count"),
+            F.sum("f_search_count").cast("bigint").alias("f_search_count"),
+            F.sum("f_attention_count").cast("bigint").alias("f_attention_count"),
+            F.sum("f_net_attention_count").cast("bigint").alias("f_net_attention_count"),
+            F.sum("heat_dec").cast("decimal(27,6)").alias("heat_dec"),
+        )
+    )
+    totals = per_star.groupBy("f_period_type", "f_date").agg(
+        F.sum("f_click_count").cast("bigint").alias("t_click"),
+        F.sum("f_search_count").cast("bigint").alias("t_search"),
+        F.sum("f_attention_count").cast("bigint").alias("t_attention"),
+        F.sum("f_net_attention_count").cast("bigint").alias("t_net"),
+        F.sum("heat_dec").cast("decimal(27,6)").alias("t_heat"),
+    )
+
+    def share(num, den):
+        return F.when(F.col(den) == 0, F.lit(0.0)).otherwise(
+            F.col(num).cast("double") / F.col(den).cast("double")
+        )
+
+    scored = per_star.join(
+        F.broadcast(totals), ["f_period_type", "f_date"]
+    ).withColumn(
+        "f_heat",
+        F.round(
+            share("f_attention_count", "t_attention") * 0.35
+            + share("heat_dec", "t_heat") * 0.25
+            + share("f_search_count", "t_search") * 0.20
+            + share("f_click_count", "t_click") * 0.15
+            + share("f_net_attention_count", "t_net") * 0.5,
+            4,
+        ),
+    )
+    ranked = top_n_per_group(
+        scored,
+        ["f_period_type", "f_date"],
+        [F.col("f_heat").desc(), F.col("f_star_id")],
+        100,
+        rank_col="f_rank",
+        dense=False,
+    )
+    return ranked.select(
+        "f_period_type", "f_date", "f_rank", "f_star_id", "f_star_name",
+        "f_click_count", "f_search_count", "f_attention_count",
+        "f_net_attention_count",
+        F.col("heat_dec").cast("double").alias("f_actor_heat"),
+        "f_heat",
+    )
