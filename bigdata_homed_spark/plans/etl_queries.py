@@ -407,3 +407,158 @@ def heartbeat_run_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# ArateFilter (`etl/ArateFilter.scala:17-135`, hunan customization): keep
+# only report-log lines whose column falls inside the subtree of given
+# root columns, then split behavior vs order (action=8) outputs.  Three
+# reference shapes re-expressed Spark-first:
+#
+# 1. `getColumnInfo`/`getSpecialColumn` (:92-135) — a RECURSIVE
+#    descendants closure walked over a JDBC parent-map on the driver.
+#    Here: an iterative frontier-expansion join over the (tiny) column
+#    dim until fixed point — the loop runs on the dim only (≤ depth
+#    iterations), never on the fact; membership then BROADCASTS into the
+#    fact filter.  Oracle: DuckDB `WITH RECURSIVE`.
+# 2. The driver-side `columnMap` (:44-74) that 0104 rows populate
+#    (program→column) and 0701/S,4 rows read back — an ORDER-DEPENDENT
+#    mutable HashMap in the reference.  Here: keep-latest per program
+#    over the mapping rows (deterministic tiebreak), broadcast-joined to
+#    the rows that lack a column id.
+# 3. The behavior/order split on action (:80-83) — one predicate split,
+#    no second scan (operators/setops.split_by_predicate shape); output
+#    is the per-(split, column) line/program counts (the reference's
+#    text-file write is the S7/S8 sink family, pinned elsewhere).
+#
+# Synthetic mapping: 'click' rows are 0104 program-browse lines carrying
+# (program=k%200, column=k%60); 'view' rows are 0701 play lines carrying
+# only the program; 'purchase' rows are action=8 orders carrying the
+# column directly (0131 shape); subtree roots = columns 2 and 9 in the
+# parent = id//4 hierarchy.
+_ARATE_ORACLE = """
+WITH coldim AS (
+  SELECT cast(c as bigint) AS f_column_id, cast(c // 4 as bigint) AS f_parent_id
+  FROM (SELECT unnest(generate_series(1, 59)) AS c)
+),
+subtree AS (
+  WITH RECURSIVE des AS (
+    SELECT f_column_id FROM coldim WHERE f_column_id IN (2, 9)
+    UNION ALL
+    SELECT c.f_column_id
+    FROM coldim c JOIN des d ON c.f_parent_id = d.f_column_id
+    WHERE c.f_column_id != d.f_column_id
+  )
+  SELECT DISTINCT f_column_id FROM des
+),
+ev AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts)//1000000 AS sec,
+         coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 200
+           AS program_id,
+         coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 60
+           AS col_raw
+  FROM events
+),
+mapping AS (
+  SELECT program_id, col_raw AS f_column_id
+  FROM (
+    SELECT program_id, col_raw,
+           row_number() OVER (PARTITION BY program_id
+                              ORDER BY sec DESC, event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click' AND col_raw != 0
+  ) WHERE rn = 1
+),
+resolved AS (
+  SELECT e.event_id, e.program_id,
+         CASE WHEN e.event_type = 'view' THEN coalesce(m.f_column_id, 0)
+              ELSE e.col_raw END AS f_column_id,
+         CASE WHEN e.event_type = 'purchase' THEN 'order' ELSE 'behavior' END
+           AS f_split
+  FROM ev e LEFT JOIN mapping m ON m.program_id = e.program_id
+  WHERE e.event_type IN ('click', 'view', 'purchase')
+)
+SELECT r.f_split, r.f_column_id,
+       cast(count(*) as bigint) AS n_lines,
+       cast(count(DISTINCT r.program_id) as bigint) AS n_programs
+FROM resolved r JOIN subtree s USING (f_column_id)
+GROUP BY 1, 2
+"""
+
+
+@query("arate_subtree_split", oracle=_ARATE_ORACLE)
+def arate_subtree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    # column dim (1..59, parent = id//4) — the t_column_info stand-in
+    dim = spark.range(1, 60).select(
+        F.col("id").alias("f_column_id"),
+        F.expr("cast(id div 4 as bigint)").alias("f_parent_id"),
+    )
+    # recursive descendants closure: frontier-expansion joins on the DIM
+    # (bounded by hierarchy depth; id//4 halves the bits, so ≤ 4 levels
+    # here — the loop is over a broadcast-sized dim, not the fact)
+    member = spark.createDataFrame([(2,), (9,)], "f_column_id bigint")
+    frontier = member
+    for _ in range(8):  # depth bound; frontier empties well before this
+        children = (
+            dim.join(
+                F.broadcast(frontier.withColumnRenamed("f_column_id", "p")),
+                F.col("f_parent_id") == F.col("p"),
+            )
+            .where(F.col("f_column_id") != F.col("p"))
+            .select("f_column_id")
+            .exceptAll(member)
+            .distinct()
+        )
+        if not children.take(1):
+            break
+        member = member.unionByName(children).distinct()
+        frontier = children
+    member = member.localCheckpoint(eager=True)
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    base = ev.where(F.col("event_type").isin("click", "view", "purchase")).select(
+        "event_id",
+        "event_type",
+        F.col("ts_sec").alias("sec"),
+        (k % 200).alias("program_id"),
+        (k % 60).alias("col_raw"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("program_id").orderBy(
+            F.col("sec").desc(), F.col("event_id").desc()
+        )
+    )
+    mapping = (
+        base.where((F.col("event_type") == "click") & (F.col("col_raw") != 0))
+        .withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("program_id", F.col("col_raw").alias("map_col"))
+    )
+    resolved = (
+        base.join(mapping, "program_id", "left")
+        .select(
+            "event_id",
+            "program_id",
+            F.when(
+                F.col("event_type") == "view", F.coalesce("map_col", F.lit(0))
+            )
+            .otherwise(F.col("col_raw"))
+            .alias("f_column_id"),
+            F.when(F.col("event_type") == "purchase", "order")
+            .otherwise("behavior")
+            .alias("f_split"),
+        )
+    )
+    return (
+        resolved.join(F.broadcast(member), "f_column_id")
+        .groupBy("f_split", "f_column_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.countDistinct("program_id").cast("bigint").alias("n_programs"),
+        )
+    )
