@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "demand_report_full",
     "package_revenue_report",
     "user_profile_labels",
+    # late-r4 widening: the 3-feed union + share-of-total heat rank
+    # (countDistinct over a union, date-partitioned top-100) and the
+    # census (min_by family grain + pay semi-join) — the two heaviest
+    # new plans of the second r4 batch.
+    "star_rank_period_heat",
+    "user_census_by_area",
 ]
 
 

@@ -13,8 +13,11 @@ program-grain table and a content-type rollup (:99-104).
 Spark-first: the keyed state is the batch keep-latest over the event
 log (one user-keyed window, the same state the streaming job
 checkpoints); the snapshot instant is the corpus max timestamp as a
-1-row broadcast (the reference's driver-computed nodeTime); media and
-geo dims broadcast; the reference's driver-side region HashMap +
+1-row broadcast (the reference's driver-computed nodeTime); 'online'
+means the user's latest event is a lookback heartbeat within the
+trailing 6 h — the reference's state rows stay online until an explicit
+End flips them, so the generous window models the same long-lived
+sessions; media and geo dims broadcast; the reference's driver-side region HashMap +
 per-row ``map()`` becomes a broadcast join.  Both output grains are one
 narrow re-aggregation apart and union into a single frame
 (f_grain = 'program' | 'type').
@@ -71,7 +74,7 @@ state AS (
   SELECT e.user_id, e.f_program_id, w.wmax
   FROM ev e CROSS JOIN w
   WHERE e.rn = 1 AND e.event_type = 'view'
-        AND e.sec >= w.wmax - 1799
+        AND e.sec >= w.wmax - 21599
 ),
 counts AS (
   SELECT s.wmax AS f_node_sec,
@@ -149,7 +152,7 @@ def program_lookback_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = (
         latest.crossJoin(F.broadcast(wmax))
         .where(
-            (F.col("event_type") == "view") & (F.col("sec") >= F.col("wmax") - 1799)
+            (F.col("event_type") == "view") & (F.col("sec") >= F.col("wmax") - 21599)
         )
         .select("user_id", "f_program_id", F.col("wmax").alias("f_node_sec"))
     )

@@ -115,6 +115,21 @@ from . import realtime_snapshots  # noqa: E402,F401
 # heartbeat_run_repair, user_profile_labels, media_dedup_by_content,
 # modality_dispatch_features, lookback_user_grains' siblings) wait outside
 # the window per policy — GATELOG_r4 covers them until r5 rotation.
+#
+# Second r4 rotation (new report-family analogs): IN = user_census_by_area
+# (CountUsers census — first driver verdict for the user-dim census
+# family) + star_rank_period_heat (StarRankWeek/Month multi-feed heat).
+# OUT:
+#   value_percentiles -> exact-percentile row stays pinned by the
+#                        value_percentiles_approx in-window accuracy query
+#                        (same percentile oracle shape) + gate/tests
+#   kmeans_clusters   -> centroid family keeps TWO in-window anchors
+#                        (label_centroids, label_top_direction); Lloyd
+#                        iterations stay green in the committed gate log
+# Remaining new r4 analogs (demand_column_user_types,
+# column_demand_program_details, package_program_periods,
+# program_lookback_snapshot, arate_subtree_split) wait outside per
+# policy — the committed GATELOG covers them until r5.
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
@@ -124,7 +139,8 @@ PRIORITY_QUERIES = [
     "customer_tier_pivot",        # A5
     "clickers_without_purchase",  # J10/U2
     "partitioned_fact_roundtrip", # S2/S7/S8
-    "value_percentiles",          # exact percentile
+    "user_census_by_area",        # NEW r4: CountUsers census (rotation 2;
+                                  # exact-percentile row -> value_percentiles_approx)
     # events/behavior chain (SURVEY §2 W1-W4, A7, §2.8)
     "capped_play_sessions",       # W3/T6
     "props_struct_parse",         # JSON from_json (sole typed-JSON anchor)
@@ -160,7 +176,9 @@ PRIORITY_QUERIES = [
     "embedding_knn_ivf",          # IVF probe (embedding_knn brute-force
                                   # baseline stays in the local gate)
     "label_centroids",            # centroids/outliers/decisions family
-    "kmeans_clusters",            # r2: Lloyd iterations, oracle-exact
+    "star_rank_period_heat",      # NEW r4: StarRankWeek/Month heat rank
+                                  # (rotation 2; kmeans' centroid family
+                                  # keeps label_centroids + label_top_direction)
     "label_top_direction",        # r3: certified-invariant oracle (was
                                   # rows-only)
     # approximate-sketch accuracy now verified IN the gate (r3)
