@@ -417,10 +417,11 @@ def heartbeat_run_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # 1. `getColumnInfo`/`getSpecialColumn` (:92-135) — a RECURSIVE
 #    descendants closure walked over a JDBC parent-map on the driver.
-#    Here: an iterative frontier-expansion join over the (tiny) column
-#    dim until fixed point — the loop runs on the dim only (≤ depth
-#    iterations), never on the fact; membership then BROADCASTS into the
-#    fact filter.  Oracle: DuckDB `WITH RECURSIVE`.
+#    The taxonomy is a bounded dim, so the closure is a driver BFS over
+#    the collected parent map (the reference's own shape, minus the
+#    quadratic entrySet rescan per level); membership then BROADCASTS
+#    into the fact filter — the fact never leaves the executors.
+#    Oracle: DuckDB `WITH RECURSIVE`.
 # 2. The driver-side `columnMap` (:44-74) that 0104 rows populate
 #    (program→column) and 0701/S,4 rows read back — an ORDER-DEPENDENT
 #    mutable HashMap in the reference.  Here: keep-latest per program
@@ -495,27 +496,33 @@ def arate_subtree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("f_column_id"),
         F.expr("cast(id div 4 as bigint)").alias("f_parent_id"),
     )
-    # recursive descendants closure: frontier-expansion joins on the DIM
-    # (bounded by hierarchy depth; id//4 halves the bits, so ≤ 4 levels
-    # here — the loop is over a broadcast-sized dim, not the fact)
-    member = spark.createDataFrame([(2,), (9,)], "f_column_id bigint")
-    frontier = member
-    for _ in range(8):  # depth bound; frontier empties well before this
-        children = (
-            dim.join(
-                F.broadcast(frontier.withColumnRenamed("f_column_id", "p")),
-                F.col("f_parent_id") == F.col("p"),
-            )
-            .where(F.col("f_column_id") != F.col("p"))
-            .select("f_column_id")
-            .exceptAll(member)
-            .distinct()
-        )
-        if not children.take(1):
-            break
-        member = member.unionByName(children).distinct()
-        frontier = children
-    member = member.localCheckpoint(eager=True)
+    # recursive descendants closure: the column taxonomy is a BOUNDED dim
+    # (thousands of rows at production scale — the reference pulled the
+    # whole t_column_info parent map to the driver over JDBC and recursed
+    # on it, :92-135).  Same shape here: collect the parent map once, BFS
+    # on the driver, broadcast the membership set back into the FACT
+    # filter — the per-level Spark-join alternative costs one job per
+    # tree level for a dim that fits in one task.
+    parent_of: dict[int, int] = {
+        r.f_column_id: r.f_parent_id for r in dim.collect()
+    }
+    children_of: dict[int, list[int]] = {}
+    for c, par in parent_of.items():
+        if c != par:
+            children_of.setdefault(par, []).append(c)
+    members: set[int] = set()
+    frontier = [2, 9]
+    while frontier:
+        nxt = []
+        for node in frontier:
+            if node in members:
+                continue
+            members.add(node)
+            nxt.extend(children_of.get(node, []))
+        frontier = nxt
+    member = spark.createDataFrame(
+        [(int(m),) for m in sorted(members)], "f_column_id bigint"
+    )
 
     ev = load_table(spark, sf_dir, "events")
     k = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
