@@ -439,9 +439,10 @@ def user_channel_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Spark-first: the reference computed heat row-by-row in a mapPartitions
 # over collected Longs (:112-133); here it is one column expression.  The
-# per-period totals are a per-date 1-row-per-group broadcast join, the
-# final rank is a date-PARTITIONED window (top-100 per period — never a
-# partition-less global window), and all double math is decimal-summed
+# per-period totals are window sums over the aggregated frame sharing the
+# SAME (period, date) partitioning as the final top-100 rank window — one
+# exchange serves both, and the rank is date-PARTITIONED (never a
+# partition-less global window).  All double math is decimal-summed
 # before the single share division so both engines see identical bits.
 # Star = supplier, clicks = lineitems, searches = distinct orders,
 # attention = quantity, net attention = first-line lineitems (the dim the sf schema keeps), media
@@ -560,45 +561,46 @@ def star_rank_period_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
     month = F.expr("date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM')")
     labelled = base.select(
         F.lit(2).alias("f_period_type"), week.alias("f_date"), "*"
-    ).unionByName(base.select(F.lit(3).alias("f_period_type"), month.alias("f_date"), "*"))
+    ).unionByName(
+        base.select(F.lit(3).alias("f_period_type"), month.alias("f_date"), "*")
+    )
 
+    # The reference unions three feeds because they come from three
+    # different log tables; with one synthetic fact the idiomatic plan is
+    # ONE conditional aggregation — identical per-star rows (each feed's
+    # zero-fill + re-sum collapses to a filtered aggregate), one fact
+    # shuffle instead of three (the cpsp_hourly_tiers precedent).
     keys = ["f_period_type", "f_date", "f_star_id", "f_star_name"]
-    zb = F.lit(0).cast("bigint")
-    zdec = F.lit(0).cast("decimal(27,6)")
-    sac = labelled.groupBy(*keys).agg(
+    per_star = labelled.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("f_click_count"),
         F.countDistinct("l_orderkey").cast("bigint").alias("f_search_count"),
         F.sum("l_quantity").cast("bigint").alias("f_attention_count"),
-    ).select(*keys, "f_click_count", "f_search_count", "f_attention_count",
-             zb.alias("f_net_attention_count"), zdec.alias("heat_dec"))
-    net = labelled.where(F.col("l_linenumber") == 1).groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("bigint").alias("f_net_attention_count")
-    ).select(*keys, zb.alias("f_click_count"), zb.alias("f_search_count"),
-             zb.alias("f_attention_count"), "f_net_attention_count",
-             zdec.alias("heat_dec"))
-    heat = labelled.where(F.col("l_returnflag") != "R").groupBy(*keys).agg(
-        F.sum("rev").cast("decimal(27,6)").alias("heat_dec")
-    ).select(*keys, zb.alias("f_click_count"), zb.alias("f_search_count"),
-             zb.alias("f_attention_count"), zb.alias("f_net_attention_count"),
-             "heat_dec")
+        F.sum(F.when(F.col("l_linenumber") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f_net_attention_count"),
+        F.sum(F.when(F.col("l_returnflag") != "R", F.col("rev")))
+        .cast("decimal(27,6)")
+        .alias("heat_dec_raw"),
+    ).withColumn(
+        # feeds that contributed nothing summed to 0 in the union shape
+        "heat_dec", F.coalesce(F.col("heat_dec_raw"), F.lit(0).cast("decimal(27,6)"))
+    ).drop("heat_dec_raw")
 
-    per_star = (
-        sac.unionByName(net).unionByName(heat)
-        .groupBy(*keys)
-        .agg(
-            F.sum("f_click_count").cast("bigint").alias("f_click_count"),
-            F.sum("f_search_count").cast("bigint").alias("f_search_count"),
-            F.sum("f_attention_count").cast("bigint").alias("f_attention_count"),
-            F.sum("f_net_attention_count").cast("bigint").alias("f_net_attention_count"),
-            F.sum("heat_dec").cast("decimal(27,6)").alias("heat_dec"),
+    # per-period totals as a window over the aggregated frame — the rank
+    # window below shares the same (f_period_type, f_date) partitioning,
+    # so Catalyst plans ONE exchange+sort for both (no totals join, no
+    # second aggregation, no persist needed)
+    from pyspark.sql.window import Window as W
+
+    tot = W.partitionBy("f_period_type", "f_date")
+    scored = (
+        per_star.withColumn("t_click", F.sum("f_click_count").over(tot))
+        .withColumn("t_search", F.sum("f_search_count").over(tot))
+        .withColumn("t_attention", F.sum("f_attention_count").over(tot))
+        .withColumn("t_net", F.sum("f_net_attention_count").over(tot))
+        .withColumn(
+            "t_heat", F.sum("heat_dec").over(tot).cast("decimal(27,6)")
         )
-    )
-    totals = per_star.groupBy("f_period_type", "f_date").agg(
-        F.sum("f_click_count").cast("bigint").alias("t_click"),
-        F.sum("f_search_count").cast("bigint").alias("t_search"),
-        F.sum("f_attention_count").cast("bigint").alias("t_attention"),
-        F.sum("f_net_attention_count").cast("bigint").alias("t_net"),
-        F.sum("heat_dec").cast("decimal(27,6)").alias("t_heat"),
     )
 
     def share(num, den):
@@ -606,9 +608,7 @@ def star_rank_period_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(num).cast("double") / F.col(den).cast("double")
         )
 
-    scored = per_star.join(
-        F.broadcast(totals), ["f_period_type", "f_date"]
-    ).withColumn(
+    scored = scored.withColumn(
         "f_heat",
         F.round(
             share("f_attention_count", "t_attention") * 0.35
