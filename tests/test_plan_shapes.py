@@ -237,3 +237,60 @@ def test_package_revenue_pushes_window_filter(spark, sf_dir):
     filter_pos = plan.find("Filter")
     join_pos = plan.find("BroadcastHashJoin")
     assert filter_pos != -1 and join_pos != -1
+
+
+def test_late_r4_family_plans(spark, sf_dir):
+    """Late-round-4 analogs: dims broadcast everywhere, every window is
+    key-partitioned (no single-partition WindowExec), and the period-grain
+    queries' history bound joins as a tiny broadcast — never a shuffle."""
+    from bigdata_homed_spark.plans.demand_columns import (
+        column_demand_program_details,
+        demand_column_user_types,
+        package_program_periods,
+    )
+    from bigdata_homed_spark.plans.etl_queries import arate_subtree_split
+    from bigdata_homed_spark.plans.realtime_snapshots import (
+        program_lookback_snapshot,
+    )
+    from bigdata_homed_spark.plans.user_census import user_census_by_area
+
+    for fn in (
+        demand_column_user_types,
+        column_demand_program_details,
+        package_program_periods,
+        user_census_by_area,
+        program_lookback_snapshot,
+        arate_subtree_split,
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line.lower():
+                # every window carries a partition key column reference
+                assert "#" in line.split("windowspecdefinition")[1][:60], (
+                    fn.__name__,
+                    line,
+                )
+
+
+def test_star_rank_period_single_exchange_for_windows(spark, sf_dir):
+    """star_rank_period_heat's totals windows and rank window share the
+    (f_period_type, f_date) partitioning: the plan must contain exactly ONE
+    exchange hash-partitioned on those keys feeding both window operators,
+    and no partition-less window."""
+    from bigdata_homed_spark.plans.rank_lifecycle import star_rank_period_heat
+
+    import re
+
+    plan = plan_of(star_rank_period_heat(spark, sf_dir))
+    assert "WindowExec: No Partition Defined" not in plan
+    # exchanges partitioned on EXACTLY (f_period_type, f_date) — the agg
+    # exchanges carry more keys and don't match
+    n_period_exchanges = len(
+        re.findall(r"hashpartitioning\(f_period_type#\d+, f_date#\d+, \d+\)", plan)
+    )
+    assert n_period_exchanges == 1, plan[:2000]
+    # the rank window must get the group-limit pushdown (top-100 per key
+    # computed partially before the final sort, not rank-then-filter)
+    assert "WindowGroupLimit" in plan
