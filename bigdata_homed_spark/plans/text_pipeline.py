@@ -1502,3 +1502,114 @@ def contamination_overlap_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_hit") * 10 >= F.col("n_grams")).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate line removal (CCNet/C4-style): a "line" whose normalized
+# content recurs across ≥K distinct documents of the same source is
+# boilerplate (nav bars, cookie banners, license headers) and is removed
+# from every document, preserving the order of what remains.  The
+# synthetic docs are single-line word streams, so the line unit is a
+# fixed 4-word window; at web scale the unit is the real newline split
+# and the same plan applies unchanged.
+#
+# Scale shape: chunks shuffle ONCE to the (source, line-hash) df count
+# (map-side combinable); the flagged set (df ≥ K) is orders of magnitude
+# smaller than the corpus and joins back as a broadcast; reassembly is a
+# per-doc sort_array(collect_list) — partitioned by doc_id, never a
+# global window.  Only 16-byte hashes and the surviving text move.
+_BOILER_W = 4  # words per synthetic line
+_BOILER_K = 2  # boilerplate threshold: distinct docs containing the line
+
+_BOILERPLATE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, source, str_split(text, ' ') AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id, source, i.i AS idx,
+         array_to_string(w[(i.i*{_BOILER_W}+1):(i.i*{_BOILER_W}+{_BOILER_W})], ' ')
+           AS chunk
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(0,
+                  cast(ceil(len(w)/{_BOILER_W}.0) as int)-1)) AS i) i
+),
+flagged AS (
+  SELECT source, md5(chunk) AS h
+  FROM chunks GROUP BY 1, 2
+  HAVING count(DISTINCT doc_id) >= {_BOILER_K}
+),
+marked AS (
+  SELECT c.doc_id, c.source, c.idx, c.chunk,
+         CASE WHEN f.h IS NULL THEN 0 ELSE 1 END AS is_boiler
+  FROM chunks c LEFT JOIN flagged f
+    ON f.source = c.source AND f.h = md5(c.chunk)
+)
+SELECT doc_id, source,
+       cast(count(*) as bigint) AS n_lines,
+       cast(sum(is_boiler) as bigint) AS n_removed,
+       md5(array_to_string(
+         list(chunk ORDER BY idx) FILTER (WHERE is_boiler = 0), ' '))
+         AS cleaned_hash,
+       cast(length(array_to_string(
+         list(chunk ORDER BY idx) FILTER (WHERE is_boiler = 0), ' ')) as bigint)
+         AS cleaned_chars
+FROM marked
+GROUP BY 1, 2
+"""
+
+
+@query("boilerplate_line_removal", oracle=_BOILERPLATE_ORACLE)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = _BOILER_W
+    chunks = (
+        docs.withColumn("words", F.split("text", " "))
+        .withColumn(
+            "idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"cast(ceil(size(words)/{w}.0) as int) - 1"),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "idx",
+            F.expr(f"array_join(slice(words, idx*{w}+1, {w}), ' ')").alias("chunk"),
+        )
+    )
+    flagged = (
+        chunks.groupBy("source", F.md5(F.col("chunk")).alias("h"))
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= _BOILER_K)
+        .select("source", "h", F.lit(1).alias("is_boiler"))
+    )
+    marked = chunks.withColumn("h", F.md5(F.col("chunk"))).join(
+        F.broadcast(flagged), ["source", "h"], "left"
+    ).withColumn("is_boiler", F.coalesce("is_boiler", F.lit(0)))
+    kept_text = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("is_boiler") == 0, F.struct("idx", "chunk")
+                    )
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return (
+        marked.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("is_boiler").cast("bigint").alias("n_removed"),
+            F.md5(kept_text).alias("cleaned_hash"),
+            F.length(kept_text).cast("bigint").alias("cleaned_chars"),
+        )
+    )
