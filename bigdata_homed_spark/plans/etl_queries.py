@@ -409,6 +409,31 @@ def heartbeat_run_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def subtree_descendants(parent_of: dict[int, int], roots) -> set[int]:
+    """Descendants closure (roots included) over a child→parent map.
+
+    The reference's `ArateFilter.getSpecialColumn` recursion, minus its
+    quadratic entrySet rescan per level; self-parented nodes (taxonomy
+    roots) don't self-loop.  Pure driver-side — callers broadcast the
+    result into fact filters.
+    """
+    children_of: dict[int, list[int]] = {}
+    for c, par in parent_of.items():
+        if c != par:
+            children_of.setdefault(par, []).append(c)
+    members: set[int] = set()
+    frontier = list(roots)
+    while frontier:
+        nxt = []
+        for node in frontier:
+            if node in members:
+                continue
+            members.add(node)
+            nxt.extend(children_of.get(node, []))
+        frontier = nxt
+    return members
+
+
 # --------------------------------------------------------------------------
 # ArateFilter (`etl/ArateFilter.scala:17-135`, hunan customization): keep
 # only report-log lines whose column falls inside the subtree of given
@@ -503,23 +528,8 @@ def arate_subtree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the driver, broadcast the membership set back into the FACT
     # filter — the per-level Spark-join alternative costs one job per
     # tree level for a dim that fits in one task.
-    parent_of: dict[int, int] = {
-        r.f_column_id: r.f_parent_id for r in dim.collect()
-    }
-    children_of: dict[int, list[int]] = {}
-    for c, par in parent_of.items():
-        if c != par:
-            children_of.setdefault(par, []).append(c)
-    members: set[int] = set()
-    frontier = [2, 9]
-    while frontier:
-        nxt = []
-        for node in frontier:
-            if node in members:
-                continue
-            members.add(node)
-            nxt.extend(children_of.get(node, []))
-        frontier = nxt
+    parent_of = {r.f_column_id: r.f_parent_id for r in dim.collect()}
+    members = subtree_descendants(parent_of, [2, 9])
     member = spark.createDataFrame(
         [(int(m),) for m in sorted(members)], "f_column_id bigint"
     )

@@ -53,3 +53,44 @@ def test_kafka_options_shape():
     opts = kafka_stream_options("b1:9092,b2:9092", "runlog,userlog")
     assert opts["kafka.bootstrap.servers"].count(":") == 2
     assert opts["subscribe"] == "runlog,userlog"
+
+
+def test_subtree_descendants_matches_naive_closure():
+    """Property: the BFS closure equals the naive ancestor-chain check on
+    random taxonomies (including self-parented roots and forests)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_homed_spark.plans.etl_queries import subtree_descendants
+
+    @st.composite
+    def taxonomy(draw):
+        n = draw(st.integers(min_value=1, max_value=40))
+        # parent of node i is any node < i (forest, acyclic) or itself (root)
+        parent_of = {}
+        for i in range(n):
+            parent_of[i] = draw(st.integers(min_value=0, max_value=max(0, i - 1))) if i else 0
+        roots = draw(st.lists(st.integers(min_value=0, max_value=n - 1),
+                              min_size=1, max_size=4, unique=True))
+        return parent_of, roots
+
+    def ancestors(node, parent_of):
+        seen = [node]
+        while True:
+            p = parent_of.get(node)
+            if p is None or p == node:
+                return seen
+            node = p
+            seen.append(node)
+
+    @settings(max_examples=200, deadline=None)
+    @given(taxonomy())
+    def check(tr):
+        parent_of, roots = tr
+        got = subtree_descendants(parent_of, roots)
+        expected = {
+            n for n in parent_of if any(a in set(roots) for a in ancestors(n, parent_of))
+        }
+        assert got == expected, (parent_of, roots)
+
+    check()
