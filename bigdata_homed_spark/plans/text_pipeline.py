@@ -1518,6 +1518,9 @@ def contamination_overlap_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # smaller than the corpus and joins back as a broadcast; reassembly is a
 # per-doc sort_array(collect_list) — partitioned by doc_id, never a
 # global window.  Only 16-byte hashes and the surviving text move.
+# A fully-scrubbed doc (every line boilerplate — exact dup docs hit
+# this) keeps a row with cleaned_chars=0/md5('') on BOTH engines
+# (DuckDB's FILTERed list aggregate is NULL there, hence the coalesce).
 _BOILER_W = 4  # words per synthetic line
 _BOILER_K = 2  # boilerplate threshold: distinct docs containing the line
 
@@ -1547,11 +1550,11 @@ marked AS (
 SELECT doc_id, source,
        cast(count(*) as bigint) AS n_lines,
        cast(sum(is_boiler) as bigint) AS n_removed,
-       md5(array_to_string(
-         list(chunk ORDER BY idx) FILTER (WHERE is_boiler = 0), ' '))
+       md5(coalesce(array_to_string(
+         list(chunk ORDER BY idx) FILTER (WHERE is_boiler = 0), ' '), ''))
          AS cleaned_hash,
-       cast(length(array_to_string(
-         list(chunk ORDER BY idx) FILTER (WHERE is_boiler = 0), ' ')) as bigint)
+       cast(coalesce(length(array_to_string(
+         list(chunk ORDER BY idx) FILTER (WHERE is_boiler = 0), ' ')), 0) as bigint)
          AS cleaned_chars
 FROM marked
 GROUP BY 1, 2
