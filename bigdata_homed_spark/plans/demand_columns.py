@@ -202,7 +202,16 @@ _MONTH_LABEL = "date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-
 
 
 def _with_period_grains(daily: DataFrame) -> DataFrame:
-    """day/week/month grain rows + trailing-7d history rows (f_type=1)."""
+    """day/week/month grain rows + trailing-7d history rows (f_type=1).
+
+    ``daily`` fans out FIVE ways (max-day scalar + 4 grain branches); it
+    is persisted here so the fact scan/join/agg beneath it runs once —
+    the daily base is one row per (day, dims), orders of magnitude
+    smaller than the fact it summarizes.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    daily = daily.persist(StorageLevel.MEMORY_AND_DISK)
     mx = daily.agg(F.max("day").alias("max_day"))
     hist = (
         daily.crossJoin(F.broadcast(mx))
