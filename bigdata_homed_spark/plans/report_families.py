@@ -1559,7 +1559,14 @@ def demand_period_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("video_play"),
         )
     )
-    enriched = daily.join(F.broadcast(vod), "f_video_id")
+    # enriched fans into the 3 grain branches — persist so the time-grid
+    # explode + daily agg beneath it runs once (one row per (day, user,
+    # video, geo), far smaller than the sliced fact)
+    from pyspark.storagelevel import StorageLevel
+
+    enriched = daily.join(F.broadcast(vod), "f_video_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     day_label = F.expr("date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM-dd')")
     week_label = F.expr(
