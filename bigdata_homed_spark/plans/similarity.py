@@ -950,3 +950,271 @@ def incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dup"),
         F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).cast("bigint").alias("n_added"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (`embedding_pq_search`): the memory-bounded
+# search path for corpora whose float vectors don't fit the cluster.
+# The 64-dim vector splits into M=4 16-dim subvectors; each subspace gets
+# a ≤16-entry codebook (codes fit 4 bits → a 64-dim float32 vector
+# compresses 256 B → 2 B).  Codebooks are deterministic one-step
+# centroids: subvectors bucket by 4-plane sign-LSH (per-subspace planes),
+# centroid = exact decimal mean per bucket — k-means with one Lloyd step
+# from LSH init, reproducible bit-for-bit in SQL (the iterative Lloyd
+# refinement is pinned separately by kmeans_clusters).  Search is
+# asymmetric-distance (ADC): each query precomputes a (M × 16) distance
+# table to the codebooks, approximate distance = 4 table lookups + 3
+# adds per candidate, top-50 candidates re-rank EXACTLY on the original
+# floats.
+#
+# Scale shape: encoding is one map-side-combinable pass (the codebook
+# 'training' agg moves exactly one (m,bucket,dim,decimal) partial per
+# executor-group — at 100 TB you'd train on a sample, noted here); the
+# codebook (≤64 centroids) and the per-query table (≤640 doubles)
+# broadcast; the ADC scan moves only 4-byte codes, never vectors; exact
+# re-rank touches 50 vectors per query.  Every double fold is
+# left-associated identically in both engines.
+_PQ_M, _PQ_SUBD, _PQ_PLANES, _PQ_CAND, _PQ_TOPK = 4, 16, 4, 50, 10
+_PQ_W = {
+    m: hyperplane_weights(_PQ_PLANES, _PQ_SUBD, seed_offset=1000 * (m + 1))
+    for m in range(_PQ_M)
+}
+
+
+def _pq_bucket_sql(m: int) -> str:
+    """4-bit sign-LSH bucket of subspace m over the FULL embedding (DuckDB
+    1-based)."""
+    bits = []
+    for p in range(_PQ_PLANES):
+        dot = " + ".join(
+            f"cast(embedding[{m*_PQ_SUBD + i + 1}] as double) * {_PQ_W[m][p][i]!r}"
+            for i in range(_PQ_SUBD)
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _pq_bucket_col(m: int):
+    bits = None
+    for p in range(_PQ_PLANES):
+        dot = None
+        for i in range(_PQ_SUBD):
+            term = F.element_at("embedding", m * _PQ_SUBD + i + 1).cast(
+                "double"
+            ) * F.lit(_PQ_W[m][p][i])
+            dot = term if dot is None else dot + term
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits
+
+
+_PQ_SUB_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {m} AS m, embedding[{m*_PQ_SUBD+1}:{(m+1)*_PQ_SUBD}] AS subvec,"
+    f" {_pq_bucket_sql(m)} AS bucket FROM embeddings"
+    for m in range(_PQ_M)
+)
+
+_PQ_SQD16 = (
+    f"list_reduce(list_transform(generate_series(1, {_PQ_SUBD}),"
+    " i -> (cast({a}[i] as double) - cast({b}[i] as double))"
+    " * (cast({a}[i] as double) - cast({b}[i] as double))), (x, y) -> x + y)"
+)
+
+_PQ_ORACLE = f"""
+WITH sub AS (
+{_PQ_SUB_SQL}
+),
+cdim AS (
+  SELECT m, bucket, i.i AS dim,
+         cast(sum(cast(subvec[i.i] as decimal(27,12))) as double) / count(*) AS cval
+  FROM sub, LATERAL (SELECT unnest(generate_series(1, {_PQ_SUBD})) AS i) i
+  GROUP BY m, bucket, i.i
+),
+cents AS (SELECT m, bucket, list(cval ORDER BY dim) AS ce FROM cdim GROUP BY m, bucket),
+encd AS (
+  SELECT s.vec_id, s.m, c.bucket,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY {_PQ_SQD16.format(a='s.subvec', b='c.ce')} ASC,
+                                     c.bucket) AS rn
+  FROM sub s JOIN cents c USING (m)
+),
+codes_w AS (
+  SELECT vec_id,
+         max(CASE WHEN m = 0 THEN bucket END) AS c0,
+         max(CASE WHEN m = 1 THEN bucket END) AS c1,
+         max(CASE WHEN m = 2 THEN bucket END) AS c2,
+         max(CASE WHEN m = 3 THEN bucket END) AS c3
+  FROM encd WHERE rn = 1 GROUP BY vec_id
+),
+qsub AS (
+  SELECT vec_id AS query_id, m, subvec, bucket FROM sub WHERE vec_id < {_PQ_TOPK}
+),
+t AS (
+  SELECT q.query_id, q.m, c.bucket,
+         {_PQ_SQD16.format(a='q.subvec', b='c.ce')} AS d
+  FROM qsub q JOIN cents c USING (m)
+),
+adc AS (
+  SELECT t0.query_id, w.vec_id AS neighbor_id,
+         t0.d + t1.d + t2.d + t3.d AS approx_d
+  FROM codes_w w
+  JOIN t t0 ON t0.m = 0 AND t0.bucket = w.c0
+  JOIN t t1 ON t1.query_id = t0.query_id AND t1.m = 1 AND t1.bucket = w.c1
+  JOIN t t2 ON t2.query_id = t0.query_id AND t2.m = 2 AND t2.bucket = w.c2
+  JOIN t t3 ON t3.query_id = t0.query_id AND t3.m = 3 AND t3.bucket = w.c3
+  WHERE w.vec_id != t0.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_d ASC, neighbor_id) AS approx_rank
+  FROM adc
+  QUALIFY approx_rank <= {_PQ_CAND}
+),
+rer AS (
+  SELECT c.query_id, c.neighbor_id, c.approx_rank,
+         {_dot_sql('qe.embedding', 'ne.embedding')}
+           / (sqrt({_dot_sql('qe.embedding', 'qe.embedding')})
+              * sqrt({_dot_sql('ne.embedding', 'ne.embedding')})) AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r,
+       cast(approx_rank as bigint) AS approx_rank,
+       cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) as bigint) AS rnk
+FROM rer
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= {_PQ_TOPK}
+"""
+
+
+@query("embedding_pq_search", oracle=_PQ_ORACLE)
+def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # (vec, m, subvec, bucket) long frame — buckets computed pre-explode
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("embedding", m * _PQ_SUBD + 1, _PQ_SUBD).alias("subvec"),
+                _pq_bucket_col(m).alias("bucket"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    sub = emb.select("vec_id", F.explode(sub_structs).alias("s")).select(
+        "vec_id", "s.m", "s.subvec", "s.bucket"
+    )
+
+    # one-step codebooks: exact decimal mean per (m, bucket, dim)
+    cdim = (
+        sub.select(
+            "m", "bucket", F.posexplode("subvec").alias("dim0", "val")
+        )
+        .groupBy("m", "bucket", "dim0")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+    )
+    cents = cdim.groupBy("m", "bucket").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim0", "cval"))),
+            lambda s: s["cval"],
+        ).alias("ce")
+    )
+
+    def sqd16(a, b):
+        prods = F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    # encode: argmin over the subspace codebook (tie -> smaller bucket)
+    enc_w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d").asc(), F.col("cb").asc()
+    )
+    codes = (
+        sub.join(F.broadcast(cents.withColumnRenamed("bucket", "cb")), "m")
+        .withColumn("d", sqd16(F.col("subvec"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(enc_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cb").alias("code"))
+    )
+    codes_w = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+
+    # per-query ADC distance tables (≤ 10 × 4 × 16 rows — broadcast)
+    qsub = sub.where(F.col("vec_id") < _PQ_TOPK).select(
+        F.col("vec_id").alias("query_id"), "m", "subvec"
+    )
+    t = (
+        qsub.join(F.broadcast(cents), "m")
+        .withColumn("d", sqd16(F.col("subvec"), F.col("ce")))
+        .select("query_id", "m", "bucket", "d")
+    )
+    adc = None
+    for m in range(_PQ_M):
+        tm = t.where(F.col("m") == m).select(
+            "query_id" if m == 0 else F.col("query_id").alias(f"q{m}"),
+            F.col("bucket").alias(f"b{m}"),
+            F.col("d").alias(f"d{m}"),
+        )
+        if m == 0:
+            adc = codes_w.join(F.broadcast(tm), F.col("c0") == F.col("b0"))
+        else:
+            adc = adc.join(
+                F.broadcast(tm),
+                (F.col(f"q{m}") == F.col("query_id"))
+                & (F.col(f"c{m}") == F.col(f"b{m}")),
+            )
+    adc = adc.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")).alias("approx_d"),
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("approx_rank", F.row_number().over(cand_w))
+        .where(F.col("approx_rank") <= _PQ_CAND)
+        .select("query_id", "neighbor_id", "approx_rank")
+    )
+
+    # exact re-rank on the original floats (50 vectors per query)
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    rer = (
+        cand.join(F.broadcast(qe.where(F.col("query_id") < _PQ_TOPK)), "query_id")
+        .join(ne, "neighbor_id")
+        .withColumn("cosine", _dot("qe", "ne") / (_norm("qe") * _norm("ne")))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(rank_w))
+        .where(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine_r"),
+            F.col("approx_rank").cast("bigint").alias("approx_rank"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
