@@ -958,10 +958,10 @@ def incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The 64-dim vector splits into M=4 16-dim subvectors; each subspace gets
 # a ≤16-entry codebook (codes fit 4 bits → a 64-dim float32 vector
 # compresses 256 B → 2 B).  Codebooks are deterministic one-step
-# centroids: subvectors bucket by 4-plane sign-LSH (per-subspace planes),
-# centroid = exact decimal mean per bucket — k-means with one Lloyd step
-# from LSH init, reproducible bit-for-bit in SQL (the iterative Lloyd
-# refinement is pinned separately by kmeans_clusters).  Search is
+# centroids: subvectors bucket by 5-plane sign-LSH (per-subspace planes),
+# centroid = exact decimal mean per bucket, then ONE Lloyd refinement
+# (re-assign, re-mean) — deterministic k-means, reproducible bit-for-bit
+# in SQL (the longer iterative Lloyd is pinned by kmeans_clusters).  Search is
 # asymmetric-distance (ADC): each query precomputes a (M × 16) distance
 # table to the codebooks, approximate distance = 4 table lookups + 3
 # adds per candidate, top-50 candidates re-rank EXACTLY on the original
@@ -974,7 +974,7 @@ def incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast; the ADC scan moves only 4-byte codes, never vectors; exact
 # re-rank touches 50 vectors per query.  Every double fold is
 # left-associated identically in both engines.
-_PQ_M, _PQ_SUBD, _PQ_PLANES, _PQ_CAND, _PQ_TOPK = 4, 16, 4, 50, 10
+_PQ_M, _PQ_SUBD, _PQ_PLANES, _PQ_CAND, _PQ_TOPK = 4, 16, 5, 100, 10
 _PQ_W = {
     m: hyperplane_weights(_PQ_PLANES, _PQ_SUBD, seed_offset=1000 * (m + 1))
     for m in range(_PQ_M)
@@ -1030,7 +1030,22 @@ cdim AS (
   FROM sub, LATERAL (SELECT unnest(generate_series(1, {_PQ_SUBD})) AS i) i
   GROUP BY m, bucket, i.i
 ),
-cents AS (SELECT m, bucket, list(cval ORDER BY dim) AS ce FROM cdim GROUP BY m, bucket),
+cents0 AS (SELECT m, bucket, list(cval ORDER BY dim) AS ce FROM cdim GROUP BY m, bucket),
+asg1 AS (
+  SELECT s.vec_id, s.m, s.subvec, c.bucket,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY {_PQ_SQD16.format(a='s.subvec', b='c.ce')} ASC,
+                                     c.bucket) AS rn
+  FROM sub s JOIN cents0 c USING (m)
+),
+cdim1 AS (
+  SELECT m, bucket, i.i AS dim,
+         cast(sum(cast(subvec[i.i] as decimal(27,12))) as double) / count(*) AS cval
+  FROM asg1, LATERAL (SELECT unnest(generate_series(1, {_PQ_SUBD})) AS i) i
+  WHERE rn = 1
+  GROUP BY m, bucket, i.i
+),
+cents AS (SELECT m, bucket, list(cval ORDER BY dim) AS ce FROM cdim1 GROUP BY m, bucket),
 encd AS (
   SELECT s.vec_id, s.m, c.bucket,
          row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -1124,12 +1139,15 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cval")
         )
     )
-    cents = cdim.groupBy("m", "bucket").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("dim0", "cval"))),
-            lambda s: s["cval"],
-        ).alias("ce")
-    )
+    def _pack(cd):
+        return cd.groupBy("m", "bucket").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim0", "cval"))),
+                lambda s: s["cval"],
+            ).alias("ce")
+        )
+
+    cents0 = _pack(cdim)
 
     def sqd16(a, b):
         prods = F.zip_with(
@@ -1140,7 +1158,31 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
-    # encode: argmin over the subspace codebook (tie -> smaller bucket)
+    # one Lloyd refinement: re-assign subvectors to their nearest init
+    # centroid, recompute exact-decimal means per assigned code
+    asg_w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d").asc(), F.col("cb").asc()
+    )
+    asg1 = (
+        sub.join(F.broadcast(cents0.withColumnRenamed("bucket", "cb")), "m")
+        .withColumn("d", sqd16(F.col("subvec"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(asg_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "subvec", F.col("cb").alias("bucket"))
+    )
+    cdim1 = (
+        asg1.select("m", "bucket", F.posexplode("subvec").alias("dim0", "val"))
+        .groupBy("m", "bucket", "dim0")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+    )
+    cents = _pack(cdim1)
+
+    # encode: argmin over the refined subspace codebook (tie -> smaller bucket)
     enc_w = Window.partitionBy("vec_id", "m").orderBy(
         F.col("d").asc(), F.col("cb").asc()
     )

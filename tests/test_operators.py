@@ -356,3 +356,22 @@ def test_global_top_k_matches_window_ranking(spark):
         assert got == want
 
     run()
+
+
+def test_pq_search_recall_vs_brute_force(spark, sf_dir):
+    """PQ is an approximation — pin its quality: at 128:1 compression
+    (64 float32 dims -> 4×5-bit codes) with 100 ADC candidates, at least
+    60% of the exhaustive top-5 must appear in the PQ top-10 (measured
+    72-78% at sf0.001/sf0.01)."""
+    from bigdata_homed_spark.plans import QUERIES
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["embedding_knn"](spark, sf_dir).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["embedding_pq_search"](spark, sf_dir).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} < 0.6"
