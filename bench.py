@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     # new plans of the second r4 batch.
     "star_rank_period_heat",
     "user_census_by_area",
+    # late-r4 LLM-pipeline widening: compressed-domain ANN (codebook
+    # train + encode + ADC + re-rank) and cross-doc boilerplate removal
+    # (line-df + broadcast-flag + ordered reassembly).
+    "embedding_pq_search",
+    "boilerplate_line_removal",
 ]
 
 

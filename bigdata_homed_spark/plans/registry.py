@@ -128,8 +128,11 @@ from . import realtime_snapshots  # noqa: E402,F401
 #                        iterations stay green in the committed gate log
 # Remaining new r4 analogs (demand_column_user_types,
 # column_demand_program_details, package_program_periods,
-# program_lookback_snapshot, arate_subtree_split) wait outside per
-# policy — the committed GATELOG covers them until r5.
+# program_lookback_snapshot, arate_subtree_split,
+# boilerplate_line_removal, embedding_pq_search) wait outside per
+# policy — the committed GATELOG covers them until r5 rotation; the
+# first two r5 promotions should be embedding_pq_search (new ANN
+# family member) and boilerplate_line_removal (new dedup-adjacent op).
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1

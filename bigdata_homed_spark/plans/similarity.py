@@ -1122,8 +1122,15 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ]
     )
-    sub = emb.select("vec_id", F.explode(sub_structs).alias("s")).select(
-        "vec_id", "s.m", "s.subvec", "s.bucket"
+    # `sub` feeds codebook training, refinement, encoding AND the query
+    # tables; the two codebook frames are ≤64 rows but their lineage is
+    # the whole training chain — pin all three so training runs once.
+    from pyspark.storagelevel import StorageLevel
+
+    sub = (
+        emb.select("vec_id", F.explode(sub_structs).alias("s"))
+        .select("vec_id", "s.m", "s.subvec", "s.bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # one-step codebooks: exact decimal mean per (m, bucket, dim)
@@ -1147,7 +1154,7 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ce")
         )
 
-    cents0 = _pack(cdim)
+    cents0 = _pack(cdim).localCheckpoint(eager=True)
 
     def sqd16(a, b):
         prods = F.zip_with(
@@ -1180,7 +1187,7 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cval")
         )
     )
-    cents = _pack(cdim1)
+    cents = _pack(cdim1).localCheckpoint(eager=True)
 
     # encode: argmin over the refined subspace codebook (tie -> smaller bucket)
     enc_w = Window.partitionBy("vec_id", "m").orderBy(
