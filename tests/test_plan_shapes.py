@@ -252,6 +252,8 @@ def test_late_r4_family_plans(spark, sf_dir):
     from bigdata_homed_spark.plans.realtime_snapshots import (
         program_lookback_snapshot,
     )
+    from bigdata_homed_spark.plans.similarity import embedding_pq_search
+    from bigdata_homed_spark.plans.text_pipeline import boilerplate_line_removal
     from bigdata_homed_spark.plans.user_census import user_census_by_area
 
     for fn in (
@@ -261,6 +263,8 @@ def test_late_r4_family_plans(spark, sf_dir):
         user_census_by_area,
         program_lookback_snapshot,
         arate_subtree_split,
+        boilerplate_line_removal,
+        embedding_pq_search,
     ):
         plan = plan_of(fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, fn.__name__
