@@ -1267,3 +1267,131 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup for
+# pretraining corpora — cluster the embeddings with k-means, then look
+# for near-duplicate pairs ONLY inside each cluster (the published trick
+# that makes semantic dedup feasible at corpus scale: candidate pairs
+# are bucketed by cluster id, never corpus-wide), and inside a duplicate
+# pair keep the vector closer to its cluster centroid.  Keeper rule here
+# is the deterministic local-minimum spelling: a vector is dropped iff
+# some within-cluster neighbor with cosine ≥ τ sits strictly closer to
+# the centroid (ties on distance → smaller vec_id wins).  τ reuses
+# ANN_THRESHOLD, scaled to this synthetic corpus as documented above.
+#
+# Scale shape: clustering is the kmeans_clusters machinery (broadcast
+# centroids, one shuffle per Lloyd round); the pair join shuffles on
+# cid only, so work is Σ|cluster|² — bounded by K and cluster balance
+# exactly as in the paper; the decision is a semi-join on the dropped
+# ids.  Vectors cross the pair shuffle once (per-cluster), ids only in
+# the decision layer.
+@query(
+    "semantic_dedup_decisions",
+    oracle=f"""
+    WITH cent0 AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ),
+    scored1 AS (
+      SELECT e.vec_id, e.embedding, c.cid, {_sqdist_sql('e.embedding', 'c.ce')} AS dist
+      FROM embeddings e, cent0 c
+    ),
+    assign1 AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM scored1
+      ) WHERE rn = 1
+    ),
+    cent1d AS (
+      SELECT a.cid, d.i AS i,
+             cast(sum(cast(cast(a.embedding[d.i] as double) as decimal(27,6))) as double)
+               / count(*) AS m
+      FROM assign1 a CROSS JOIN {_KM_DIMS_SQL} d
+      GROUP BY a.cid, d.i
+    ),
+    cent1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM cent1d GROUP BY cid),
+    scored2 AS (
+      SELECT e.vec_id, e.embedding, c.cid, {_sqdist_sql('e.embedding', 'c.ce')} AS dist
+      FROM embeddings e, cent1 c
+    ),
+    assign2 AS (
+      SELECT vec_id, embedding, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM scored2
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS dropped_id
+      FROM assign2 a JOIN assign2 b
+        ON a.cid = b.cid AND a.vec_id != b.vec_id
+       AND (a.dist < b.dist OR (a.dist = b.dist AND a.vec_id < b.vec_id))
+      WHERE {_dot_sql('a.embedding', 'b.embedding')}
+            / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+               * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= {ANN_THRESHOLD}
+    )
+    SELECT s.cid,
+           cast(count(*) as bigint) AS n_vecs,
+           cast(sum(CASE WHEN d.dropped_id IS NULL THEN 1 ELSE 0 END) as bigint)
+             AS n_kept,
+           cast(sum(CASE WHEN d.dropped_id IS NULL THEN 0 ELSE 1 END) as bigint)
+             AS n_dropped
+    FROM assign2 s LEFT JOIN dropped d ON s.vec_id = d.dropped_id
+    GROUP BY s.cid
+    """,
+)
+def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent0 = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assign1 = _kmeans_assign(emb, cent0)
+    cent1 = _kmeans_update(assign1)
+    # assign2 fans into both sides of the pair join and the final
+    # accounting — pin it so the two Lloyd rounds run once
+    from pyspark.storagelevel import StorageLevel
+
+    assign2 = _kmeans_assign(emb, cent1).persist(StorageLevel.MEMORY_AND_DISK)
+
+    a = assign2.select(
+        F.col("cid"),
+        F.col("vec_id").alias("ka"),
+        F.col("embedding").alias("ea"),
+        F.col("dist").alias("da"),
+    )
+    b = assign2.select(
+        F.col("cid"),
+        F.col("vec_id").alias("kb"),
+        F.col("embedding").alias("eb"),
+        F.col("dist").alias("db"),
+    )
+    # per-cluster pair join: shuffles on cid only (the SemDeDup trick)
+    pairs = a.join(b, "cid").where(
+        (F.col("ka") != F.col("kb"))
+        & (
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("ka") < F.col("kb")))
+        )
+    )
+    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    dropped = (
+        pairs.where(cos >= ANN_THRESHOLD)
+        .select(F.col("kb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assign2.join(dropped, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("is_dup").isNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
