@@ -103,17 +103,16 @@ def main() -> None:
         t0 = time.time()
         n = fn(spark, SF_DIR).count()
         cold = time.time() - t0
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        dt = time.time() - t0
-        # noise guard: a warm run slower than its own cold run is box
-        # contention (GC pause, co-tenant load), not the plan — the warm
-        # cost is by construction ≤ cold (same plan, compile paid).
-        # Re-measure once and keep the best observation.
-        if dt > cold:
+        # noise guard: this box carries co-tenant load, so any single warm
+        # observation can be inflated by GC/contention.  Take the min of
+        # TWO warm runs unconditionally — a symmetric estimator (fast and
+        # slow outliers treated alike), matching tools/time_queries.py.
+        warms = []
+        for _ in range(2):
             t0 = time.time()
             fn(spark, SF_DIR).count()
-            dt = min(dt, time.time() - t0)
+            warms.append(time.time() - t0)
+        dt = min(warms)
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: warm {dt:.2f}s / cold {cold:.2f}s ({n} rows)", file=sys.stderr)

@@ -196,7 +196,7 @@ def demand_column_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAY_LABEL = "date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM-dd')"
 _WEEK_LABEL = (
     "date_format(date_add(DATE'1970-01-01',"
-    " cast(((day - 4) div 7)*7 + 4 as int)), 'yyyy-MM-dd')"
+    " cast(floor((day - 4)/7)*7 + 4 as int)), 'yyyy-MM-dd')"
 )
 _MONTH_LABEL = "date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM')"
 

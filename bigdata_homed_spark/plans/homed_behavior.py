@@ -268,7 +268,7 @@ def bitmap_multi_period_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
     )
     weekly = bitmap_merge(
-        daily_bm.withColumn("period_num", F.expr("day_num div 7")), ["period_num"]
+        daily_bm.withColumn("period_num", F.expr("floor(day_num/7)")), ["period_num"]
     )
     week = bitmap_distinct_count(weekly, ["period_num"], out_col="n_users").select(
         F.lit("week").alias("grain"), "period_num", "n_users"

@@ -556,7 +556,7 @@ def star_rank_period_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     week = F.expr(
         "date_format(date_add(DATE'1970-01-01',"
-        " cast(((day - 4) div 7)*7 + 4 as int)), 'yyyy-MM-dd')"
+        " cast(floor((day - 4)/7)*7 + 4 as int)), 'yyyy-MM-dd')"
     )
     month = F.expr("date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM')")
     labelled = base.select(

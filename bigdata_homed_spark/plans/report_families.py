@@ -1571,7 +1571,7 @@ def demand_period_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_label = F.expr("date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM-dd')")
     week_label = F.expr(
         "date_format(date_add(DATE'1970-01-01',"
-        " cast(((day - 4) div 7)*7 + 4 as int)), 'yyyy-MM-dd')"
+        " cast(floor((day - 4)/7)*7 + 4 as int)), 'yyyy-MM-dd')"
     )
     month_label = F.expr("date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM')")
     grains = (

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hyperplane_weights
+from ..functions.hashing import hash64, hash64_sql, hyperplane_weights
 from .registry import query
 
 DIMS = 64
@@ -653,8 +653,29 @@ def embedding_near_dup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 64×K-row shuffle.  Deterministic: seeds are the first K vectors, ties
 # break to the smaller cid — so even the ITERATIVE result is oracle-exact
 # (the oracle unrolls both Lloyd rounds in SQL).
-K_CLUSTERS = 8
+K_CLUSTERS = 8  # floor; SemDeDup adapts K to corpus size (semdedup_k_for)
 _KM_DIMS_SQL = f"(SELECT unnest(generate_series(1, {DIMS})) AS i)"
+
+# Target rows per cluster for SemDeDup.  The within-cluster pair join does
+# Σ|c|² ≈ (n/K)²·K = n²/K work; holding occupancy n/K at ~TARGET gives
+# K = n/TARGET and pair work n·TARGET — LINEAR in n (the same occupancy
+# argument as ann_planes_for, and the reason the SemDeDup paper scales K
+# with corpus size).  The floor of K_CLUSTERS pins the oracle-checked SFs
+# (500–2 000 vectors → exactly 8 clusters, same assignments as the static
+# SQL oracle); a 10^10-doc corpus gets K ≈ 4·10^7 clusters of ~256 rows.
+SEMDEDUP_TARGET_CLUSTER_ROWS = 256
+
+
+def semdedup_k_for(n_vectors: int, target: int = SEMDEDUP_TARGET_CLUSTER_ROWS) -> int:
+    """Cluster count for a corpus of ``n_vectors``: max(8, ceil(n/target))."""
+    import math
+
+    if n_vectors <= K_CLUSTERS * target:
+        return K_CLUSTERS
+    return math.ceil(n_vectors / target)
+
+
+_SEMDEDUP_K_CACHE: dict[str, int] = {}
 
 
 def _sqdist(a: Column | str, b: Column | str) -> Column:
@@ -956,25 +977,44 @@ def incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product-quantization ANN (`embedding_pq_search`): the memory-bounded
 # search path for corpora whose float vectors don't fit the cluster.
 # The 64-dim vector splits into M=4 16-dim subvectors; each subspace gets
-# a ≤16-entry codebook (codes fit 4 bits → a 64-dim float32 vector
-# compresses 256 B → 2 B).  Codebooks are deterministic one-step
-# centroids: subvectors bucket by 5-plane sign-LSH (per-subspace planes),
-# centroid = exact decimal mean per bucket, then ONE Lloyd refinement
-# (re-assign, re-mean) — deterministic k-means, reproducible bit-for-bit
-# in SQL (the longer iterative Lloyd is pinned by kmeans_clusters).  Search is
-# asymmetric-distance (ADC): each query precomputes a (M × 16) distance
-# table to the codebooks, approximate distance = 4 table lookups + 3
-# adds per candidate, top-50 candidates re-rank EXACTLY on the original
-# floats.
+# a ≤32-entry codebook (codes fit 5 bits → 20-bit total per vector; a
+# 64-dim float32 vector compresses 256 B → ~2.5 B).  Codebooks are
+# deterministic one-step centroids: subvectors bucket by 5-plane
+# sign-LSH (per-subspace planes), centroid = exact decimal mean per
+# bucket, then ONE Lloyd refinement (re-assign, re-mean) — deterministic
+# k-means, reproducible bit-for-bit in SQL (the longer iterative Lloyd
+# is pinned by kmeans_clusters).  Search is asymmetric-distance (ADC):
+# each query precomputes a (M × ≤32) distance table to the codebooks,
+# approximate distance = 4 table lookups + 3 adds per candidate, top-100
+# candidates re-rank EXACTLY on the original floats.
 #
-# Scale shape: encoding is one map-side-combinable pass (the codebook
-# 'training' agg moves exactly one (m,bucket,dim,decimal) partial per
-# executor-group — at 100 TB you'd train on a sample, noted here); the
-# codebook (≤64 centroids) and the per-query table (≤640 doubles)
-# broadcast; the ADC scan moves only 4-byte codes, never vectors; exact
-# re-rank touches 50 vectors per query.  Every double fold is
-# left-associated identically in both engines.
+# Scale shape: codebooks TRAIN ON A DETERMINISTIC HASH-SAMPLE, never the
+# full corpus — the standard PQ practice (Jégou et al., IVFADC): the
+# sample rule `hash64(vec_id,'pq_train') % mod == 0` with
+# mod = max(1, n // _PQ_TRAIN_TARGET) holds the training set at
+# ~_PQ_TRAIN_TARGET rows whatever the corpus size, and is expressed
+# IDENTICALLY in the SQL oracle (the `params`/`train` CTEs below), so
+# the sampled path is still oracle-exact at every SF.  Encoding remains
+# one full-corpus map-side-combinable pass; the codebook (≤128
+# centroids) and the per-query table (≤1280 doubles) broadcast; the ADC
+# scan moves only 20-bit codes, never vectors; exact re-rank touches 100
+# vectors per query.  Every double fold is left-associated identically
+# in both engines.
 _PQ_M, _PQ_SUBD, _PQ_PLANES, _PQ_CAND, _PQ_TOPK = 4, 16, 5, 100, 10
+# Training-sample target: mod = max(1, n // target) keeps codebook
+# training O(target) regardless of corpus size.  At n < 2·target the
+# sample is the full corpus (mod 1) — which pins sf0.001/sf0.01 (n=500)
+# bit-for-bit; sf0.1 (n=2000) trains on the mod-3 sample, matched by the
+# oracle's identical rule.
+_PQ_TRAIN_TARGET = 512
+
+
+def pq_train_mod_for(n_vectors: int, target: int = _PQ_TRAIN_TARGET) -> int:
+    """Hash-sample modulus for PQ codebook training: max(1, n // target)."""
+    return max(1, n_vectors // target)
+
+
+_PQ_MOD_CACHE: dict[str, int] = {}
 _PQ_W = {
     m: hyperplane_weights(_PQ_PLANES, _PQ_SUBD, seed_offset=1000 * (m + 1))
     for m in range(_PQ_M)
@@ -1024,10 +1064,17 @@ _PQ_ORACLE = f"""
 WITH sub AS (
 {_PQ_SUB_SQL}
 ),
+params AS (
+  SELECT greatest(1, count(*) // {_PQ_TRAIN_TARGET}) AS md FROM embeddings
+),
+train AS (
+  SELECT s.* FROM sub s, params p
+  WHERE {hash64_sql("cast(s.vec_id as varchar)", 'pq_train')} % p.md = 0
+),
 cdim AS (
   SELECT m, bucket, i.i AS dim,
          cast(sum(cast(subvec[i.i] as decimal(27,12))) as double) / count(*) AS cval
-  FROM sub, LATERAL (SELECT unnest(generate_series(1, {_PQ_SUBD})) AS i) i
+  FROM train, LATERAL (SELECT unnest(generate_series(1, {_PQ_SUBD})) AS i) i
   GROUP BY m, bucket, i.i
 ),
 cents0 AS (SELECT m, bucket, list(cval ORDER BY dim) AS ce FROM cdim GROUP BY m, bucket),
@@ -1036,7 +1083,7 @@ asg1 AS (
          row_number() OVER (PARTITION BY s.vec_id, s.m
                             ORDER BY {_PQ_SQD16.format(a='s.subvec', b='c.ce')} ASC,
                                      c.bucket) AS rn
-  FROM sub s JOIN cents0 c USING (m)
+  FROM train s JOIN cents0 c USING (m)
 ),
 cdim1 AS (
   SELECT m, bucket, i.i AS dim,
@@ -1107,9 +1154,18 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 
 @query("embedding_pq_search", oracle=_PQ_ORACLE)
 def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import session_cache_key
     from ..sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # codebook training-sample modulus tracks corpus size (pq_train_mod_for
+    # rule; same column-pruned count cache as the ANN plane rule) — the
+    # oracle's params/train CTEs apply the identical rule, so the sampled
+    # path stays oracle-exact at every SF
+    ck = session_cache_key(spark, sf_dir)
+    if ck not in _PQ_MOD_CACHE:
+        _PQ_MOD_CACHE[ck] = pq_train_mod_for(emb.count())
+    mod = _PQ_MOD_CACHE[ck]
 
     # (vec, m, subvec, bucket) long frame — buckets computed pre-explode
     sub_structs = F.array(
@@ -1132,10 +1188,17 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "s.m", "s.subvec", "s.bucket")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # deterministic hash-sample for codebook training (mod 1 = full corpus
+    # at the small SFs); a cheap filter over the cached `sub`
+    train = (
+        sub
+        if mod == 1
+        else sub.where(hash64(F.col("vec_id"), "pq_train") % mod == 0)
+    )
 
     # one-step codebooks: exact decimal mean per (m, bucket, dim)
     cdim = (
-        sub.select(
+        train.select(
             "m", "bucket", F.posexplode("subvec").alias("dim0", "val")
         )
         .groupBy("m", "bucket", "dim0")
@@ -1171,7 +1234,7 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").asc(), F.col("cb").asc()
     )
     asg1 = (
-        sub.join(F.broadcast(cents0.withColumnRenamed("bucket", "cb")), "m")
+        train.join(F.broadcast(cents0.withColumnRenamed("bucket", "cb")), "m")
         .withColumn("d", sqd16(F.col("subvec"), F.col("ce")))
         .withColumn("rn", F.row_number().over(asg_w))
         .where(F.col("rn") == 1)
@@ -1341,10 +1404,20 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import session_cache_key
     from ..sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent0 = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+    # K tracks corpus size (semdedup_k_for rule — keeps the per-cluster
+    # pair join's Σ|c|² work linear in n); at every oracle-checked SF the
+    # rule returns the floor of 8, matching the static SQL oracle's
+    # clusters exactly.  The count is a column-pruned scan, cached per
+    # (session, sf_dir) like the ANN plane count.
+    ck = session_cache_key(spark, sf_dir)
+    if ck not in _SEMDEDUP_K_CACHE:
+        _SEMDEDUP_K_CACHE[ck] = semdedup_k_for(emb.count())
+    k = _SEMDEDUP_K_CACHE[ck]
+    cent0 = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     assign1 = _kmeans_assign(emb, cent0)

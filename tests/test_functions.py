@@ -80,6 +80,34 @@ def test_ann_planes_rule():
         assert n / (1 << (p - 1)) > 32  # and p is minimal
 
 
+def test_semdedup_k_rule():
+    """K = max(8, ceil(n/256)): floor pins oracle SFs (static SQL oracle
+    clusters with exactly 8 seeds), growth holds per-cluster occupancy —
+    and hence the within-cluster pair join's Σ|c|² work — linear in n."""
+    from bigdata_homed_spark.plans.similarity import semdedup_k_for
+
+    assert semdedup_k_for(500) == 8
+    assert semdedup_k_for(2000) == 8  # sf0.1 stays on the oracle floor
+    assert semdedup_k_for(20000) == 79  # sf1 scales past it
+    for n in (10**5, 10**7, 10**10):
+        k = semdedup_k_for(n)
+        assert n / k <= 256  # occupancy bound → pair work n·256, not n²/8
+        assert (n + 255) // 256 == k  # and K is minimal past the floor
+
+
+def test_pq_train_mod_rule():
+    """mod = max(1, n//512): full-corpus training at oracle-pinned small
+    SFs, ~512-row deterministic hash-sample at any larger corpus (the
+    oracle applies the identical rule in SQL, so sampling stays exact)."""
+    from bigdata_homed_spark.plans.similarity import pq_train_mod_for
+
+    assert pq_train_mod_for(500) == 1  # sf0.001/sf0.01: bit-identical path
+    assert pq_train_mod_for(2000) == 3  # sf0.1 trains on the mod-3 sample
+    for n in (10**5, 10**7, 10**10):
+        m = pq_train_mod_for(n)
+        assert 512 <= n / m < 1024  # expected sample size stays ~target
+
+
 def test_tokens_and_shingles(spark):
     df = spark.createDataFrame([("The quick, QUICK fox!",)], ["text"])
     r = df.select(

@@ -76,6 +76,10 @@ def main() -> int:
             failures += 1
             continue
         spark_t = time.time() - t0
+        # queries that persist() fan-out points would otherwise accumulate
+        # MEMORY_AND_DISK caches across the 166-query gate and perturb
+        # later queries sharing the session (bench.py does the same)
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(srows)} rows ({spark_t:.1f}s)")
             if len(srows) == 0:
