@@ -85,6 +85,14 @@ BENCH_QUERIES = [
     # (line-df + broadcast-flag + ordered reassembly).
     "embedding_pq_search",
     "boilerplate_line_removal",
+    # round-5 widening: SemDeDup (K∝n clustered pair join), the two new
+    # reference-coverage reports (detail join + device packing; dual
+    # bridge-chain union), and the executed-JDBC roundtrip.  Totals remain
+    # incomparable across rounds; compare per-query.
+    "semantic_dedup_decisions",
+    "personal_open_accounts",
+    "demand_package_report",
+    "jdbc_dim_roundtrip",
 ]
 
 

@@ -672,3 +672,227 @@ def user_profile_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_fav_series", "f_fav_type",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PersonalOpenAccount.scala:12-138 — personal open-account DETAIL report:
+# accounts created inside the window (:26-28), LEFT-joined to the boss/
+# billing dim with an area-id fallback (`if(length(f_user_area_id)=6,
+# area, defaultRegion)`, :37-44), enriched with the home's device-series
+# GROUP_CONCAT packing (:52-63 — one home → many devices, each device a
+# CONCAT_WS series list that SKIPS absent ids), the per-account token
+# aggregate (first login time + JSON `$.appversion`, :66-86), the
+# register-type / user-type CASE mapping (:107-118) and an inner region-
+# dim join (:121).  The reference's nondeterministic `first()/last()`
+# token picks are respelled deterministically: the version comes from the
+# LATEST signup event (ts_sec DESC, event_id DESC tiebreaker).  Scale
+# shape: boss/devices/areas are customer/nation-derived dims (broadcast);
+# the token aggregate is user-keyed like the openings base, so that join
+# co-partitions; nothing shuffles the wide device strings except the
+# ≤|homes| packed rows.
+_PERSONAL_OPEN_ORACLE = f"""
+WITH {_GEO_SQL},
+base AS (
+  SELECT o_custkey AS user_id, min({_ODAY_SQL}) AS f_open_account_time
+  FROM orders GROUP BY o_custkey
+  HAVING min({_ODAY_SQL}) >= {_OPEN_W0} AND min({_ODAY_SQL}) < {_OPEN_W1}
+),
+boss AS (
+  SELECT g.user_id, g.f_region_id AS f_user_area_id,
+         'cc_' || cast(g.user_id as varchar) AS f_customer_code
+  FROM geo g WHERE g.user_id % 7 != 3
+),
+devices AS (
+  SELECT c_custkey // 4 AS f_home_id,
+         'dv_' || cast(c_custkey as varchar) || '(' ||
+           concat_ws(',',
+             CASE WHEN c_custkey % 2 = 0 THEN 'cai_' || cast(c_custkey as varchar) END,
+             CASE WHEN c_custkey % 3 = 0 THEN 'mb_' || cast(c_custkey as varchar) END,
+             CASE WHEN c_custkey % 5 = 0 THEN 'pd_' || cast(c_custkey as varchar) END,
+             'stb_' || cast(c_custkey as varchar)) || ')' AS entry
+  FROM customer
+),
+home_devices AS (
+  SELECT f_home_id, string_agg(entry, ',' ORDER BY entry) AS f_device_series_ids
+  FROM devices GROUP BY f_home_id
+),
+tok_ranked AS (
+  SELECT user_id, epoch_us(ts)//1000000 AS sec,
+         coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 30 AS vnum,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts)//1000000 DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'signup'
+),
+token AS (
+  SELECT user_id, min(sec) AS f_first_login_time,
+         max(CASE WHEN rn = 1 THEN 'v' || cast(vnum as varchar) END) AS f_app_version
+  FROM tok_ranked GROUP BY user_id
+),
+areas AS (
+  SELECT cast(n.n_nationkey as bigint)*10 + j.j AS f_area_id,
+         'rg_' || cast(cast(n.n_nationkey as bigint)*10 + j.j as varchar)
+           AS f_region_name,
+         cast(n.n_nationkey as bigint) AS f_city_id, n.n_name AS f_city_name,
+         cast(n.n_regionkey as bigint) AS f_province_id, r.r_name AS f_province_name
+  FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+)
+SELECT b.user_id AS f_da,
+       'ac_' || cast(b.user_id as varchar) AS f_account_name,
+       b.user_id % 2 AS f_sex,
+       'nk_' || cast(b.user_id as varchar) AS f_nickname,
+       b.f_open_account_time,
+       cast(b.user_id % 100 as varchar) || ',' ||
+         cast((b.user_id + 7) % 100 as varchar) AS f_group_ids,
+       b.user_id % 12 AS f_user_source,
+       cast(CASE WHEN b.user_id % 12 IN (1,2,3,10,11) THEN 1
+                 WHEN b.user_id % 12 IN (4,5,6,7,8) THEN 2 ELSE 3 END as bigint)
+         AS f_register_type,
+       cast(CASE WHEN b.user_id % 12 = 9 THEN 2 ELSE 1 END as bigint) AS f_user_type,
+       coalesce(bo.f_user_area_id, 10) AS f_region_id,
+       bo.f_customer_code,
+       hd.f_device_series_ids,
+       t.f_first_login_time,
+       t.f_app_version,
+       a.f_region_name, a.f_city_id, a.f_city_name,
+       a.f_province_id, a.f_province_name
+FROM base b
+LEFT JOIN boss bo ON bo.user_id = b.user_id
+LEFT JOIN home_devices hd ON hd.f_home_id = b.user_id // 4
+LEFT JOIN token t ON t.user_id = b.user_id
+JOIN areas a ON a.f_area_id = coalesce(bo.f_user_area_id, 10)
+"""
+
+
+@query("personal_open_accounts", oracle=_PERSONAL_OPEN_ORACLE)
+def personal_open_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        o.select(F.col("o_custkey").alias("user_id"), F.expr(_ODAY_SPARK).alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("f_open_account_time"))
+        .where(F.col("f_open_account_time").between(_OPEN_W0, _OPEN_W1 - 1))
+    )
+    uid = F.col("user_id")
+
+    # boss/billing dim: rows exist for ~6/7 accounts; the LEFT join below
+    # plus coalesce() is the reference's invalid-area fallback (:37-44)
+    boss = _geo_dim(spark, sf_dir).where(uid % 7 != 3).select(
+        "user_id",
+        F.col("f_region_id").alias("f_user_area_id"),
+        F.concat(F.lit("cc_"), uid.cast("string")).alias("f_customer_code"),
+    )
+
+    # one home → many devices → per-device CONCAT_WS series list that
+    # skips absent ids (:52-63); packed per home, sorted for determinism
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("duid")
+    )
+    du = F.col("duid")
+    entry = F.concat(
+        F.lit("dv_"), du.cast("string"), F.lit("("),
+        F.concat_ws(
+            ",",
+            F.when(du % 2 == 0, F.concat(F.lit("cai_"), du.cast("string"))),
+            F.when(du % 3 == 0, F.concat(F.lit("mb_"), du.cast("string"))),
+            F.when(du % 5 == 0, F.concat(F.lit("pd_"), du.cast("string"))),
+            F.concat(F.lit("stb_"), du.cast("string")),
+        ),
+        F.lit(")"),
+    )
+    home_devices = (
+        cust.select(
+            F.expr("cast(duid div 4 as bigint)").alias("f_home_id"),
+            entry.alias("entry"),
+        )
+        .groupBy("f_home_id")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("entry"))).alias(
+                "f_device_series_ids"
+            )
+        )
+    )
+
+    # token aggregate (:66-86): first login second + the LATEST event's
+    # app version (deterministic argmax respelling of first()/last())
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    vnum = (
+        F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)) % 30
+    )
+    wt = Window.partitionBy("user_id").orderBy(
+        F.col("sec").desc(), F.col("event_id").desc()
+    )
+    token = (
+        ev.select("user_id", F.col("ts_sec").alias("sec"), "event_id", vnum.alias("vnum"))
+        .withColumn("rn", F.row_number().over(wt))
+        .groupBy("user_id")
+        .agg(
+            F.min("sec").alias("f_first_login_time"),
+            F.max(
+                F.when(
+                    F.col("rn") == 1,
+                    F.concat(F.lit("v"), F.col("vnum").cast("string")),
+                )
+            ).alias("f_app_version"),
+        )
+    )
+
+    # area dim keyed by AREA ID (not user) — the reference's final
+    # regionDF join (:121); built nation×4 so the default area always
+    # resolves.  explode() instead of a cross join: no BNL in the plan.
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    area_id = F.col("n_nationkey").cast("bigint") * 10 + F.col("j")
+    areas = (
+        nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "n_nationkey", "n_name", "n_regionkey", "r_name",
+            F.explode(F.array(*[F.lit(i).cast("long") for i in range(4)])).alias("j"),
+        )
+        .select(
+            area_id.alias("f_area_id"),
+            F.concat(F.lit("rg_"), area_id.cast("string")).alias("f_region_name"),
+            F.col("n_nationkey").cast("bigint").alias("f_city_id"),
+            F.col("n_name").alias("f_city_name"),
+            F.col("n_regionkey").cast("bigint").alias("f_province_id"),
+            F.col("r_name").alias("f_province_name"),
+        )
+    )
+
+    src = uid % 12
+    return (
+        base.join(F.broadcast(boss), "user_id", "left")
+        .withColumn("f_region_id", F.coalesce(F.col("f_user_area_id"), F.lit(10)))
+        .withColumn("f_home_id", F.expr("cast(user_id div 4 as bigint)"))
+        .join(F.broadcast(home_devices), "f_home_id", "left")
+        .join(token, "user_id", "left")
+        .join(F.broadcast(areas), F.col("f_region_id") == F.col("f_area_id"))
+        .select(
+            uid.alias("f_da"),
+            F.concat(F.lit("ac_"), uid.cast("string")).alias("f_account_name"),
+            (uid % 2).alias("f_sex"),
+            F.concat(F.lit("nk_"), uid.cast("string")).alias("f_nickname"),
+            "f_open_account_time",
+            F.concat(
+                (uid % 100).cast("string"), F.lit(","), ((uid + 7) % 100).cast("string")
+            ).alias("f_group_ids"),
+            src.alias("f_user_source"),
+            F.when(src.isin(1, 2, 3, 10, 11), 1)
+            .when(src.isin(4, 5, 6, 7, 8), 2)
+            .otherwise(3)
+            .cast("bigint")
+            .alias("f_register_type"),
+            F.when(src == 9, 2).otherwise(1).cast("bigint").alias("f_user_type"),
+            "f_region_id",
+            "f_customer_code",
+            "f_device_series_ids",
+            "f_first_login_time",
+            "f_app_version",
+            "f_region_name", "f_city_id", "f_city_name",
+            "f_province_id", "f_province_name",
+        )
+    )

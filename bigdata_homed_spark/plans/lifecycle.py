@@ -657,3 +657,100 @@ def business_user_array_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("f_play_count") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# S3/S4/S9 EXECUTED: the JDBC dim path against a real (embedded, in-JVM)
+# Derby database — the Derby jars ship with Spark, so the reference's
+# MySQL pattern (`utils/DBUtils.scala:56-63,75-112`, 295 call sites) runs
+# end-to-end with no external service: S9 coalesced sink write, S3
+# pushdown-subquery read (the DB computes the filter), S4 range-
+# partitioned parallel read (one cursor per stride), then a broadcast
+# join into the event fact.  The dim is regenerated deterministically so
+# the DuckDB oracle reproduces it from generate_series.
+_JDBC_DIM_CACHE: dict[str, str] = {}
+
+
+def _jdbc_dim_url(spark: SparkSession, sf_dir: str) -> str:
+    """Write the 30-row dim into embedded Derby once per (session, sf).
+
+    Plain dict cache (not session_scoped_path, which validates a
+    directory): the in-memory Derby DB lives exactly as long as the JVM,
+    same lifetime as the applicationId key.
+    """
+    from ..session import session_cache_key
+    from ..sources.sinks import write_jdbc
+
+    cached = _JDBC_DIM_CACHE.get(session_cache_key(spark, sf_dir))
+    if cached is None:
+        cached = "jdbc:derby:memory:homed_dim;create=true"
+        i = F.col("id")
+        dim = spark.range(0, 30).select(
+            i.alias("id"),
+            F.concat(F.lit("sg_"), (i % 5).cast("string")).alias("seg"),
+            ((i * 3) % 7).alias("w"),
+        )
+        write_jdbc(
+            dim,
+            cached,
+            "jdbc_dim",
+            mode="overwrite",
+            num_partitions=2,
+            properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        )
+        _JDBC_DIM_CACHE[session_cache_key(spark, sf_dir)] = cached
+    return cached
+
+
+@query(
+    "jdbc_dim_roundtrip",
+    oracle="""
+    WITH dim AS (
+      SELECT i AS id, 'sg_' || cast(i % 5 as varchar) AS seg, (i*3) % 7 AS w
+      FROM (SELECT unnest(generate_series(0, 29)) AS i)
+    ),
+    sub AS (SELECT id, seg FROM dim WHERE id < 20),
+    part AS (SELECT id, w FROM dim),
+    ev AS (SELECT user_id % 30 AS id FROM events WHERE event_type = 'view')
+    SELECT s.seg,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(p.w) as bigint) AS sum_w
+    FROM ev JOIN sub s USING (id) JOIN part p USING (id)
+    GROUP BY s.seg
+    """,
+)
+def jdbc_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.jdbc import (
+        jdbc_partitioned_options,
+        jdbc_subquery_options,
+        load_jdbc,
+    )
+
+    url = _jdbc_dim_url(spark, sf_dir)
+    driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    # S3: pushdown subquery — Derby computes the filter (quoted columns:
+    # Spark's JDBC writer creates case-sensitive identifiers)
+    sub = load_jdbc(
+        spark,
+        jdbc_subquery_options(
+            url, 'select "id", "seg" from jdbc_dim where "id" < 20', "", ""
+        )
+        | driver,
+    )
+    # S4: range-partitioned parallel read
+    part = load_jdbc(
+        spark,
+        jdbc_partitioned_options(url, "jdbc_dim", "id", 0, 30, 4, "", "") | driver,
+    ).select("id", "w")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "view"
+    ).select((F.col("user_id") % 30).alias("id"))
+    return (
+        ev.join(F.broadcast(sub), "id")
+        .join(F.broadcast(part), "id")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("w").cast("bigint").alias("sum_w"),
+        )
+    )

@@ -133,6 +133,48 @@ from . import realtime_snapshots  # noqa: E402,F401
 # policy — the committed GATELOG covers them until r5 rotation; the
 # first two r5 promotions should be embedding_pq_search (new ANN
 # family member) and boilerplate_line_removal (new dedup-adjacent op).
+#
+# Round-5 rotation: IN = the ten r4 stragglers named above
+# (embedding_pq_search + semantic_dedup_decisions go in REWORKED — sampled
+# PQ training, K∝n SemDeDup — so their new plans get driver verdicts the
+# same round) + the two new reference-coverage queries
+# (personal_open_accounts, demand_package_report) + heartbeat_run_repair
+# and media_dedup_by_content (late-r4 waiters).  OUT (every eviction has
+# a recorded driver verdict AND stays green in the committed full-gate
+# log; §2/LLM-table rows keep an in-window anchor):
+#   search_result_category_report -> P7 range-classifier anchored by
+#                          video_play_report (terminal_of_device +
+#                          normalize when-chains); r3+r4 verdicts recorded
+#   simhash_near_pairs  -> near-dup family keeps five in-window anchors
+#                          (fingerprint/minhash/near_dup_components/
+#                          incremental + media_dedup_by_content)
+#   star_rank_period_heat -> W5 rank + shared-exchange window totals
+#                          anchored by channel_report_full; r4 verdict
+#   label_top_direction -> centroid family keeps label_centroids +
+#                          semantic_dedup_decisions' kmeans machinery
+#   iacs_login_sessions -> login pairing anchored by video_play_report's
+#                          pairing + capped_play_sessions' lead() windows
+#   demand_report_full  -> demand family gains three promoted anchors;
+#                          demand_period_grains stays for U1
+#   stream_user_status_by_user_log -> T4 anchored by
+#                          stream_online_user_state (same state machinery)
+#   lookback_user_grains -> lookback family anchored by the promoted
+#                          program_lookback_snapshot
+#   user_census_by_area -> census count-distinct grains anchored by
+#                          region_revenue (A2) + demand_column_user_types'
+#                          per-user tier census
+#   bpe_pair_counts     -> token machinery anchored by tfidf_top_terms +
+#                          ngram_novelty shingle counts
+#   rag_chunking        -> chunk explode/offset shapes anchored by
+#                          props_struct_parse + channel_report_full packing
+#   pii_scrub           -> regex scrub anchored by quality_by_source +
+#                          boilerplate_line_removal line-level removal
+#   stream_dedup_hourly_users -> T3 per-batch keep-latest anchored by
+#                          stream_foreachbatch_ttl's upsert-latest path
+#                          (S10) + dedup_user_day_first_event (A8 batch
+#                          side); slot funds jdbc_dim_roundtrip (NEW r5:
+#                          S3/S4/S9 EXECUTED against embedded Derby —
+#                          first driver-verified JDBC row)
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
@@ -142,49 +184,58 @@ PRIORITY_QUERIES = [
     "customer_tier_pivot",        # A5
     "clickers_without_purchase",  # J10/U2
     "partitioned_fact_roundtrip", # S2/S7/S8
-    "user_census_by_area",        # NEW r4: CountUsers census (rotation 2;
-                                  # exact-percentile row -> value_percentiles_approx)
+    "jdbc_dim_roundtrip",         # NEW r5: S3/S4/S9 executed (embedded
+                                  # Derby write + pushdown + partitioned read)
     # events/behavior chain (SURVEY §2 W1-W4, A7, §2.8)
     "capped_play_sessions",       # W3/T6
     "props_struct_parse",         # JSON from_json (sole typed-JSON anchor)
     "heartbeat_online_time",      # W2/T5
-    "search_result_category_report",  # NEW r3: SearchDetailNew 26-range
-                                  # classifier (runlog_parse_terminals'
-                                  # S1/P3/P7+str_to_map stay covered by
-                                  # video_play_report)
+    "heartbeat_run_repair",       # NEW r5 promotion: OnlineTimePatch boot
+                                  # repair (stacked lead/first_value windows)
     "user_state_merge",           # J5/P5
     "dedup_user_day_first_event", # A11 (+A8/W4/U3 keep-latest family)
     "day_clamped_sessions",       # P4
     # composite report parity + custom operator
     "video_play_report",          # P6 + report family
-    "channel_report_full",        # NEW r3: ChannelReport.scala:122-454 full
-                                  # column parity (W5/O2 dense_rank topN, A4
-                                  # collect_set pack, multi-grain union)
-    "business_user_array_cycle",  # NEW r3: BusinessVisitCount pack→persist→
+    "channel_report_full",        # r3: ChannelReport full column parity
+                                  # (W5/O2 dense_rank topN, A4 collect_set
+                                  # pack, multi-grain union)
+    "business_user_array_cycle",  # r3: BusinessVisitCount pack→persist→
                                   # unpack cycle (A4/O4 arrays + S7/S8 write)
     "purchase_asof_heartbeat",    # as-of join
+    "personal_open_accounts",     # NEW r5: PersonalOpenAccount detail
+                                  # (boss fallback join, device GROUP_CONCAT
+                                  # pack, token argmax enrich)
+    "demand_package_report",      # NEW r5: DemandPackage dual bridge-chain
+                                  # union + package watch rollup
+    "demand_column_user_types",   # NEW r5 promotion: DemandColumn tiers
+    "column_demand_program_details",  # NEW r5 promotion: column×series grains
+    "package_program_periods",    # NEW r5 promotion: DemandProgramPackage
+    "demand_period_grains",       # r4: DemandReportPeriod re-agg (anchors
+                                  # U1 union-of-grains)
+    "program_lookback_snapshot",  # NEW r5 promotion: lookback snapshot
+    "arate_subtree_split",        # NEW r5 promotion: Arate subtree split
     # training-data pipeline: dedup family
     "fingerprint_dedup",          # (+ dedup_exact's md5-groupBy shape)
     "minhash_lsh_pairs",
-    "simhash_near_pairs",
     "near_dup_components",
     "incremental_dedup_report",
     "decontamination",
-    "pii_scrub",
+    "boilerplate_line_removal",   # NEW r5 promotion: CCNet/C4 line removal
+    "media_dedup_by_content",     # NEW r5 promotion: binary-content dedup
     "quality_by_source",          # quality/lang/token stats family
     "tfidf_top_terms",            # TF-IDF / DF
-    "ngram_novelty",              # r2: first-seen shingle novelty (hash-
-                                  # aligned oracle, r3)
+    "ngram_novelty",              # r2: first-seen shingle novelty
+    # embeddings / ANN family
     "embedding_ann_pairs",        # sign-LSH ANN
     "embedding_knn_ivf",          # IVF probe (embedding_knn brute-force
                                   # baseline stays in the local gate)
-    "label_centroids",            # centroids/outliers/decisions family
-    "star_rank_period_heat",      # NEW r4: StarRankWeek/Month heat rank
-                                  # (rotation 2; kmeans' centroid family
-                                  # keeps label_centroids + label_top_direction)
-    "label_top_direction",        # r3: certified-invariant oracle (was
-                                  # rows-only)
-    # approximate-sketch accuracy now verified IN the gate (r3)
+    "embedding_pq_search",        # NEW r5 promotion: PQ+ADC with sampled
+                                  # codebook training (reworked this round)
+    "semantic_dedup_decisions",   # NEW r5 promotion: SemDeDup with the
+                                  # K∝n cluster rule (reworked this round)
+    "label_centroids",            # centroids/outliers family
+    # approximate-sketch accuracy verified IN the gate (r3)
     "distinct_users_approx_daily",   # HLL vs exact ≤5% assertion
     "value_percentiles_approx",      # KLL rank-error assertion
     # multimodal + curation
@@ -193,21 +244,8 @@ PRIORITY_QUERIES = [
     # structured streaming (SURVEY §2.9)
     "stream_hourly_event_counts",   # S6/T1/T2
     "stream_static_segment_hourly", # J9
-    "stream_dedup_hourly_users",    # T3
-    "stream_foreachbatch_ttl",      # NEW r3: S10/T8 + S13 retention —
-                                  # supersedes stream_foreachbatch_latest's
-                                  # slot (same upsert path + expire())
-    "stream_online_user_state",     # T4 — NOW oracle-shaped (r4: replay-
-                                  # determinism golden, integer state folds)
-    # round-4 rotation: first driver verdicts (see header comment)
-    "rag_chunking",                 # r3 leftover: RAG chunk splitter
-    "bpe_pair_counts",              # r3 leftover + r4 top-k rewrite
-    "iacs_login_sessions",          # NEW r4: IacsLogParser pairing ETL
-    "demand_report_full",           # NEW r4: DemandReport full columns
-    "demand_period_grains",         # NEW r4: DemandReportPeriod re-agg
-                                  # (also anchors U1 union-of-grains)
-    "stream_user_status_by_user_log",  # NEW r4: user-log stateful variant
-    "lookback_user_grains",         # NEW r4: LookbackUser per-user grain
+    "stream_foreachbatch_ttl",      # S10/T8 + S13 retention
+    "stream_online_user_state",     # T4 (oracle-shaped replay golden)
 ]
 
 

@@ -1604,3 +1604,213 @@ def demand_period_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("f_share"),
         F.max("f_series_num").cast("bigint").alias("f_series_num"),
     )
+
+
+# --------------------------------------------------------------------------
+# DemandPackage.scala:14-120 — the demand PACKAGE report proper (distinct
+# from DemandProgramPackage → package_program_periods): a watch record
+# reaches a package through TWO bridge chains that the reference unions
+# (:36-60):
+#   group path  — series → t_group_program (:212-219) → package members;
+#   column path — (series, terminal) → t_column_program × t_column_device
+#                 (:76-99) → package members (packages can hold column ids
+#                 as well as group ids).
+# The union feeds orc_user_package at the per-user×series×video×device
+# grain (getBasicUserDemand, :146-176) and the package watch rollup
+# (getUserWatchPackage, :178-196) — returned here, pinning the whole
+# chain.  (The user-tier rollup getUserCountPackage is pinned separately
+# by demand_package_tiers.)
+#
+# Scale shape: every bridge is a tiny generated dim; the group path is
+# pre-expanded across the 3 terminals so BOTH paths key on
+# (series, terminal) and the fact passes ONCE through one broadcast join
+# (the reference scans the watch log twice and unions — same rows, one
+# scan here).  Aggregation is integral (play ticks), two-level re-agg.
+_DEMAND_PKG_ORACLE = r"""
+WITH pkg AS (
+  SELECT p AS package_id,
+         'pk_' || cast(p as varchar) AS package_name,
+         'csp_' || cast(p % 5 as varchar) AS f_cp_sp,
+         '[{"ids":"' || cast(p as varchar) || ',' || cast((p+3) % 20 as varchar)
+           || '","type":"tA"},{"ids":"' || cast((p+7) % 20 as varchar) || ','
+           || cast((p+11) % 20 as varchar) || ',' || cast((p+13) % 20 as varchar)
+           || '","type":"tB"}]' AS program_ids
+  FROM (SELECT unnest(generate_series(0, 19)) AS p)
+),
+frag AS (
+  SELECT package_id, package_name, f_cp_sp,
+         unnest(str_split(replace(regexp_extract(program_ids, '^\[(.+)\]$', 1),
+                                  '},{', '}||{'), '||')) AS grp
+  FROM pkg
+),
+members AS (
+  SELECT package_id, package_name, f_cp_sp,
+         cast(unnest(str_split(json_extract_string(grp, '$.ids'), ',')) as bigint)
+           AS member_id
+  FROM frag
+),
+gp AS (
+  SELECT s AS f_series_id, (s*7 + 1) % 20 AS f_group_id
+  FROM (SELECT unnest(generate_series(0, 19)) AS s)
+),
+sc AS (
+  SELECT s AS f_series_id, (s*5 + 2) % 20 AS f_column_id, s % 6 AS f_tree_id
+  FROM (SELECT unnest(generate_series(0, 19)) AS s) WHERE s % 3 != 1
+),
+tc AS (
+  SELECT t AS f_tree_id, 1 + t % 3 AS f_terminal
+  FROM (SELECT unnest(generate_series(0, 5)) AS t)
+),
+patha AS (
+  SELECT m.package_id, m.package_name, m.f_cp_sp, g.f_series_id, tm.f_terminal
+  FROM members m JOIN gp g ON g.f_group_id = m.member_id
+  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS f_terminal) tm
+),
+pathb AS (
+  SELECT m.package_id, m.package_name, m.f_cp_sp, s.f_series_id, t.f_terminal
+  FROM members m JOIN sc s ON s.f_column_id = m.member_id
+  JOIN tc t ON t.f_tree_id = s.f_tree_id
+),
+paths AS (SELECT * FROM patha UNION ALL SELECT * FROM pathb),
+geo AS (
+  SELECT c.c_custkey AS user_id,
+         1 + c.c_custkey % 3                                AS f_terminal,
+         cast(n.n_nationkey as bigint)*10 + c.c_custkey % 4 AS f_region_id,
+         'rg_' || cast(cast(n.n_nationkey as bigint)*10 + c.c_custkey % 4 as varchar)
+                                                            AS f_region_name,
+         cast(n.n_nationkey as bigint)                      AS f_city_id,
+         n.n_name                                           AS f_city_name,
+         cast(n.n_regionkey as bigint)                      AS f_province_id,
+         r.r_name                                           AS f_province_name
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+watch AS (
+  SELECT e.user_id,
+         (coalesce(cast(json_extract_string(e.props, '$.k') as bigint), 0) % 200) // 10
+           AS f_series_id,
+         coalesce(cast(json_extract_string(e.props, '$.k') as bigint), 0) % 50
+           AS f_video_id,
+         cast(floor(e.value*10) as bigint) AS play,
+         g.f_terminal, g.f_region_id, g.f_region_name, g.f_city_id, g.f_city_name,
+         g.f_province_id, g.f_province_name
+  FROM events e JOIN geo g ON g.user_id = e.user_id
+  WHERE e.event_type = 'click' AND cast(floor(e.value*10) as bigint) > 0
+),
+base AS (
+  SELECT w.f_terminal, w.f_region_id, w.f_region_name,
+         w.f_province_id, w.f_province_name, w.f_city_id, w.f_city_name,
+         p.f_cp_sp, p.package_id AS f_package_id, p.package_name AS f_package_name,
+         w.user_id,
+         w.f_series_id, 'sr_' || cast(w.f_series_id as varchar) AS f_series_name,
+         w.f_video_id, 'vd_' || cast(w.f_video_id as varchar) AS f_video_name,
+         'dev_' || cast(w.user_id as varchar) AS f_device_id,
+         cast(sum(w.play) as bigint) AS f_play_time,
+         cast(count(*) as bigint) AS f_play_count
+  FROM watch w JOIN paths p USING (f_series_id, f_terminal)
+  GROUP BY ALL
+)
+SELECT f_terminal, f_region_id, f_region_name, f_province_id, f_province_name,
+       f_city_id, f_city_name, f_cp_sp, f_package_id, f_package_name,
+       cast(sum(f_play_count) as bigint) AS f_count,
+       cast(sum(f_play_time) as bigint) AS f_play_time
+FROM base
+GROUP BY ALL
+"""
+
+
+@query("demand_package_report", oracle=_DEMAND_PKG_ORACLE)
+def demand_package_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = F.col("id")
+    members = (
+        _package_bridge(spark)
+        .drop("f_type")
+        .withColumnRenamed("f_series_id", "member_id")
+    )
+    gp = spark.range(0, 20).select(
+        s.alias("f_series_id"), ((s * 7 + 1) % 20).alias("f_group_id")
+    )
+    sc = (
+        spark.range(0, 20)
+        .where(s % 3 != 1)
+        .select(
+            s.alias("f_series_id"),
+            ((s * 5 + 2) % 20).alias("f_column_id"),
+            (s % 6).alias("f_tree_id"),
+        )
+    )
+    tc = spark.range(0, 6).select(
+        s.alias("f_tree_id"), (1 + s % 3).alias("f_terminal")
+    )
+    # group path pre-expanded across the 3 terminals (explode, not a cross
+    # join → no BNL) so both paths share the (series, terminal) join key
+    patha = (
+        members.join(gp, members["member_id"] == gp["f_group_id"])
+        .select(
+            "package_id", "package_name", "f_cp_sp", "f_series_id",
+            F.explode(
+                F.array(*[F.lit(i).cast("long") for i in (1, 2, 3)])
+            ).alias("f_terminal"),
+        )
+    )
+    pathb = (
+        members.join(sc, members["member_id"] == sc["f_column_id"])
+        .join(tc, "f_tree_id")
+        .select("package_id", "package_name", "f_cp_sp", "f_series_id", "f_terminal")
+    )
+    paths = patha.unionByName(pathb)
+
+    geo = _geo_dim(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    kk = F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+    watch = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.expr(
+                "cast((coalesce(cast(get_json_object(props, '$.k') as bigint), 0)"
+                " % 200) div 10 as bigint)"
+            ).alias("f_series_id"),
+            (kk % 50).alias("f_video_id"),
+            F.floor(F.col("value") * 10).cast("bigint").alias("play"),
+        )
+        .where(F.col("play") > 0)
+        .join(F.broadcast(geo), "user_id")
+    )
+    geo_keys = [
+        "f_terminal", "f_region_id", "f_region_name",
+        "f_province_id", "f_province_name", "f_city_id", "f_city_name",
+    ]
+    base = (
+        watch.join(F.broadcast(paths), ["f_series_id", "f_terminal"])
+        .groupBy(
+            *geo_keys,
+            "f_cp_sp",
+            F.col("package_id").alias("f_package_id"),
+            F.col("package_name").alias("f_package_name"),
+            "user_id",
+            "f_series_id",
+            "f_video_id",
+        )
+        .agg(
+            F.sum("play").cast("bigint").alias("f_play_time"),
+            F.count(F.lit(1)).cast("bigint").alias("f_play_count"),
+        )
+        .select(
+            "*",
+            F.concat(F.lit("sr_"), F.col("f_series_id").cast("string")).alias(
+                "f_series_name"
+            ),
+            F.concat(F.lit("vd_"), F.col("f_video_id").cast("string")).alias(
+                "f_video_name"
+            ),
+            F.concat(F.lit("dev_"), F.col("user_id").cast("string")).alias(
+                "f_device_id"
+            ),
+        )
+    )
+    return base.groupBy(*geo_keys, "f_cp_sp", "f_package_id", "f_package_name").agg(
+        F.sum("f_play_count").cast("bigint").alias("f_count"),
+        F.sum("f_play_time").cast("bigint").alias("f_play_time"),
+    )

@@ -2,6 +2,12 @@
 the successor API to `applyInPandasWithState` (explicit state variables,
 timers, TTL support).
 
+SUPPORTED CONTRACT (round 5, final): the v1 ``applyInPandasWithState``
+path in streaming/jobs.py::online_user_state is the supported keyed-state
+operator — oracle-shaped (replay-determinism golden) and driver-verified.
+This v2 module is the forward-compatible spelling only; its fold/TTL
+logic is pinned by tests that bypass the protobuf control channel.
+
 The reference's realtime jobs keep per-user state in Phoenix and
 full-outer-join each batch against it (UserStatusByRunLog.scala:102-318),
 with retention handled by Phoenix TTL deletes; `streaming/jobs.py::

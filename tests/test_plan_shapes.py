@@ -30,14 +30,17 @@ def formatted(df) -> str:
 def window_partition_specs(plan: str) -> list[str]:
     """Partition spec of every Window physical node in a plan string.
 
-    On this Spark build a Window node prints as
-    ``Window [exprs], [partitionSpec], [orderSpec]`` when partitioned and
-    OMITS the middle list entirely when partition-less
-    (``Window [exprs], [orderSpec]``) — the runtime WARN string
-    "No Partition Defined" never appears in ``executedPlan().toString()``.
-    Returns one entry per Window node: its partition-spec text, or ``""``
-    for a partition-less (single-partition) window.  The guard's own
-    sensitivity is pinned by test_window_guard_detects_partitionless.
+    On this Spark build a Window node prints ``Window [exprs],
+    [partitionSpec], [orderSpec]`` and OMITS any empty list — so a
+    partition-less ordered window prints ``[exprs], [orderSpec]`` and an
+    UNORDERED window aggregate prints ``[exprs], [partitionSpec]`` (the
+    runtime WARN string "No Partition Defined" never appears in
+    ``executedPlan().toString()``).  A two-list node is disambiguated by
+    the sort-direction tokens (``ASC``/``DESC``) that every order spec
+    carries and no partition spec does.  Returns one entry per Window
+    node: its partition-spec text, or ``""`` for a partition-less
+    (single-partition) window.  The guard's own sensitivity is pinned by
+    test_window_guard_detects_partitionless.
     """
     specs: list[str] = []
     for raw in plan.splitlines():
@@ -60,7 +63,12 @@ def window_partition_specs(plan: str) -> list[str]:
                     continue
             if depth >= 1:
                 cur.append(ch)
-        specs.append(groups[1] if len(groups) >= 3 else "")
+        if len(groups) >= 3:
+            specs.append(groups[1])
+        elif len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            specs.append(groups[1])  # [exprs], [partitionSpec] (unordered agg)
+        else:
+            specs.append("")
     return specs
 
 
@@ -78,6 +86,25 @@ def test_window_guard_detects_partitionless(spark):
     assert window_partition_specs(bad) == [""]
     (gspec,) = window_partition_specs(good)
     assert "k#" in gspec
+    # unordered window aggregate: prints [exprs], [partitionSpec] — the
+    # two-list form must still be recognized as partitioned...
+    agg_part = plan_of(
+        df.withColumn("t", F.sum("id").over(W.partitionBy("k")))
+    )
+    (aspec,) = window_partition_specs(agg_part)
+    assert "k#" in aspec
+    # ...and the fully-global spelling as partition-less
+    agg_global = plan_of(
+        df.withColumn(
+            "t",
+            F.sum("id").over(
+                W.orderBy("id").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ),
+        )
+    )
+    assert window_partition_specs(agg_global) == [""]
 
 
 def test_filter_pushdown_to_parquet(spark, sf_dir):
