@@ -1,0 +1,282 @@
+"""Data-selection operators: exact substring dedup and importance resampling.
+
+Two curation stages a pretraining pipeline runs between near-dup removal and
+mixing, both from the published literature and both absent from the
+reference's report surface:
+
+- **exact substring spans** (Lee et al., "Deduplicating Training Data Makes
+  Language Models Better", arXiv:2107.06499).  The paper's ExactSubstr
+  dedup finds token spans of length >= W that occur more than once anywhere
+  in the corpus.  A distributed suffix array is overkill on Spark: sliding a
+  W-token window over every document and hashing each window finds exactly
+  the same duplicated-span set (every duplicated span of length >= W
+  contains a duplicated W-window and vice versa), and it is pure
+  explode -> groupBy -- no suffix structure, no driver state.  Flagged
+  window positions are merged into maximal spans per document with a
+  lag-based interval merge (equal-length intervals sorted by start: a new
+  span starts exactly when pos > prev_pos + W - 1).
+
+- **DSIR importance resampling** (Xie et al., "Data Selection for Language
+  Models via Importance Resampling", arXiv:2302.03169).  Documents are
+  featurized as hashed unigram+bigram counts over B buckets; a target
+  distribution p (here: the lang='en' slice, standing in for the paper's
+  high-quality target corpus) and the raw distribution q are estimated with
+  +0.5 smoothing, and each document scores the mean log(p_b/q_b) of its
+  feature occurrences.  Selection is the deterministic score>0 cut (the
+  paper adds Gumbel noise for sampled selection; a reproducible engine
+  exposes the noiseless estimator and leaves sampling to the caller via
+  the seedable helpers in operators/timegrid.py).
+
+Scale design: the substring pass explodes ~n_tokens windows per doc but
+shuffles only (8-byte window hash, int pos) pairs -- never text -- and the
+span merge is a doc_id-partitioned window.  DSIR's bucket table is <= B
+rows (broadcast); its only wide shuffle is the doc-grain re-aggregation.
+Both are linear in corpus size and embarrassingly partition-parallel, the
+property that matters at 100 TB.
+
+Cross-engine determinism: window hashes are the portable md5-derived
+hash64 (functions/hashing.py); DSIR's log-ratios follow the registry rule
+used by unigram_surprisal_scores -- round(ln(..), 6) per row, exact
+decimal sum, one cast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64_sql
+from .registry import query
+from .text_pipeline import TOKS
+
+# W: minimum duplicated-span length in tokens.  Lee et al. use 50 BPE
+# tokens on web-scale corpora; 16 whitespace tokens is the same knob scaled
+# to the synthetic fixture's ~300-token documents.
+SUBSTR_W = 16
+
+# DSIR hashed-feature space.  The paper uses 10k buckets on real corpora;
+# 64 keeps every bucket populated at the fixture SFs while exercising the
+# identical plan (the bucket table is broadcast either way).
+DSIR_BUCKETS = 64
+
+
+@query(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, toks, len(toks) AS n_toks
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+      WHERE len(toks) >= {SUBSTR_W}
+    ),
+    win AS (
+      SELECT doc_id, i AS pos,
+             {hash64_sql(f"array_to_string(list_slice(toks, i, i+{SUBSTR_W}-1), ' ')")} AS wh
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, n_toks-{SUBSTR_W}+1)) AS i
+            FROM d)
+    ),
+    dup AS (SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2),
+    flag AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wh)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(lag(pos) OVER w, -{SUBSTR_W}) + {SUBSTR_W} - 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM flag WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl
+    ),
+    spans AS (SELECT doc_id, gid, min(pos) AS a, max(pos) AS b
+              FROM grp GROUP BY 1, 2),
+    per AS (SELECT doc_id,
+                   cast(count(*) as bigint) AS n_dup_spans,
+                   cast(sum(b - a + {SUBSTR_W}) as bigint) AS dup_tokens
+            FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(d.n_toks as bigint) AS n_toks,
+           cast(d.n_toks - {SUBSTR_W} + 1 as bigint) AS n_windows,
+           coalesce(per.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(per.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(per.dup_tokens, 0) * 1.0 / d.n_toks, 6) AS dup_ratio
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup report: per doc, the merged duplicated spans.
+
+    A span is duplicated when its W-token window hash occurs >= 2 times
+    corpus-wide (within- or cross-document).  Flagged positions merge into
+    maximal spans; ``dup_tokens`` is the exact token coverage of the merged
+    spans, ``dup_ratio`` the removable fraction Lee et al. report.
+    """
+    from ..sources.tables import load_table
+
+    W = SUBSTR_W
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        ).alias("toks"),
+    ).withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= W)
+
+    # one narrow pass per doc: every window start becomes (pos, hash64);
+    # only 12 bytes/window ever reach a shuffle, never the window text
+    win = d.select(
+        "doc_id",
+        F.expr(
+            f"inline(transform(sequence(1, n_toks-{W}+1), i -> struct("
+            f"i as pos, "
+            f"cast(conv(substring(md5(concat_ws(' ', slice(toks, i, {W}))), 1, 15), 16, 10) as bigint) as wh)))"
+        ),
+    )
+    dup = win.groupBy("wh").agg(F.count(F.lit(1)).alias("n_occ")).filter(
+        F.col("n_occ") >= 2
+    )
+    flag = win.join(dup.select("wh"), "wh").select("doc_id", "pos")
+
+    # interval merge: equal-length windows sorted by start, so chaining off
+    # the previous START is exact (prev start is also the max end so far)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-W)) + W - 1, 1
+    ).otherwise(0)
+    grp = flag.withColumn("brk", brk).withColumn(
+        "gid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("a"), F.max("pos").alias("b")
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("b") - F.col("a") + W).cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        d.select("doc_id", "n_toks")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            (F.col("n_toks") - W + 1).cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) * F.lit(1.0) / F.col("n_toks"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+_DSIR_FEATS = (
+    f"list_concat(toks, list_transform(generate_series(1, greatest(len(toks)-1, 0)),"
+    f" i -> toks[i] || ' ' || toks[i+1]))"
+)
+
+
+@query(
+    "dsir_selection",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+    feat AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             {hash64_sql('f')} % {DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, lang, unnest({_DSIR_FEATS}) AS f FROM d)
+    ),
+    bstat AS (
+      SELECT bucket,
+             cast(sum(CASE WHEN is_target THEN 1 ELSE 0 END) as bigint) AS c_t,
+             cast(count(*) as bigint) AS c_all
+      FROM feat GROUP BY bucket
+    ),
+    tot AS (SELECT cast(sum(c_t) as bigint) AS t_t,
+                   cast(sum(c_all) as bigint) AS t_all FROM bstat),
+    bw AS (
+      SELECT bucket,
+             cast(round(ln(((c_t + 0.5) * (t_all + {DSIR_BUCKETS} * 0.5))
+                           / ((c_all + 0.5) * (t_t + {DSIR_BUCKETS} * 0.5))), 6)
+                  as decimal(27,6)) AS lr
+      FROM bstat, tot
+    )
+    SELECT f.doc_id,
+           cast(count(*) as bigint) AS n_features,
+           round(cast(sum(bw.lr) as double) / count(*), 6) AS dsir_score,
+           (cast(sum(bw.lr) as double) / count(*) > 0) AS selected
+    FROM feat f JOIN bw USING (bucket)
+    GROUP BY f.doc_id
+    """,
+)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (arXiv:2302.03169): hashed-ngram importance scores per document.
+
+    p = feature distribution of the target slice (lang='en'), q = the whole
+    corpus, both +0.5-smoothed over ``DSIR_BUCKETS`` hashed unigram+bigram
+    buckets; a doc's score is the mean log(p_b/q_b) over its feature
+    occurrences, and ``selected`` is the noiseless score>0 cut.
+    """
+    from ..functions.hashing import hash64
+    from ..sources.tables import load_table
+
+    B = DSIR_BUCKETS
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias(
+            "toks"
+        ),
+    )
+    # unigrams ++ bigrams in one generated array, then a single explode
+    feats = d.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(
+                "concat(toks, transform(sequence(1, greatest(size(toks)-1, 0)),"
+                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1))))"
+            )
+        ).alias("f"),
+    ).select("doc_id", "is_target", (hash64(F.col("f")) % B).alias("bucket"))
+
+    bstat = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_t"),
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+    )
+    tot = F.broadcast(
+        bstat.agg(
+            F.sum("c_t").cast("bigint").alias("t_t"),
+            F.sum("c_all").cast("bigint").alias("t_all"),
+        )
+    )
+    # <= B rows: broadcast the per-bucket log-ratio table back to the feats
+    bw = F.broadcast(
+        bstat.crossJoin(tot).select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.col("c_t") + 0.5) * (F.col("t_all") + B * 0.5))
+                    / ((F.col("c_all") + 0.5) * (F.col("t_t") + B * 0.5))
+                ),
+                6,
+            )
+            .cast("decimal(27,6)")
+            .alias("lr"),
+        )
+    )
+    score = F.sum("lr").cast("double") / F.count(F.lit(1))
+    return (
+        feats.join(bw, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.round(score, 6).alias("dsir_score"),
+            (score > 0).alias("selected"),
+        )
+    )

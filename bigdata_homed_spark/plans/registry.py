@@ -53,6 +53,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 from . import core_relational  # noqa: E402,F401
 from . import homed_behavior  # noqa: E402,F401
 from . import text_pipeline  # noqa: E402,F401
+from . import data_selection  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401

@@ -1,0 +1,106 @@
+"""Tests for plans/data_selection.py: ExactSubstr spans and DSIR scores.
+
+The oracle gate already pins cross-engine equality; these tests pin the
+SEMANTICS on hand-built corpora where the right answer is computable by
+inspection — span merging, cross- vs within-doc duplication, and the
+direction of DSIR scores for target-like vs off-target documents.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bigdata_homed_spark.plans.data_selection import (
+    SUBSTR_W,
+    dsir_selection,
+    exact_substring_spans,
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def _run_substring(spark, df, tmp_path):
+    p = str(tmp_path / "documents.parquet")
+    df.withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(p)
+    return {
+        r["doc_id"]: r.asDict()
+        for r in exact_substring_spans(spark, str(tmp_path)).collect()
+    }
+
+
+def test_exact_substring_cross_doc_span(spark, tmp_path):
+    # doc 0 and doc 1 share a 20-token run (> W=16) with distinct tails;
+    # every other token is unique, so exactly that run is flagged in both
+    shared = " ".join(f"s{i}" for i in range(20))
+    a = shared + " " + " ".join(f"a{i}" for i in range(30))
+    b = " ".join(f"b{i}" for i in range(30)) + " " + shared
+    out = _run_substring(
+        spark, _docs_df(spark, [(0, a, "en"), (1, b, "en")]), tmp_path
+    )
+    # 20 shared tokens -> 5 duplicated 16-windows each, merged to ONE span
+    # covering exactly the 20 shared tokens
+    assert out[0]["n_dup_spans"] == 1 and out[1]["n_dup_spans"] == 1
+    assert out[0]["dup_tokens"] == 20 and out[1]["dup_tokens"] == 20
+
+
+def test_exact_substring_two_disjoint_spans_not_merged(spark, tmp_path):
+    # two shared W-token runs separated by >W unique tokens stay two spans
+    run1 = " ".join(f"x{i}" for i in range(SUBSTR_W))
+    run2 = " ".join(f"y{i}" for i in range(SUBSTR_W))
+    gap_a = " ".join(f"ga{i}" for i in range(SUBSTR_W + 4))
+    gap_b = " ".join(f"gb{i}" for i in range(SUBSTR_W + 4))
+    a = f"{run1} {gap_a} {run2}"
+    b = f"{run2} {gap_b} {run1}"
+    out = _run_substring(
+        spark, _docs_df(spark, [(0, a, "en"), (1, b, "en")]), tmp_path
+    )
+    assert out[0]["n_dup_spans"] == 2
+    assert out[0]["dup_tokens"] == 2 * SUBSTR_W
+
+
+def test_exact_substring_within_doc_repeat_counts(spark, tmp_path):
+    # a doc that repeats its own W-token run twice is self-duplicated even
+    # with no other document in the corpus
+    run = " ".join(f"r{i}" for i in range(SUBSTR_W))
+    gap = " ".join(f"g{i}" for i in range(SUBSTR_W + 2))
+    out = _run_substring(
+        spark, _docs_df(spark, [(7, f"{run} {gap} {run}", "en")]), tmp_path
+    )
+    assert out[7]["n_dup_spans"] == 2
+    assert out[7]["dup_tokens"] == 2 * SUBSTR_W
+
+
+def test_exact_substring_clean_doc_zero(spark, tmp_path):
+    uniq = " ".join(f"u{i}" for i in range(40))
+    out = _run_substring(spark, _docs_df(spark, [(3, uniq, "en")]), tmp_path)
+    assert out[3]["n_dup_spans"] == 0
+    assert out[3]["dup_tokens"] == 0
+    assert out[3]["n_windows"] == 40 - SUBSTR_W + 1
+
+
+def test_dsir_scores_separate_target_from_off_target(spark, tmp_path):
+    # target (en) docs use one vocabulary, off-target another; a fresh doc
+    # written in the target vocabulary must outscore one in the off-target
+    # vocabulary, and the en-vocab docs should be the selected ones
+    tvoc = "alpha beta gamma delta " * 10
+    ovoc = "uno dos tres cuatro " * 10
+    rows = [(i, tvoc, "en") for i in range(5)]
+    rows += [(10 + i, ovoc, "zh") for i in range(5)]
+    rows += [(100, tvoc, "zh"), (101, ovoc, "en")]  # the probes
+    df = _docs_df(spark, rows)
+    p = str(tmp_path / "documents.parquet")
+    df.withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(p)
+    out = {
+        r["doc_id"]: r.asDict() for r in dsir_selection(spark, str(tmp_path)).collect()
+    }
+    # probe 100 is written in target vocabulary -> high score, selected
+    # probe 101 is written in off-target vocabulary -> low score, dropped
+    assert out[100]["dsir_score"] > out[101]["dsir_score"]
+    assert out[100]["selected"] is True
+    assert out[101]["selected"] is False
