@@ -93,6 +93,14 @@ BENCH_QUERIES = [
     "personal_open_accounts",
     "demand_package_report",
     "jdbc_dim_roundtrip",
+    # late-r5 LLM-pipeline widening: ExactSubstr window-hash span dedup
+    # (the token-linear explode + 12-byte shuffle) and DSIR hashed-ngram
+    # importance scoring (explode + broadcast bucket table).
+    "exact_substring_spans",
+    "dsir_selection",
+    # Z-order layout: the min/max-broadcast + codegen interleave + 256-key
+    # agg whose plan is the whole point (no wide shuffle).
+    "zorder_locality",
 ]
 
 

@@ -54,6 +54,7 @@ from . import core_relational  # noqa: E402,F401
 from . import homed_behavior  # noqa: E402,F401
 from . import text_pipeline  # noqa: E402,F401
 from . import data_selection  # noqa: E402,F401
+from . import layout_queries  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
@@ -176,6 +177,11 @@ from . import realtime_snapshots  # noqa: E402,F401
 #                          side); slot funds jdbc_dim_roundtrip (NEW r5:
 #                          S3/S4/S9 EXECUTED against embedded Derby —
 #                          first driver-verified JDBC row)
+# Late-r5 additions with no safe eviction left (exact_substring_spans,
+# dsir_selection — the Lee-et-al/DSIR data-selection pair — and
+# zorder_locality, the Z-order layout model) wait outside the window per
+# policy; GATELOG_r5 covers them until r6 rotation, where they are the
+# first three promotions.
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
