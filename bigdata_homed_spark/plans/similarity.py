@@ -1048,6 +1048,27 @@ def _pq_bucket_col(m: int):
     return bits
 
 
+def _pq_bucket_from_subvec():
+    """The same per-subspace sign-LSH bucket, computed from an exploded
+    (m, subvec) row — identical terms and add order as `_pq_bucket_col`
+    (element i of subvec IS embedding[m·16+i]), dispatched on m.  Lets the
+    bucket run on only the rows that need it (the training sample)."""
+    out = None
+    for m in range(_PQ_M):
+        bits = None
+        for p in range(_PQ_PLANES):
+            dot = None
+            for i in range(_PQ_SUBD):
+                term = F.element_at("subvec", i + 1).cast("double") * F.lit(
+                    _PQ_W[m][p][i]
+                )
+                dot = term if dot is None else dot + term
+            bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        out = bits if out is None else F.when(F.col("m") == m, bits).otherwise(out)
+    return out
+
+
 _PQ_SUB_SQL = "\n  UNION ALL\n".join(
     f"  SELECT vec_id, {m} AS m, embedding[{m*_PQ_SUBD+1}:{(m+1)*_PQ_SUBD}] AS subvec,"
     f" {_pq_bucket_sql(m)} AS bucket FROM embeddings"
@@ -1167,13 +1188,17 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_MOD_CACHE[ck] = pq_train_mod_for(emb.count())
     mod = _PQ_MOD_CACHE[ck]
 
-    # (vec, m, subvec, bucket) long frame — buckets computed pre-explode
+    # (vec, m, subvec) long frame.  The sign-LSH init bucket is NOT part of
+    # this frame: only the training sample ever uses it (codebook init),
+    # so the 20 plane dot-products are computed on the sampled rows below
+    # instead of burning them across the whole corpus (at mod=8 that is
+    # 8× less bucket work; encoding needs only subvec + the broadcast
+    # codebook).
     sub_structs = F.array(
         *[
             F.struct(
                 F.lit(m).alias("m"),
                 F.slice("embedding", m * _PQ_SUBD + 1, _PQ_SUBD).alias("subvec"),
-                _pq_bucket_col(m).alias("bucket"),
             )
             for m in range(_PQ_M)
         ]
@@ -1185,16 +1210,17 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sub = (
         emb.select("vec_id", F.explode(sub_structs).alias("s"))
-        .select("vec_id", "s.m", "s.subvec", "s.bucket")
+        .select("vec_id", "s.m", "s.subvec")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # deterministic hash-sample for codebook training (mod 1 = full corpus
-    # at the small SFs); a cheap filter over the cached `sub`
+    # at the small SFs); a cheap filter over the cached `sub`, with the
+    # init bucket derived from the subvector on just these rows
     train = (
         sub
         if mod == 1
         else sub.where(hash64(F.col("vec_id"), "pq_train") % mod == 0)
-    )
+    ).withColumn("bucket", _pq_bucket_from_subvec())
 
     # one-step codebooks: exact decimal mean per (m, bucket, dim)
     cdim = (
@@ -1229,16 +1255,18 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
     # one Lloyd refinement: re-assign subvectors to their nearest init
-    # centroid, recompute exact-decimal means per assigned code
-    asg_w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d").asc(), F.col("cb").asc()
-    )
+    # centroid, recompute exact-decimal means per assigned code.  The
+    # argmin is min(struct(d, cb, subvec)) under a hash agg — same winner
+    # as the oracle's row_number()=1 (struct order = d asc, cb asc; cb is
+    # unique per group so subvec never breaks a tie) but with map-side
+    # partial aggregation and NO sort, where a row_number window would
+    # shuffle-and-sort all n·codes rows
     asg1 = (
         train.join(F.broadcast(cents0.withColumnRenamed("bucket", "cb")), "m")
         .withColumn("d", sqd16(F.col("subvec"), F.col("ce")))
-        .withColumn("rn", F.row_number().over(asg_w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "subvec", F.col("cb").alias("bucket"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "cb", "subvec")).alias("w"))
+        .select("vec_id", "m", F.col("w.subvec").alias("subvec"), F.col("w.cb").alias("bucket"))
     )
     cdim1 = (
         asg1.select("m", "bucket", F.posexplode("subvec").alias("dim0", "val"))
@@ -1252,25 +1280,34 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = _pack(cdim1).localCheckpoint(eager=True)
 
-    # encode: argmin over the refined subspace codebook (tie -> smaller bucket)
-    enc_w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d").asc(), F.col("cb").asc()
-    )
-    codes = (
+    # encode: argmin over the refined subspace codebook (tie -> smaller
+    # bucket).  One hash agg does BOTH the per-subspace argmin and the
+    # wide-code pivot — min(when(m=i, struct(d, cb))) skips other
+    # subspaces' rows as nulls, so the n·4·codes joined rows fold straight
+    # to one row per vector in a single map-side-combinable shuffle
+    # (replacing a row_number window sort plus a second pivot shuffle)
+    codes_w = (
         sub.join(F.broadcast(cents.withColumnRenamed("bucket", "cb")), "m")
         .withColumn("d", sqd16(F.col("subvec"), F.col("ce")))
-        .withColumn("rn", F.row_number().over(enc_w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("cb").alias("code"))
-    )
-    codes_w = codes.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
-            for m in range(_PQ_M)
-        ]
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("m") == m, F.struct("d", "cb"))).alias(f"w{m}")
+                for m in range(_PQ_M)
+            ]
+        )
+        .select(
+            "vec_id",
+            *[F.col(f"w{m}.cb").alias(f"c{m}") for m in range(_PQ_M)],
+        )
     )
 
-    # per-query ADC distance tables (≤ 10 × 4 × 16 rows — broadcast)
+    # per-query ADC distance tables — pivoted to ONE row per query with a
+    # code->distance map per subspace (≤ 10 rows × 4 maps of ≤32 entries),
+    # so the whole ADC scan is a SINGLE broadcast nested-loop join of the
+    # 10-row table against the codes (the classic "distance table in
+    # registers" lookup), not a 4-deep broadcast-join chain with three
+    # extra exchanges
     qsub = sub.where(F.col("vec_id") < _PQ_TOPK).select(
         F.col("vec_id").alias("query_id"), "m", "subvec"
     )
@@ -1279,25 +1316,29 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d", sqd16(F.col("subvec"), F.col("ce")))
         .select("query_id", "m", "bucket", "d")
     )
-    adc = None
-    for m in range(_PQ_M):
-        tm = t.where(F.col("m") == m).select(
-            "query_id" if m == 0 else F.col("query_id").alias(f"q{m}"),
-            F.col("bucket").alias(f"b{m}"),
-            F.col("d").alias(f"d{m}"),
+    qtab = t.groupBy("query_id").agg(
+        *[
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("m") == m, F.struct("bucket", "d"))
+                    )
+                )
+            ).alias(f"t{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    adc = (
+        codes_w.join(F.broadcast(qtab))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sum(
+                [F.element_at(F.col(f"t{m}"), F.col(f"c{m}")) for m in range(_PQ_M)],
+                F.lit(0.0),
+            ).alias("approx_d"),
         )
-        if m == 0:
-            adc = codes_w.join(F.broadcast(tm), F.col("c0") == F.col("b0"))
-        else:
-            adc = adc.join(
-                F.broadcast(tm),
-                (F.col(f"q{m}") == F.col("query_id"))
-                & (F.col(f"c{m}") == F.col(f"b{m}")),
-            )
-    adc = adc.where(F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")).alias("approx_d"),
     )
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d").asc(), F.col("neighbor_id")
