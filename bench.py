@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     # Z-order layout: the min/max-broadcast + codegen interleave + 256-key
     # agg whose plan is the whole point (no wide shuffle).
     "zorder_locality",
+    # SCD2 history build: three stacked keyed windows on one exchange.
+    "scd2_status_history",
 ]
 
 

@@ -754,3 +754,59 @@ def jdbc_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("bigint").alias("sum_w"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 history build: the warehouse-standard "slowly changing
+# dimension" compaction the reference approximates with overwrite-by-PK
+# state (homed/realtime/UserStatistics.scala keeps only the LATEST user
+# state — SCD1); a training/analytics store needs the full validity-
+# interval history (SCD2) to join facts as-of any past instant.  From the
+# event log: per user, consecutive runs of the same tracked attribute
+# (event_type here) compact to one row with [valid_from, valid_to) bounds,
+# a version number, and the is_current flag; valid_to of the open row is
+# NULL.  All three windows share the (user_id)-keyed sort — one exchange,
+# keyed partitions, never global.
+@query(
+    "scd2_status_history",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    marked AS (
+      SELECT user_id, event_type AS status, sec, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type != lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    changes AS (SELECT user_id, status, sec, event_id FROM marked WHERE chg = 1),
+    hist AS (
+      SELECT user_id, status, sec AS valid_from_sec,
+             lead(sec) OVER w AS valid_to_sec,
+             cast(row_number() OVER w as bigint) AS version
+      FROM changes WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    )
+    SELECT user_id, status, valid_from_sec, valid_to_sec, version,
+           (valid_to_sec IS NULL) AS is_current
+    FROM hist
+    """,
+)
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    chg = (
+        F.lag("status").over(w).isNull()
+        | (F.col("status") != F.lag("status").over(w))
+    )
+    changes = (
+        ev.select("user_id", F.col("event_type").alias("status"), "sec", "event_id")
+        .withColumn("chg", chg)
+        .where("chg")
+    )
+    hist = changes.select(
+        "user_id",
+        "status",
+        F.col("sec").alias("valid_from_sec"),
+        F.lead("sec").over(w).alias("valid_to_sec"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+    return hist.withColumn("is_current", F.col("valid_to_sec").isNull())

@@ -104,3 +104,28 @@ def test_dsir_scores_separate_target_from_off_target(spark, tmp_path):
     assert out[100]["dsir_score"] > out[101]["dsir_score"]
     assert out[100]["selected"] is True
     assert out[101]["selected"] is False
+
+
+def test_scd2_compacts_runs_and_orders_versions(spark, tmp_path):
+    # user 1: A,A,B,A -> three SCD2 rows (the repeat A at t=2 folds into
+    # version 1; the return to A at t=4 opens a NEW version — type 2
+    # history, not distinct-status)
+    from bigdata_homed_spark.plans.lifecycle import scd2_status_history
+
+    rows = [
+        (10, "2024-01-01 00:00:01", 1, "A", 0.0, "{}"),
+        (11, "2024-01-01 00:00:02", 1, "A", 0.0, "{}"),
+        (12, "2024-01-01 00:00:03", 1, "B", 0.0, "{}"),
+        (13, "2024-01-01 00:00:04", 1, "A", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        (r["version"], r["status"], r["valid_to_sec"] is None)
+        for r in scd2_status_history(spark, str(tmp_path)).collect()
+    )
+    assert [(v, s) for v, s, _ in out] == [(1, "A"), (2, "B"), (3, "A")]
+    # only the last interval is open
+    assert [c for _, _, c in out] == [False, False, True]
