@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "zorder_locality",
     # SCD2 history build: three stacked keyed windows on one exchange.
     "scd2_status_history",
+    # hard-negative mining: broadcast-anchor scored scan + dual-role window.
+    "hard_negative_mining",
 ]
 
 

@@ -179,10 +179,11 @@ from . import realtime_snapshots  # noqa: E402,F401
 #                          first driver-verified JDBC row)
 # Late-r5 additions with no safe eviction left (exact_substring_spans,
 # dsir_selection — the Lee-et-al/DSIR data-selection pair —
-# zorder_locality, the Z-order layout model, and scd2_status_history,
-# the SCD2 validity-interval build) wait outside the window per policy;
+# zorder_locality, the Z-order layout model, scd2_status_history, the
+# SCD2 validity-interval build, and hard_negative_mining, the
+# contrastive-training prep) wait outside the window per policy;
 # GATELOG_r5 covers them until r6 rotation, where they are the first
-# four promotions.
+# five promotions.
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1

@@ -1509,3 +1509,84 @@ def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (embedding-model training-data prep, the DPR /
+# contrastive-learning recipe): for each anchor, the top-1 most similar
+# SAME-label vector (the positive) and the top-5 most similar CROSS-label
+# vectors (the hard negatives — near the anchor in embedding space but
+# semantically wrong, which is what makes them informative).  One scored
+# pass: anchors broadcast with their labels, a single window keyed on
+# (anchor, same-label flag) picks both role's ranks.  The brute-force
+# scorer is the correctness baseline exactly like embedding_knn; at
+# corpus scale the candidate set comes from the IVF/LSH/PQ paths above
+# and this ranking stage is unchanged.
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS alabel
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS nlabel
+          FROM embeddings),
+    scored AS (
+      SELECT anchor_id, neighbor_id, nlabel, (nlabel = alabel) AS same_label,
+             {_dot_sql('qe', 'ce')}
+               / (sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('ce', 'ce')})) AS cosine
+      FROM q JOIN c ON anchor_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id, same_label
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT anchor_id,
+           CASE WHEN same_label THEN 'positive' ELSE 'hard_negative' END AS role,
+           cast(rnk as bigint) AS rnk,
+           neighbor_id,
+           cast(nlabel as bigint) AS neighbor_label,
+           round(cosine, 6) AS cosine_r
+    FROM ranked
+    WHERE (same_label AND rnk <= 1) OR (NOT same_label AND rnk <= 5)
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("alabel"),
+        )
+        .withColumn("qnorm", _norm("qe"))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("nlabel"),
+    ).withColumn("cnorm", _norm("ce"))
+    scored = (
+        c.join(F.broadcast(q), F.col("anchor_id") != F.col("neighbor_id"))
+        .withColumn("same_label", F.col("nlabel") == F.col("alabel"))
+        .withColumn("cosine", _dot("qe", "ce") / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("anchor_id", "same_label").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    keep = (F.col("same_label") & (F.col("rnk") <= 1)) | (
+        ~F.col("same_label") & (F.col("rnk") <= 5)
+    )
+    return ranked.where(keep).select(
+        "anchor_id",
+        F.when(F.col("same_label"), F.lit("positive"))
+        .otherwise(F.lit("hard_negative"))
+        .alias("role"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "neighbor_id",
+        F.col("nlabel").cast("bigint").alias("neighbor_label"),
+        F.round("cosine", 6).alias("cosine_r"),
+    )
