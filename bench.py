@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "scd2_status_history",
     # hard-negative mining: broadcast-anchor scored scan + dual-role window.
     "hard_negative_mining",
+    # CCNet-style bigram-LM scoring: two hash-key LM tables + 3-way
+    # compact-key join over the token stream.
+    "bigram_lm_quality",
 ]
 
 

@@ -280,3 +280,153 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score > 0).alias("selected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style LM quality scoring (Wenzek et al., arXiv:1911.00359): CCNet
+# scores web text with a KenLM model TRAINED ON WIKIPEDIA and buckets by
+# perplexity.  The honest SQL-expressible version of that recipe: a bigram
+# LM with stupid backoff (Brants et al. 2007, alpha=0.4) trained on the
+# target slice (lang='en', the in-domain stand-in), scoring EVERY document
+# — off-domain docs hit unseen bigrams, fall to the backoff path, and
+# score low, which is exactly the separation the filter exists to produce
+# (the existing unigram_surprisal_scores has no cross-domain train/score
+# split; this is the upgrade that does).
+#
+# Scale: the LM tables shuffle on 60-bit token/bigram hashes (the repo
+# rule: raw text never shuffles); scoring is two hash-joins against the
+# unigram table and one against the bigram table — all map-side
+# combinable aggregations and compact-key joins, linear in corpus tokens.
+# log() determinism follows the registry rule: round(ln, 6) per row,
+# exact decimal sum, one cast back.
+_BACKOFF_ALPHA = 0.4
+
+
+@query(
+    "bigram_lm_quality",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT {hash64_sql('t')} AS th, cast(count(*) as bigint) AS c_uni
+      FROM (SELECT unnest(toks) AS t FROM d WHERE lang = 'en') GROUP BY 1
+    ),
+    tot AS (SELECT cast(sum(c_uni) as bigint) AS t_total FROM uni),
+    bi AS (
+      SELECT {hash64_sql('b')} AS bh, cast(count(*) as bigint) AS c_bi
+      FROM (SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS b
+            FROM d WHERE lang = 'en') GROUP BY 1
+    ),
+    pos AS (
+      SELECT doc_id,
+             {hash64_sql('prev')} AS prevh,
+             {hash64_sql('cur')} AS curh,
+             {hash64_sql("prev || ' ' || cur")} AS bh
+      FROM (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+            FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks)-1, 0))) AS i
+                  FROM d))
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             cast(CASE
+               WHEN b.c_bi IS NOT NULL AND up.c_uni IS NOT NULL
+                 THEN round(ln(cast(b.c_bi as double) / cast(up.c_uni as double)), 6)
+               ELSE round(ln(cast(4 * coalesce(uc.c_uni, 0) + 2 as double)
+                             / cast(10 * t.t_total + 5 as double)), 6)
+             END as decimal(27,6)) AS lp
+      FROM pos p
+      LEFT JOIN bi b ON p.bh = b.bh
+      LEFT JOIN uni up ON p.prevh = up.th
+      LEFT JOIN uni uc ON p.curh = uc.th
+      CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_bigrams,
+           floor(cast(sum(lp) as double) / count(*) * 1000000) / 1000000 AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-probability under the target-slice LM with
+    stupid backoff — the CCNet perplexity-filter signal (higher = more
+    target-like; threshold/bucket downstream)."""
+    from ..functions.hashing import hash64
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias(
+            "toks"
+        ),
+    )
+    train = d.where(F.col("lang") == "en")
+    uni = (
+        train.select(F.explode("toks").alias("t"))
+        .groupBy(hash64(F.col("t")).alias("th"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+    )
+    tot = F.broadcast(uni.agg(F.sum("c_uni").cast("bigint").alias("t_total")))
+    bigram_expr = (
+        "transform(sequence(1, greatest(size(toks)-1, 0)),"
+        " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))"
+    )
+    bi = (
+        train.select(F.explode(F.expr(bigram_expr)).alias("b"))
+        .groupBy(hash64(F.col("b")).alias("bh"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_bi"))
+    )
+    pos = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks)-1, 0)),"
+                " i -> struct(element_at(toks, i) as prev, element_at(toks, i+1) as cur))"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        hash64(F.col("p.prev")).alias("prevh"),
+        hash64(F.col("p.cur")).alias("curh"),
+        hash64(F.concat_ws(" ", F.col("p.prev"), F.col("p.cur"))).alias("bh"),
+    )
+    up = uni.select(F.col("th").alias("prevh"), F.col("c_uni").alias("c_prev"))
+    uc = uni.select(F.col("th").alias("curh"), F.col("c_uni").alias("c_cur"))
+    # alpha=0.4 and the +0.5 smoothing are folded into exact integer
+    # ratios — 0.4*(c+0.5)/(t+0.5) = (4c+2)/(10t+5) — because decimal
+    # literals are exact in DuckDB but doubles in Spark, and a last-ulp
+    # difference in the ln() argument survives round(.., 6)
+    lp = F.when(
+        F.col("c_bi").isNotNull() & F.col("c_prev").isNotNull(),
+        F.round(
+            F.log(F.col("c_bi").cast("double") / F.col("c_prev").cast("double")), 6
+        ),
+    ).otherwise(
+        F.round(
+            F.log(
+                (F.coalesce(F.col("c_cur"), F.lit(0)) * 4 + 2).cast("double")
+                / (F.col("t_total") * 10 + 5).cast("double")
+            ),
+            6,
+        )
+    )
+    scored = (
+        pos.join(bi, "bh", "left")
+        .join(up, "prevh", "left")
+        .join(uc, "curh", "left")
+        .crossJoin(tot)
+        .select("doc_id", lp.cast("decimal(27,6)").alias("lp"))
+    )
+    # the mean lands on exact .5 ties at 6dp for real inputs and the two
+    # engines round negative halves differently — floor-at-6dp is the same
+    # IEEE op chain on both sides, so it is tie-free by construction
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (
+            F.floor(F.sum("lp").cast("double") / F.count(F.lit(1)) * 1000000)
+            / 1000000
+        ).alias("avg_logprob"),
+    )
