@@ -129,3 +129,56 @@ def test_scd2_compacts_runs_and_orders_versions(spark, tmp_path):
     assert [(v, s) for v, s, _ in out] == [(1, "A"), (2, "B"), (3, "A")]
     # only the last interval is open
     assert [c for _, _, c in out] == [False, False, True]
+
+
+# ---------------------------------------------------------------------------
+# property check vs an INDEPENDENT reference: instead of re-running the
+# window+merge algorithm, the oracle marks every token position covered by
+# any duplicated window in a coverage bitmap — dup_tokens must equal the
+# popcount and n_dup_spans the number of maximal covered runs.
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _naive_coverage(corpus: dict[int, list[str]], W: int):
+    wins: Counter = Counter()
+    for toks in corpus.values():
+        for i in range(len(toks) - W + 1):
+            wins[tuple(toks[i : i + W])] += 1
+    out = {}
+    for d, toks in corpus.items():
+        covered = [False] * len(toks)
+        for i in range(len(toks) - W + 1):
+            if wins[tuple(toks[i : i + W])] >= 2:
+                for t in range(i, i + W):
+                    covered[t] = True
+        spans = sum(
+            1 for t, c in enumerate(covered) if c and (t == 0 or not covered[t - 1])
+        )
+        out[d] = (spans, sum(covered))
+    return out
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=SUBSTR_W, max_size=SUBSTR_W + 12),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_exact_substring_matches_coverage_bitmap(spark, tmp_path_factory, doclists):
+    corpus = {i: toks for i, toks in enumerate(doclists)}
+    expected = _naive_coverage(corpus, SUBSTR_W)
+    tmp = tmp_path_factory.mktemp("substr")
+    df = _docs_df(
+        spark, [(i, " ".join(toks), "en") for i, toks in corpus.items()]
+    )
+    got = _run_substring(spark, df, tmp)
+    for d, (spans, tokens_covered) in expected.items():
+        assert got[d]["n_dup_spans"] == spans, (d, corpus[d])
+        assert got[d]["dup_tokens"] == tokens_covered, (d, corpus[d])
