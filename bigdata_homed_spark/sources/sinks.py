@@ -264,3 +264,58 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    target_bytes: int = 128 << 20,
+) -> dict[str, int]:
+    """Small-file compaction (the OPTIMIZE-style maintenance pass a 100 TB
+    lake table needs: streaming micro-batches and per-day overwrites leave
+    thousands of KB-sized files whose per-file open/footer cost dominates
+    scans).  One distributed pass, no driver loop over partitions: a
+    REBALANCE hint with the advisory partition size set to ``target_bytes``
+    lets AQE coalesce small shuffle blocks (and split skewed ones) so output
+    files land near the target — per partition when ``partition_cols`` keys
+    the rebalance.  The rewrite goes to a sibling directory and is swapped
+    in atomically-for-readers-on-rename filesystems; on object stores the
+    swap step is a table-pointer/manifest update instead (or a txn format's
+    commit), the compaction pass itself is unchanged.
+
+    Returns {"files_before": n, "files_after": m}.
+    """
+    import glob
+    import os
+    import shutil
+
+    def _count(p: str) -> int:
+        return sum(
+            1
+            for f in glob.glob(os.path.join(p, "**", "*"), recursive=True)
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        )
+
+    before = _count(path)
+    df = spark.read.parquet(path)
+    conf = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, str(target_bytes))
+    try:
+        out = df.hint("rebalance", *partition_cols) if partition_cols else df.hint("rebalance")
+        tmp = path.rstrip("/") + "__compacting"
+        writer = out.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*list(partition_cols))
+        writer.parquet(tmp)
+        swap = path.rstrip("/") + "__old"
+        os.rename(path, swap)
+        os.rename(tmp, path)
+        shutil.rmtree(swap)
+    finally:
+        if prev is not None:
+            spark.conf.set(conf, prev)
+        else:
+            spark.conf.unset(conf)
+    return {"files_before": before, "files_after": _count(path)}

@@ -445,3 +445,45 @@ def test_state_store_snapshot_retention_policy(spark, tmp_path):
     # 24 hour-marks survive in the window; one of them (720000) is also
     # `prev`, counted above, so 23 remain here
     assert len(hourly) == 23
+
+
+def test_compact_small_files_reduces_count_preserves_data(spark, sf_dir, tmp_path):
+    from bigdata_homed_spark.sources.sinks import compact_small_files
+    from bigdata_homed_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    p = str(tmp_path / "frag")
+    # simulate a micro-batch-fragmented table: 64 tiny files
+    ev.repartition(64).write.parquet(p)
+    want_rows = ev.count()
+    want_sum = ev.agg(F.sum("event_id")).collect()[0][0]
+
+    stats = compact_small_files(spark, p, target_bytes=64 << 20)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] < stats["files_before"] // 4
+
+    got = spark.read.parquet(p)
+    assert got.count() == want_rows
+    assert got.agg(F.sum("event_id")).collect()[0][0] == want_sum
+
+
+def test_compact_small_files_keeps_partition_dirs(spark, sf_dir, tmp_path):
+    from bigdata_homed_spark.sources.sinks import compact_small_files
+    from bigdata_homed_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+    import glob, os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 3).alias("part")
+    )
+    p = str(tmp_path / "fragp")
+    ev.repartition(16).write.partitionBy("part").parquet(p)
+    stats = compact_small_files(spark, p, partition_cols=["part"], target_bytes=64 << 20)
+    assert stats["files_after"] < stats["files_before"]
+    # partition layout survives (pruning still works)
+    assert sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(p, "part=*"))
+    ) == ["part=0", "part=1", "part=2"]
+    got = spark.read.parquet(p).where(F.col("part") == 1)
+    assert got.count() == ev.where(F.col("part") == 1).count()
