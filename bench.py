@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     # CCNet-style bigram-LM scoring: two hash-key LM tables + 3-way
     # compact-key join over the token stream.
     "bigram_lm_quality",
+    # incremental ExactSubstr: staged window-hash index + batch-only explode.
+    "incremental_substring_report",
 ]
 
 

@@ -60,6 +60,41 @@ SUBSTR_W = 16
 DSIR_BUCKETS = 64
 
 
+def _window_hashes(d: DataFrame, W: int) -> DataFrame:
+    """(doc_id, pos, wh): every W-token window start with its portable
+    hash64 — one narrow pass per doc; only 12 bytes/window ever reach a
+    shuffle, never the window text."""
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"inline(transform(sequence(1, n_toks-{W}+1), i -> struct("
+            f"i as pos, "
+            f"cast(conv(substring(md5(concat_ws(' ', slice(toks, i, {W}))), 1, 15), 16, 10) as bigint) as wh)))"
+        ),
+    )
+
+
+def _merge_flagged_spans(flag: DataFrame, W: int) -> DataFrame:
+    """Interval merge of flagged window positions → per-doc
+    (n_dup_spans, dup_tokens).  Equal-length windows sorted by start, so
+    chaining off the previous START is exact (prev start is also the max
+    end so far)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-W)) + W - 1, 1
+    ).otherwise(0)
+    grp = flag.withColumn("brk", brk).withColumn(
+        "gid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("a"), F.max("pos").alias("b")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("b") - F.col("a") + W).cast("bigint").alias("dup_tokens"),
+    )
+
+
 @query(
     "exact_substring_spans",
     oracle=f"""
@@ -124,37 +159,12 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     ).withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= W)
 
-    # one narrow pass per doc: every window start becomes (pos, hash64);
-    # only 12 bytes/window ever reach a shuffle, never the window text
-    win = d.select(
-        "doc_id",
-        F.expr(
-            f"inline(transform(sequence(1, n_toks-{W}+1), i -> struct("
-            f"i as pos, "
-            f"cast(conv(substring(md5(concat_ws(' ', slice(toks, i, {W}))), 1, 15), 16, 10) as bigint) as wh)))"
-        ),
-    )
+    win = _window_hashes(d, W)
     dup = win.groupBy("wh").agg(F.count(F.lit(1)).alias("n_occ")).filter(
         F.col("n_occ") >= 2
     )
     flag = win.join(dup.select("wh"), "wh").select("doc_id", "pos")
-
-    # interval merge: equal-length windows sorted by start, so chaining off
-    # the previous START is exact (prev start is also the max end so far)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    brk = F.when(
-        F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-W)) + W - 1, 1
-    ).otherwise(0)
-    grp = flag.withColumn("brk", brk).withColumn(
-        "gid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    spans = grp.groupBy("doc_id", "gid").agg(
-        F.min("pos").alias("a"), F.max("pos").alias("b")
-    )
-    per = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
-        F.sum(F.col("b") - F.col("a") + W).cast("bigint").alias("dup_tokens"),
-    )
+    per = _merge_flagged_spans(flag, W)
     return (
         d.select("doc_id", "n_toks")
         .join(per, "doc_id", "left")
@@ -429,4 +439,119 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("lp").cast("double") / F.count(F.lit(1)) * 1000000)
             / 1000000
         ).alias("avg_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental ExactSubstr: the per-ingest-day spelling of the span dedup
+# above, following the staged-index pattern of incremental_dedup_report /
+# incremental_ann_index — the historical corpus's window hashes live in a
+# persisted parquet index (appended to nightly, partitioned by hash range
+# at real scale, NEVER rebuilt), and a new batch's cost is one explode
+# over the batch plus one equi-join against the index.  A new-batch window
+# is duplicated if it hits the index OR occurs >= 2 times within the
+# batch itself; flagged positions merge with the same span machinery.
+# The fixture split is the registry convention: doc_id % 5 == 4 is today's
+# batch, the rest is history.
+@query(
+    "incremental_substring_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, doc_id % 5 = 4 AS is_new, toks, len(toks) AS n_toks
+      FROM (SELECT doc_id, source, {TOKS} AS toks FROM documents)
+      WHERE len(toks) >= {SUBSTR_W}
+    ),
+    win AS (
+      SELECT doc_id, is_new, i AS pos,
+             {hash64_sql(f"array_to_string(list_slice(toks, i, i+{SUBSTR_W}-1), ' ')")} AS wh
+      FROM (SELECT doc_id, is_new, toks, unnest(generate_series(1, n_toks-{SUBSTR_W}+1)) AS i
+            FROM d)
+    ),
+    hist AS (SELECT DISTINCT wh FROM win WHERE NOT is_new),
+    newdup AS (SELECT wh FROM win WHERE is_new GROUP BY wh HAVING count(*) >= 2),
+    flag AS (
+      SELECT w.doc_id, w.pos FROM win w
+      WHERE w.is_new AND (w.wh IN (SELECT wh FROM hist)
+                          OR w.wh IN (SELECT wh FROM newdup))
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(lag(pos) OVER w, -{SUBSTR_W}) + {SUBSTR_W} - 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM flag WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl
+    ),
+    spans AS (SELECT doc_id, gid, min(pos) AS a, max(pos) AS b FROM grp GROUP BY 1, 2),
+    per AS (SELECT doc_id,
+                   cast(count(*) as bigint) AS n_dup_spans,
+                   cast(sum(b - a + {SUBSTR_W}) as bigint) AS dup_tokens
+            FROM spans GROUP BY doc_id)
+    SELECT d.source,
+           cast(count(*) as bigint) AS n_new_docs,
+           cast(sum(d.n_toks) as bigint) AS new_tokens,
+           cast(sum(coalesce(per.dup_tokens, 0)) as bigint) AS dup_tokens,
+           round(sum(coalesce(per.dup_tokens, 0)) * 1.0 / sum(d.n_toks), 6) AS dup_share
+    FROM d LEFT JOIN per USING (doc_id)
+    WHERE d.is_new
+    GROUP BY d.source
+    """,
+)
+def incremental_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    W = SUBSTR_W
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = (
+        docs.select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % 5 == 4).alias("is_new"),
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias(
+                "toks"
+            ),
+        )
+        .withColumn("n_toks", F.size("toks"))
+        .filter(F.col("n_toks") >= W)
+    )
+    win = _window_hashes(d.select("doc_id", "toks", "n_toks"), W).join(
+        d.select("doc_id", "is_new"), "doc_id"
+    )
+    # stage the historical window-hash index exactly as the nightly job
+    # would: written once, read back as the join side (8 bytes per window)
+    index_dir = tempfile.mkdtemp(prefix="substr_index_")
+    win.where(~F.col("is_new")).select("wh").distinct().write.mode(
+        "overwrite"
+    ).parquet(index_dir)
+    hist = spark.read.parquet(index_dir)
+
+    new_win = win.where(F.col("is_new")).select("doc_id", "pos", "wh")
+    newdup = (
+        new_win.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("wh")
+    )
+    flagged_wh = hist.union(newdup).distinct()
+    flag = new_win.join(flagged_wh, "wh").select("doc_id", "pos")
+    per = _merge_flagged_spans(flag, W)
+    newd = d.where(F.col("is_new")).select("doc_id", "source", "n_toks")
+    dup = F.sum(F.coalesce("dup_tokens", F.lit(0)))
+    return (
+        newd.join(per, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new_docs"),
+            F.sum("n_toks").cast("bigint").alias("new_tokens"),
+            dup.cast("bigint").alias("dup_tokens"),
+            F.round(dup * F.lit(1.0) / F.sum("n_toks"), 6).alias("dup_share"),
+        )
     )
