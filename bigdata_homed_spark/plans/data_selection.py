@@ -540,8 +540,13 @@ def incremental_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") >= 2)
         .select("wh")
     )
-    flagged_wh = hist.union(newdup).distinct()
-    flag = new_win.join(flagged_wh, "wh").select("doc_id", "pos")
+    # two semi-joins instead of union+distinct over the index: the index is
+    # corpus-token-scale and must only be STREAMED through its one equi-join,
+    # never re-shuffled through a distinct; the union/distinct below touches
+    # batch-scale rows only
+    flag_hist = new_win.join(hist, "wh", "left_semi")
+    flag_new = new_win.join(newdup, "wh", "left_semi")
+    flag = flag_hist.union(flag_new).distinct().select("doc_id", "pos")
     per = _merge_flagged_spans(flag, W)
     newd = d.where(F.col("is_new")).select("doc_id", "source", "n_toks")
     dup = F.sum(F.coalesce("dup_tokens", F.lit(0)))
