@@ -182,8 +182,9 @@ from . import realtime_snapshots  # noqa: E402,F401
 # zorder_locality, the Z-order layout model, scd2_status_history, the
 # SCD2 validity-interval build, hard_negative_mining, the
 # contrastive-training prep, bigram_lm_quality, the CCNet-style LM
-# filter, and incremental_substring_report, the staged-index ExactSubstr)
-# wait outside the window per policy; GATELOG_r5 covers them until r6
+# filter, incremental_substring_report, the staged-index ExactSubstr,
+# and stream_incremental_dedup, the continuous-ingest dedup) wait
+# outside the window per policy; GATELOG_r5 covers them until r6
 # rotation, where they are the first promotions.
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)

@@ -640,3 +640,101 @@ def stream_user_status_by_user_log(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce(F.col("d_device_type"), F.lit(0)).alias("f_terminal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental dedup: document ingest as micro-batches, each batch
+# deduplicated against the PERSISTED fingerprint index before admission —
+# the streaming spelling of the dedup family (T1/S10 × dedup_exact), i.e.
+# what a continuous training-data ingest actually runs.  The md5 index
+# lives in a PartitionedStateStore keyed on text_hash, so a batch reads
+# only the buckets its hashes touch; the merge rule (keeper = min doc_id,
+# copies = sum) is associative and commutative, so the final state is
+# independent of batch arrival order — which is the at-least-once /
+# out-of-order guarantee, and what makes the batch-SQL oracle exact.
+@query(
+    "stream_incremental_dedup",
+    oracle="""
+    WITH h AS (
+      SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+             cast(count(*) as bigint) AS n_copies
+      FROM documents GROUP BY 1
+    ),
+    k AS (SELECT h.*, d.source AS keeper_source
+          FROM h JOIN documents d ON d.doc_id = h.keeper_id)
+    SELECT keeper_source,
+           cast(count(*) as bigint) AS n_unique_docs,
+           cast(sum(n_copies) as bigint) AS n_total_docs,
+           cast(sum(n_copies) - count(*) as bigint) AS n_dups_absorbed
+    FROM k GROUP BY keeper_source
+    """,
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import PartitionedStateStore
+    from ..sources.tables import load_table
+
+    # stage the corpus as 4 files = 4 micro-batches (the single-file fixture
+    # would otherwise collapse to one batch and test nothing incremental)
+    staged = tempfile.mkdtemp(prefix="doc_stream_")
+    load_table(spark, sf_dir, "documents").repartitionByRange(
+        4, "doc_id"
+    ).write.mode("overwrite").parquet(staged)
+
+    store = PartitionedStateStore(
+        tempfile.mkdtemp(prefix="dedup_index_"), ["text_hash"], n_buckets=16
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sparkb = batch_df.sparkSession
+        bagg = (
+            batch_df.select(
+                F.md5("text").alias("text_hash"), "doc_id", "source"
+            )
+            .groupBy("text_hash")
+            .agg(
+                F.min("doc_id").alias("keeper_id"),
+                F.min_by("source", "doc_id").alias("keeper_source"),
+                F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            )
+        )
+        existing = store.read_for_keys(sparkb, bagg.select("text_hash"))
+        if existing is not None:
+            bagg = (
+                bagg.unionByName(existing)
+                .groupBy("text_hash")
+                .agg(
+                    F.min("keeper_id").alias("keeper_id"),
+                    F.min_by("keeper_source", "keeper_id").alias("keeper_source"),
+                    F.sum("n_copies").cast("bigint").alias("n_copies"),
+                )
+            )
+        store.upsert(bagg)
+
+    docs_schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    index = store.read(spark)
+    return index.groupBy("keeper_source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_docs"),
+        F.sum("n_copies").cast("bigint").alias("n_total_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_dups_absorbed"),
+    )
