@@ -177,15 +177,14 @@ from . import realtime_snapshots  # noqa: E402,F401
 #                          side); slot funds jdbc_dim_roundtrip (NEW r5:
 #                          S3/S4/S9 EXECUTED against embedded Derby —
 #                          first driver-verified JDBC row)
-# Late-r5 additions with no safe eviction left (exact_substring_spans,
-# dsir_selection — the Lee-et-al/DSIR data-selection pair —
-# zorder_locality, the Z-order layout model, scd2_status_history, the
-# SCD2 validity-interval build, hard_negative_mining, the
-# contrastive-training prep, bigram_lm_quality, the CCNet-style LM
-# filter, incremental_substring_report, the staged-index ExactSubstr,
-# and stream_incremental_dedup, the continuous-ingest dedup) wait
-# outside the window per policy; GATELOG_r5 covers them until r6
-# rotation, where they are the first promotions.
+# Late-r5 additions: exact_substring_spans and dsir_selection rotated
+# IN with annotated evictions (see the dedup/quality blocks below) so
+# their first driver verdicts land this round; the rest
+# (zorder_locality, scd2_status_history, hard_negative_mining,
+# bigram_lm_quality, incremental_substring_report,
+# stream_incremental_dedup) wait outside the window per policy —
+# GATELOG_r5 covers them until r6 rotation, where they are the first
+# promotions.
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
@@ -227,7 +226,13 @@ PRIORITY_QUERIES = [
     "program_lookback_snapshot",  # NEW r5 promotion: lookback snapshot
     "arate_subtree_split",        # NEW r5 promotion: Arate subtree split
     # training-data pipeline: dedup family
-    "fingerprint_dedup",          # (+ dedup_exact's md5-groupBy shape)
+    "exact_substring_spans",      # NEW late-r5: ExactSubstr span dedup
+                                  # (arXiv:2107.06499); slot funded by
+                                  # fingerprint_dedup, whose md5/sorted-
+                                  # token shapes keep FIVE in-window dedup
+                                  # anchors (minhash/near_dup/incremental/
+                                  # media/exact-substr) + r1-r4 verdicts +
+                                  # the committed gate log
     "minhash_lsh_pairs",
     "near_dup_components",
     "incremental_dedup_report",
@@ -235,7 +240,12 @@ PRIORITY_QUERIES = [
     "boilerplate_line_removal",   # NEW r5 promotion: CCNet/C4 line removal
     "media_dedup_by_content",     # NEW r5 promotion: binary-content dedup
     "quality_by_source",          # quality/lang/token stats family
-    "tfidf_top_terms",            # TF-IDF / DF
+    "dsir_selection",             # NEW late-r5: DSIR importance resampling
+                                  # (arXiv:2302.03169); slot funded by
+                                  # tfidf_top_terms (r1-r4 verdicts; its
+                                  # explode+DF-join machinery anchored by
+                                  # ngram_novelty + unigram surprisal in
+                                  # the gate; stays green in GATELOG_r5)
     "ngram_novelty",              # r2: first-seen shingle novelty
     # embeddings / ANN family
     "embedding_ann_pairs",        # sign-LSH ANN
