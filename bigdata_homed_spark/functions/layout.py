@@ -54,20 +54,39 @@ def normalize_dim_sql(
     )
 
 
-def zorder_key2(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
-    """Morton interleave of two already-normalized [0, 2^bits) bigints.
-    Bit i of x lands at position 2i, bit i of y at 2i+1."""
+def zorder_key(dims: list[Column], bits: int = ZORDER_BITS) -> Column:
+    """Morton interleave of N already-normalized [0, 2^bits) bigints:
+    bit i of dims[d] lands at position i·N + d, so the key's high bits
+    round-robin across dimensions and z-adjacent rows are close in EVERY
+    dim.  N·bits must fit int64 (N=2/3/4 at 16 bits → 32/48/64-bit keys;
+    64 is the signed-positive limit since bit 63 stays clear only for
+    bits·N ≤ 63 — use bits=15 for N=4)."""
+    n = len(dims)
+    assert n * bits <= 63, "interleaved key must fit a signed int64"
     terms = []
     for i in range(bits):
-        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
-        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        for d, col in enumerate(dims):
+            terms.append(
+                F.shiftleft(F.shiftright(col, i).bitwiseAND(F.lit(1)), i * n + d)
+            )
     return reduce(lambda a, b: a.bitwiseOR(b), terms).cast("bigint")
 
 
-def zorder_key2_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
-    """The identical interleave as engine-portable SQL text (DuckDB oracle)."""
+def zorder_key_sql(dims: list[str], bits: int = ZORDER_BITS) -> str:
+    """The identical N-dim interleave as engine-portable SQL text."""
+    n = len(dims)
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        for d, expr in enumerate(dims):
+            terms.append(f"((({expr} >> {i}) & 1) << {i * n + d})")
     return "(" + " | ".join(terms) + ")"
+
+
+def zorder_key2(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
+    """2-D Morton interleave (bit i of x at 2i, of y at 2i+1)."""
+    return zorder_key([x, y], bits)
+
+
+def zorder_key2_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
+    """The identical 2-D interleave as engine-portable SQL text."""
+    return zorder_key_sql([x, y], bits)
