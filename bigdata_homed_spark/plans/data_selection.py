@@ -560,3 +560,84 @@ def incremental_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup * F.lit(1.0) / F.sum("n_toks"), 6).alias("dup_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality signal: the compressibility proxy data
+# pipelines use to drop gibberish and keyboard-mash (low entropy =
+# repetitive; the signal behind "compression ratio" filters, computed
+# exactly instead of via zlib).  Shannon entropy over the 36-class
+# lowercase-alnum character distribution, ENTIRELY in-row: each class
+# count is length(clean) - length(replace(clean, ch)) — a fixed 36-term
+# expression chain inside whole-stage codegen, no explode, no shuffle
+# beyond the scan.  Per-term ln rounds to 6dp then sums as exact decimal
+# (fixed order), and the final division floors at 6dp (round() half-tie
+# rule learned from bigram_lm_quality).
+_ENTROPY_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _entropy_terms_sql() -> str:
+    terms = []
+    for ch in _ENTROPY_CHARS:
+        c = f"(length(clean) - length(replace(clean, '{ch}', '')))"
+        terms.append(
+            f"CASE WHEN {c} > 0 THEN cast(round(ln(cast({c} as double)), 6)"
+            f" as decimal(27,6)) * {c} ELSE cast(0 as decimal(27,6)) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "char_entropy_quality",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS clean
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, length(clean) AS n,
+             {_entropy_terms_sql()} AS term_sum
+      FROM d
+    )
+    SELECT doc_id,
+           cast(n as bigint) AS n_chars_used,
+           CASE WHEN n > 0 THEN
+             floor((cast(round(ln(cast(n as double)), 6) as double)
+                    - cast(term_sum as double) / n) * 1000000) / 1000000
+           ELSE 0.0 END AS entropy_nats
+    FROM s
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("clean"),
+    )
+    n = F.length("clean")
+    term_sum = None
+    for ch in _ENTROPY_CHARS:
+        c = n - F.length(F.regexp_replace("clean", ch if ch.isalpha() else f"[{ch}]", ""))
+        term = F.when(
+            c > 0,
+            F.round(F.log(c.cast("double")), 6).cast("decimal(27,6)") * c,
+        ).otherwise(F.lit(0).cast("decimal(27,6)"))
+        term_sum = term if term_sum is None else term_sum + term
+    entropy = F.when(
+        n > 0,
+        F.floor(
+            (
+                F.round(F.log(n.cast("double")), 6).cast("double")
+                - term_sum.cast("double") / n
+            )
+            * 1000000
+        )
+        / 1000000,
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars_used"),
+        entropy.alias("entropy_nats"),
+    )
