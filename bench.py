@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "bigram_lm_quality",
     # incremental ExactSubstr: staged window-hash index + batch-only explode.
     "incremental_substring_report",
+    # in-row 36-term entropy chain: pure codegen quality signal.
+    "char_entropy_quality",
 ]
 
 

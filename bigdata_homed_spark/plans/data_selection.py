@@ -619,7 +619,7 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.length("clean")
     term_sum = None
     for ch in _ENTROPY_CHARS:
-        c = n - F.length(F.regexp_replace("clean", ch if ch.isalpha() else f"[{ch}]", ""))
+        c = n - F.length(F.replace("clean", F.lit(ch), F.lit("")))
         term = F.when(
             c > 0,
             F.round(F.log(c.cast("double")), 6).cast("decimal(27,6)") * c,
