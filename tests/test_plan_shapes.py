@@ -374,3 +374,46 @@ def test_star_rank_period_single_exchange_for_windows(spark, sf_dir):
     # the rank window must get the group-limit pushdown (top-100 per key
     # computed partially before the final sort, not rank-then-filter)
     assert "WindowGroupLimit" in plan
+
+
+def test_late_r5_family_plans(spark, sf_dir):
+    """Late-round-5 additions: every window key-partitioned; the
+    broadcast/join structure each plan promises is the one Catalyst
+    actually picks."""
+    from bigdata_homed_spark.plans.data_selection import (
+        bigram_lm_quality,
+        char_entropy_quality,
+        dsir_selection,
+        exact_substring_spans,
+        incremental_substring_report,
+    )
+    from bigdata_homed_spark.plans.layout_queries import zorder_locality
+    from bigdata_homed_spark.plans.lifecycle import scd2_status_history
+    from bigdata_homed_spark.plans.similarity import hard_negative_mining
+
+    for fn in (
+        exact_substring_spans,
+        incremental_substring_report,
+        dsir_selection,
+        bigram_lm_quality,
+        scd2_status_history,
+        hard_negative_mining,
+        zorder_locality,
+        char_entropy_quality,
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        for spec in window_partition_specs(plan):
+            assert spec != "", fn.__name__
+
+    # DSIR's bucket log-ratio table must broadcast (<= 64 rows)
+    assert "BroadcastHashJoin" in plan_of(dsir_selection(spark, sf_dir))
+    # the entropy signal is pure projection: no join, no window, no shuffle
+    # beyond the scan side
+    ent = plan_of(char_entropy_quality(spark, sf_dir))
+    assert "Join" not in ent and "Window" not in ent
+    # z-order locality: the only join is the 1-row extent broadcast
+    zl = plan_of(zorder_locality(spark, sf_dir))
+    assert "SortMergeJoin" not in zl and "ShuffledHashJoin" not in zl
+    # SCD2: all three windows ride ONE exchange (a single user_id shuffle)
+    scd = plan_of(scd2_status_history(spark, sf_dir))
+    assert scd.count("Exchange hashpartitioning") == 1
