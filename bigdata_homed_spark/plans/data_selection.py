@@ -374,10 +374,18 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     train = d.where(F.col("lang") == "en")
+    # the unigram LM table has THREE consumers (the total, the c_prev side,
+    # the c_cur side) and Spark gives differently-keyed aggregates no
+    # exchange reuse — without the persist the target slice is re-scanned
+    # and re-tokenized for each (measured: 5 scans of documents -> 3).
+    # In a production pipeline this is the staged LM artifact anyway.
+    from pyspark.storagelevel import StorageLevel
+
     uni = (
         train.select(F.explode("toks").alias("t"))
         .groupBy(hash64(F.col("t")).alias("th"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = F.broadcast(uni.agg(F.sum("c_uni").cast("bigint").alias("t_total")))
     bigram_expr = (
