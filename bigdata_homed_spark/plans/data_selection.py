@@ -1,8 +1,18 @@
-"""Data-selection operators: exact substring dedup and importance resampling.
+"""Data-selection and quality operators from the pretraining-data literature.
 
-Two curation stages a pretraining pipeline runs between near-dup removal and
-mixing, both from the published literature and both absent from the
-reference's report surface:
+The curation stages a pipeline runs between near-dup removal and mixing —
+all absent from the reference's report surface, all oracle-checked:
+
+- ``exact_substring_spans`` / ``incremental_substring_report`` — ExactSubstr
+  dedup (Lee et al.) as a batch report and as a per-ingest-day update
+  against a persisted window-hash index;
+- ``dsir_selection`` — DSIR hashed-ngram importance resampling (Xie et al.);
+- ``bigram_lm_quality`` — the CCNet perplexity-filter recipe (Wenzek et
+  al.) as a bigram stupid-backoff LM trained on the target slice;
+- ``char_entropy_quality`` — the compression-ratio/gibberish filter as
+  exact in-row Shannon entropy.
+
+The two headline designs:
 
 - **exact substring spans** (Lee et al., "Deduplicating Training Data Makes
   Language Models Better", arXiv:2107.06499).  The paper's ExactSubstr
