@@ -223,7 +223,7 @@ _DSIR_FEATS = (
     )
     SELECT f.doc_id,
            cast(count(*) as bigint) AS n_features,
-           round(cast(sum(bw.lr) as double) / count(*), 6) AS dsir_score,
+           floor(cast(sum(bw.lr) as double) / count(*) * 1000000) / 1000000 AS dsir_score,
            (cast(sum(bw.lr) as double) / count(*) > 0) AS selected
     FROM feat f JOIN bw USING (bucket)
     GROUP BY f.doc_id
@@ -275,14 +275,20 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_all").cast("bigint").alias("t_all"),
         )
     )
-    # <= B rows: broadcast the per-bucket log-ratio table back to the feats
+    # <= B rows: broadcast the per-bucket log-ratio table back to the feats.
+    # The +0.5 smoothing folds into exact integer products —
+    # (c+0.5)(t+B/2) ∝ (2c+1)(2t+B) — because DuckDB evaluates decimal
+    # literals exactly while Spark uses doubles, and at sf1 magnitudes the
+    # last-ulp difference in the ln() argument survives round(.., 6)
+    # (caught by the full sf1 oracle gate).  Products stay under 2^63 for
+    # feature totals < ~2e9 per side; beyond that, pre-scale the counts.
     bw = F.broadcast(
         bstat.crossJoin(tot).select(
             "bucket",
             F.round(
                 F.log(
-                    ((F.col("c_t") + 0.5) * (F.col("t_all") + B * 0.5))
-                    / ((F.col("c_all") + 0.5) * (F.col("t_t") + B * 0.5))
+                    ((F.col("c_t") * 2 + 1) * (F.col("t_all") * 2 + B)).cast("double")
+                    / ((F.col("c_all") * 2 + 1) * (F.col("t_t") * 2 + B)).cast("double")
                 ),
                 6,
             )
@@ -296,7 +302,7 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_features"),
-            F.round(score, 6).alias("dsir_score"),
+            (F.floor(score * 1000000) / 1000000).alias("dsir_score"),
             (score > 0).alias("selected"),
         )
     )
