@@ -293,6 +293,36 @@ def _table_bucket_sql(t: int) -> str:
     return f"cast({bits} as bigint)"
 
 
+# Adaptive-oracle machinery: a STATIC SQL string cannot know n, but it can
+# compute the plane count from count(*) in a CTE and gate a fixed bank of
+# plane terms on it — plane h's weights do not depend on the total plane
+# count (hyperplane_weights derives row h from seed_offset+h alone), so
+# emitting ANN_MAX_PLANES gated terms reproduces ann_planes_for exactly at
+# any corpus size up to target·2^ANN_MAX_PLANES (2M vectors at 16; raise
+# the cap for bigger fixtures).  The ceil(log2(..)) runs on IEEE doubles on
+# both sides (Python math / DuckDB), agreeing except exactly at power-of-
+# two boundaries — where log2 of an exact power is exact in both.
+ANN_MAX_PLANES = 16
+
+_ANN_PARAMS_SQL = (
+    f"SELECT CASE WHEN count(*) <= {ANN_TARGET_BUCKET_ROWS} THEN {ANN_PLANES}"
+    f" ELSE greatest({ANN_PLANES},"
+    f" cast(ceil(log2(count(*) / {ANN_TARGET_BUCKET_ROWS}.0)) as int)) END AS np"
+    f" FROM embeddings"
+)
+
+
+def _table_bucket_sql_np(t: int) -> str:
+    """Bucket for table t with the plane count read from ann_params.np."""
+    bits = " + ".join(
+        f"(CASE WHEN {h} < np AND"
+        f" {_dot_sql('embedding', '[' + ','.join(str(w) for w in _wt(t, ANN_MAX_PLANES)[h]) + ']')} > 0"
+        f" THEN {1 << h} ELSE 0 END)"
+        for h in range(ANN_MAX_PLANES)
+    )
+    return f"cast({bits} as bigint)"
+
+
 def _table_bucket_col(t: int, planes: int = ANN_PLANES) -> Column:
     total = F.lit(0)
     for h in range(planes):
@@ -304,10 +334,11 @@ def _table_bucket_col(t: int, planes: int = ANN_PLANES) -> Column:
 @query(
     "embedding_ann_pairs",
     oracle=f"""
-    WITH b AS (
+    WITH ann_params AS ({_ANN_PARAMS_SQL}),
+    b AS (
       SELECT vec_id, embedding,
-             {", ".join(f"{_table_bucket_sql(t)} AS b{t}" for t in range(ANN_TABLES))}
-      FROM embeddings
+             {", ".join(f"{_table_bucket_sql_np(t)} AS b{t}" for t in range(ANN_TABLES))}
+      FROM embeddings, ann_params
     ),
     cands AS (
       SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2, a.embedding AS e1, c.embedding AS e2
@@ -603,10 +634,11 @@ def label_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_near_dup_decisions",
     oracle=f"""
-    WITH b AS (
+    WITH ann_params AS ({_ANN_PARAMS_SQL}),
+    b AS (
       SELECT vec_id, label, embedding,
-             {", ".join(f"{_table_bucket_sql(t)} AS b{t}" for t in range(ANN_TABLES))}
-      FROM embeddings
+             {", ".join(f"{_table_bucket_sql_np(t)} AS b{t}" for t in range(ANN_TABLES))}
+      FROM embeddings, ann_params
     ),
     near AS (
       SELECT DISTINCT c.vec_id AS dropped_id
@@ -733,8 +765,18 @@ def _kmeans_update(assigned: DataFrame) -> DataFrame:
 @query(
     "kmeans_clusters",
     oracle=f"""
-    WITH cent0 AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    WITH params AS (
+      -- semdedup_k_for in SQL: K = max({K_CLUSTERS}, ceil(n/{SEMDEDUP_TARGET_CLUSTER_ROWS}))
+      -- (same double division + ceil as the Python rule, so both sides
+      -- compute the identical K at ANY corpus size)
+      SELECT CASE WHEN count(*) <= {K_CLUSTERS} * {SEMDEDUP_TARGET_CLUSTER_ROWS}
+                  THEN {K_CLUSTERS}
+                  ELSE cast(ceil(count(*) / {SEMDEDUP_TARGET_CLUSTER_ROWS}.0) as bigint)
+             END AS k
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings, params WHERE vec_id < params.k
     ),
     scored1 AS (
       SELECT e.vec_id, e.embedding, c.cid, {_sqdist_sql('e.embedding', 'c.ce')} AS dist
@@ -1394,8 +1436,18 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semantic_dedup_decisions",
     oracle=f"""
-    WITH cent0 AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    WITH params AS (
+      -- semdedup_k_for in SQL: K = max({K_CLUSTERS}, ceil(n/{SEMDEDUP_TARGET_CLUSTER_ROWS}))
+      -- (same double division + ceil as the Python rule, so both sides
+      -- compute the identical K at ANY corpus size)
+      SELECT CASE WHEN count(*) <= {K_CLUSTERS} * {SEMDEDUP_TARGET_CLUSTER_ROWS}
+                  THEN {K_CLUSTERS}
+                  ELSE cast(ceil(count(*) / {SEMDEDUP_TARGET_CLUSTER_ROWS}.0) as bigint)
+             END AS k
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings, params WHERE vec_id < params.k
     ),
     scored1 AS (
       SELECT e.vec_id, e.embedding, c.cid, {_sqdist_sql('e.embedding', 'c.ce')} AS dist
