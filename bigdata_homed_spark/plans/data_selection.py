@@ -24,7 +24,9 @@ The two headline designs:
   explode -> groupBy -- no suffix structure, no driver state.  Flagged
   window positions are merged into maximal spans per document with a
   lag-based interval merge (equal-length intervals sorted by start: a new
-  span starts exactly when pos > prev_pos + W - 1).
+  span starts exactly on a coverage hole, pos > prev_pos + W — windows at
+  prev and prev+W touch, covering [prev, prev+2W-1] contiguously, so they
+  merge).
 
 - **DSIR importance resampling** (Xie et al., "Data Selection for Language
   Models via Importance Resampling", arXiv:2302.03169).  Documents are
@@ -88,10 +90,13 @@ def _merge_flagged_spans(flag: DataFrame, W: int) -> DataFrame:
     """Interval merge of flagged window positions → per-doc
     (n_dup_spans, dup_tokens).  Equal-length windows sorted by start, so
     chaining off the previous START is exact (prev start is also the max
-    end so far)."""
+    end so far).  A new span starts only on a coverage HOLE
+    (pos > prev + W): the window at prev covers [prev, prev+W-1], so a
+    window starting at prev+W touches it and their token coverage is one
+    contiguous run — maximal spans, matching the coverage-bitmap oracle."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
-        F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-W)) + W - 1, 1
+        F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-W)) + W, 1
     ).otherwise(0)
     grp = flag.withColumn("brk", brk).withColumn(
         "gid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -123,7 +128,7 @@ def _merge_flagged_spans(flag: DataFrame, W: int) -> DataFrame:
     flag AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wh)),
     isl AS (
       SELECT doc_id, pos,
-             CASE WHEN pos > coalesce(lag(pos) OVER w, -{SUBSTR_W}) + {SUBSTR_W} - 1
+             CASE WHEN pos > coalesce(lag(pos) OVER w, -{SUBSTR_W}) + {SUBSTR_W}
                   THEN 1 ELSE 0 END AS brk
       FROM flag WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     ),
@@ -500,7 +505,7 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     isl AS (
       SELECT doc_id, pos,
-             CASE WHEN pos > coalesce(lag(pos) OVER w, -{SUBSTR_W}) + {SUBSTR_W} - 1
+             CASE WHEN pos > coalesce(lag(pos) OVER w, -{SUBSTR_W}) + {SUBSTR_W}
                   THEN 1 ELSE 0 END AS brk
       FROM flag WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     ),

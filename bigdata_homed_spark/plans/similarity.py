@@ -709,6 +709,32 @@ def semdedup_k_for(n_vectors: int, target: int = SEMDEDUP_TARGET_CLUSTER_ROWS) -
 
 _SEMDEDUP_K_CACHE: dict[str, int] = {}
 
+# Coarse-quantized (IVF) assignment: with K∝n centroids, scoring every
+# vector against every centroid is O(n·K) = O(n²/256) — the one quadratic
+# term the r5 verdict flagged.  Fix (the FAISS IVF shape, same machinery as
+# embedding_knn_ivf): pick C = ceil(sqrt(K)) of the centroids as coarse
+# seeds, bucket ALL centroids by nearest seed, route each vector to its
+# KMEANS_COARSE_PROBES nearest cells, and argmin only inside those cells.
+# Per-vector candidate work drops from K to C + p·K/C ≈ 3·sqrt(K) (6e3 vs
+# 4e7 at the 10^10-doc example), and the coarse-seed broadcast is C rows
+# (~3 MB at that scale) instead of K rows (~10 GB).  Every probed cell is
+# non-empty (seed j's own centroid lands in cell j at distance 0), so no
+# vector is dropped.  C = 1 whenever K ≤ K_CLUSTERS, which makes the probe
+# set ALL centroids — bit-identical to exact assignment at the pinned
+# small-K scale factors.  Deterministic throughout: coarse ties → smaller
+# gid, fine ties → smaller cid, same rules in the DuckDB oracle.
+KMEANS_COARSE_PROBES = 2
+
+
+def kmeans_coarse_cells_for(k: int) -> int:
+    """IVF coarse-cell count for k-means assignment: 1 (exact scoring)
+    up to K_CLUSTERS centroids, else ceil(sqrt(k))."""
+    import math
+
+    if k <= K_CLUSTERS:
+        return 1
+    return math.ceil(math.sqrt(k))
+
 
 def _sqdist(a: Column | str, b: Column | str) -> Column:
     """Left-to-right fold squared L2 (deterministic order, same as _dot)."""
@@ -731,9 +757,54 @@ def _sqdist_sql(a: str, b: str) -> str:
     )
 
 
-def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """One Lloyd assignment round: argmin squared-L2 over broadcast centroids."""
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+def _kmeans_assign(emb: DataFrame, cents: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
+    """One Lloyd assignment round: argmin squared-L2 over the centroids.
+
+    k ≤ K_CLUSTERS → exact scoring against all (broadcast) centroids.
+    k > K_CLUSTERS → IVF coarse-quantized assignment (see the
+    KMEANS_COARSE_PROBES comment): n·2 probe rows through the cell join
+    instead of n·K scored rows through the argmin window.
+    """
+    c = kmeans_coarse_cells_for(k)
+    if c <= 1:
+        scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+            "dist", _sqdist("embedding", "ce")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cid", "dist")
+        )
+    # coarse seeds: the first C centroids by cid (deterministic; every cid
+    # < C survives both Lloyd rounds unless the corpus has duplicate seed
+    # vectors, in which case both engines drop the same cells)
+    coarse = cents.where(F.col("cid") < c).select(
+        F.col("cid").alias("gid"), F.col("ce").alias("ge")
+    )
+    # centroid → cell: K×C work over the (small) centroid relation only
+    wc = Window.partitionBy("cid").orderBy(F.col("gdist").asc(), F.col("gid"))
+    centcell = (
+        cents.crossJoin(F.broadcast(coarse))
+        .withColumn("gdist", _sqdist("ce", "ge"))
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select("gid", "cid", "ce")
+    )
+    # vector → its top-p coarse cells: n×C scoring, n·p rows survive
+    wv = Window.partitionBy("vec_id").orderBy(F.col("gdist").asc(), F.col("gid"))
+    probes = (
+        emb.crossJoin(F.broadcast(coarse))
+        .withColumn("gdist", _sqdist("embedding", "ge"))
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= KMEANS_COARSE_PROBES)
+        .select("vec_id", "embedding", "gid")
+    )
+    # fine argmin inside the probed cells: an equi-join on gid (centroid
+    # side is K rows — broadcast-able far beyond any K that fits a fleet,
+    # AQE picks it locally; shuffle-hash on gid at the extreme), then the
+    # same deterministic argmin window as the exact path
+    scored = probes.join(centcell, "gid").withColumn(
         "dist", _sqdist("embedding", "ce")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid"))
@@ -742,6 +813,56 @@ def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "cid", "dist")
     )
+
+
+def _kmeans_assign_cte(suffix: str, cent: str) -> str:
+    """DuckDB CTE chain mirroring `_kmeans_assign` for one Lloyd round.
+
+    Expects a `kparams(k, c)` CTE in scope.  With c = 1 the probe set is
+    every centroid, so the values are bit-identical to exact assignment.
+    Emits coarse/centcell/probe/scored/assign CTEs named with ``suffix``.
+    """
+    return f"""
+    coarse{suffix} AS (
+      SELECT cid AS gid, ce AS ge FROM {cent}, kparams WHERE cid < kparams.c
+    ),
+    centcell{suffix} AS (
+      SELECT gid, cid, ce FROM (
+        SELECT g.gid, c.cid, c.ce,
+               row_number() OVER (PARTITION BY c.cid
+                                  ORDER BY {_sqdist_sql('c.ce', 'g.ge')}, g.gid) AS rn
+        FROM {cent} c, coarse{suffix} g
+      ) WHERE rn = 1
+    ),
+    probe{suffix} AS (
+      SELECT vec_id, embedding, gid FROM (
+        SELECT e.vec_id, e.embedding, g.gid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sqdist_sql('e.embedding', 'g.ge')}, g.gid) AS rn
+        FROM embeddings e, coarse{suffix} g
+      ) WHERE rn <= {KMEANS_COARSE_PROBES}
+    ),
+    scored{suffix} AS (
+      SELECT p.vec_id, p.embedding, c.cid, {_sqdist_sql('p.embedding', 'c.ce')} AS dist
+      FROM probe{suffix} p JOIN centcell{suffix} c USING (gid)
+    ),
+    assign{suffix} AS (
+      SELECT vec_id, embedding, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM scored{suffix}
+      ) WHERE rn = 1
+    )"""
+
+
+_KPARAMS_SQL = f"""
+    kparams AS (
+      -- kmeans_coarse_cells_for in SQL: C = 1 (exact) when K ≤ {K_CLUSTERS},
+      -- else ceil(sqrt(K)) — IEEE sqrt/ceil, identical to the Python rule
+      SELECT k, CASE WHEN k <= {K_CLUSTERS} THEN 1
+                     ELSE cast(ceil(sqrt(cast(k as double))) as bigint)
+                END AS c
+      FROM params
+    )"""
 
 
 def _kmeans_update(assigned: DataFrame) -> DataFrame:
@@ -775,19 +896,11 @@ def _kmeans_update(assigned: DataFrame) -> DataFrame:
              END AS k
       FROM embeddings
     ),
+    {_KPARAMS_SQL.strip()},
     cent0 AS (
       SELECT vec_id AS cid, embedding AS ce FROM embeddings, params WHERE vec_id < params.k
     ),
-    scored1 AS (
-      SELECT e.vec_id, e.embedding, c.cid, {_sqdist_sql('e.embedding', 'c.ce')} AS dist
-      FROM embeddings e, cent0 c
-    ),
-    assign1 AS (
-      SELECT vec_id, embedding, cid FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM scored1
-      ) WHERE rn = 1
-    ),
+    {_kmeans_assign_cte('1', 'cent0').strip()},
     cent1d AS (
       SELECT a.cid, d.i AS i,
              cast(sum(cast(cast(a.embedding[d.i] as double) as decimal(27,6))) as double)
@@ -796,31 +909,30 @@ def _kmeans_update(assigned: DataFrame) -> DataFrame:
       GROUP BY a.cid, d.i
     ),
     cent1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM cent1d GROUP BY cid),
-    scored2 AS (
-      SELECT e.vec_id, c.cid, {_sqdist_sql('e.embedding', 'c.ce')} AS dist
-      FROM embeddings e, cent1 c
-    ),
-    assign2 AS (
-      SELECT vec_id, cid, dist FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM scored2
-      ) WHERE rn = 1
-    )
+    {_kmeans_assign_cte('2', 'cent1').strip()}
     SELECT cid, cast(count(*) as bigint) AS n_vecs,
            cast(sum(cast(dist as decimal(27,6))) as double) / count(*) AS avg_sqdist
     FROM assign2 GROUP BY cid
     """,
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import session_cache_key
     from ..sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent0 = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+    # K tracks corpus size exactly like semantic_dedup_decisions (the r5
+    # advice: the oracle's adaptive-k params CTE and the Spark side must
+    # compute the SAME k at every corpus size, not just the pinned SFs)
+    ck = session_cache_key(spark, sf_dir)
+    if ck not in _SEMDEDUP_K_CACHE:
+        _SEMDEDUP_K_CACHE[ck] = semdedup_k_for(emb.count())
+    k = _SEMDEDUP_K_CACHE[ck]
+    cent0 = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    assign1 = _kmeans_assign(emb, cent0)
+    assign1 = _kmeans_assign(emb, cent0, k)
     cent1 = _kmeans_update(assign1)
-    assign2 = _kmeans_assign(emb, cent1)
+    assign2 = _kmeans_assign(emb, cent1, k)
     return assign2.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         (
@@ -1427,12 +1539,14 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the centroid (ties on distance → smaller vec_id wins).  τ reuses
 # ANN_THRESHOLD, scaled to this synthetic corpus as documented above.
 #
-# Scale shape: clustering is the kmeans_clusters machinery (broadcast
-# centroids, one shuffle per Lloyd round); the pair join shuffles on
-# cid only, so work is Σ|cluster|² — bounded by K and cluster balance
-# exactly as in the paper; the decision is a semi-join on the dropped
-# ids.  Vectors cross the pair shuffle once (per-cluster), ids only in
-# the decision layer.
+# Scale shape: clustering is the kmeans_clusters machinery — with K∝n
+# centroids the assignment goes through the IVF coarse quantizer
+# (KMEANS_COARSE_PROBES comment above: per-vector candidate work is
+# O(sqrt(K)), the coarse-seed broadcast is sqrt(K) rows), so NO step is
+# O(n·K) anymore; the pair join shuffles on cid only, so work is
+# Σ|cluster|² — bounded by K and cluster balance exactly as in the
+# paper; the decision is a semi-join on the dropped ids.  Vectors cross
+# the pair shuffle once (per-cluster), ids only in the decision layer.
 @query(
     "semantic_dedup_decisions",
     oracle=f"""
@@ -1446,19 +1560,11 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS k
       FROM embeddings
     ),
+    {_KPARAMS_SQL.strip()},
     cent0 AS (
       SELECT vec_id AS cid, embedding AS ce FROM embeddings, params WHERE vec_id < params.k
     ),
-    scored1 AS (
-      SELECT e.vec_id, e.embedding, c.cid, {_sqdist_sql('e.embedding', 'c.ce')} AS dist
-      FROM embeddings e, cent0 c
-    ),
-    assign1 AS (
-      SELECT vec_id, embedding, cid FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM scored1
-      ) WHERE rn = 1
-    ),
+    {_kmeans_assign_cte('1', 'cent0').strip()},
     cent1d AS (
       SELECT a.cid, d.i AS i,
              cast(sum(cast(cast(a.embedding[d.i] as double) as decimal(27,6))) as double)
@@ -1467,16 +1573,7 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.cid, d.i
     ),
     cent1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM cent1d GROUP BY cid),
-    scored2 AS (
-      SELECT e.vec_id, e.embedding, c.cid, {_sqdist_sql('e.embedding', 'c.ce')} AS dist
-      FROM embeddings e, cent1 c
-    ),
-    assign2 AS (
-      SELECT vec_id, embedding, cid, dist FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM scored2
-      ) WHERE rn = 1
-    ),
+    {_kmeans_assign_cte('2', 'cent1').strip()},
     dropped AS (
       SELECT DISTINCT b.vec_id AS dropped_id
       FROM assign2 a JOIN assign2 b
@@ -1513,13 +1610,13 @@ def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent0 = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    assign1 = _kmeans_assign(emb, cent0)
+    assign1 = _kmeans_assign(emb, cent0, k)
     cent1 = _kmeans_update(assign1)
     # assign2 fans into both sides of the pair join and the final
     # accounting — pin it so the two Lloyd rounds run once
     from pyspark.storagelevel import StorageLevel
 
-    assign2 = _kmeans_assign(emb, cent1).persist(StorageLevel.MEMORY_AND_DISK)
+    assign2 = _kmeans_assign(emb, cent1, k).persist(StorageLevel.MEMORY_AND_DISK)
 
     a = assign2.select(
         F.col("cid"),

@@ -62,6 +62,32 @@ def test_exact_substring_two_disjoint_spans_not_merged(spark, tmp_path):
     assert out[0]["dup_tokens"] == 2 * SUBSTR_W
 
 
+def test_exact_substring_touching_runs_merge_to_one_span(spark, tmp_path):
+    # r5-advice regression: doc 0 is duplicated run X immediately followed
+    # by duplicated run Y (X from doc 1, Y from doc 2); every X/Y-boundary-
+    # crossing window is unique.  Flagged positions are 1 and W+1 — they
+    # TOUCH (coverage [1, 2W] is contiguous), so the merge must yield ONE
+    # maximal span of 2W tokens, not two spans of W.
+    run_x = " ".join(f"x{i}" for i in range(SUBSTR_W))
+    run_y = " ".join(f"y{i}" for i in range(SUBSTR_W))
+    tail_b = " ".join(f"tb{i}" for i in range(SUBSTR_W))
+    tail_c = " ".join(f"tc{i}" for i in range(SUBSTR_W))
+    out = _run_substring(
+        spark,
+        _docs_df(
+            spark,
+            [
+                (0, f"{run_x} {run_y}", "en"),
+                (1, f"{run_x} {tail_b}", "en"),
+                (2, f"{tail_c} {run_y}", "en"),
+            ],
+        ),
+        tmp_path,
+    )
+    assert out[0]["n_dup_spans"] == 1, out[0]
+    assert out[0]["dup_tokens"] == 2 * SUBSTR_W
+
+
 def test_exact_substring_within_doc_repeat_counts(spark, tmp_path):
     # a doc that repeats its own W-token run twice is self-duplicated even
     # with no other document in the corpus
@@ -166,7 +192,11 @@ def _naive_coverage(corpus: dict[int, list[str]], W: int):
 )
 @given(
     st.lists(
-        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=SUBSTR_W, max_size=SUBSTR_W + 12),
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=SUBSTR_W,
+                 # >= 2W+1 tokens so TOUCHING flagged windows (positions p and
+                 # p+W, contiguous coverage) are generated — the case the r5
+                 # advice found unexercised by the old W+12 cap
+                 max_size=SUBSTR_W * 2 + 4),
         min_size=1,
         max_size=3,
     )

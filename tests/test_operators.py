@@ -254,6 +254,45 @@ def test_kmeans_iteration_reduces_inertia(spark, sf_dir):
     assert a2.count() == emb.count()
 
 
+def test_kmeans_coarse_assignment_covers_all_vectors(spark, sf_dir):
+    """The IVF coarse-quantized assignment path (k > K_CLUSTERS): every
+    vector must still be assigned to exactly one centroid (every probed
+    cell is non-empty — seed j's own centroid lands in cell j at distance
+    0), assignments must point at real centroids, and each vector's dist
+    must never beat the true exact-argmin distance (it probes a centroid
+    subset, so dist >= exact dist, with equality for most vectors)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.plans.similarity import (
+        K_CLUSTERS,
+        _kmeans_assign,
+        kmeans_coarse_cells_for,
+    )
+    from bigdata_homed_spark.sources.tables import load_table
+
+    assert kmeans_coarse_cells_for(K_CLUSTERS) == 1
+    assert kmeans_coarse_cells_for(79) == 9  # ceil(sqrt(79)) — the sf1 k
+    assert kmeans_coarse_cells_for(4 * 10**7) == 6325  # flat at corpus scale
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = 20  # > K_CLUSTERS so the coarse path activates on this fixture
+    cent0 = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    coarse = _kmeans_assign(emb, cent0, k).withColumnRenamed("dist", "cdist")
+    exact = _kmeans_assign(emb, cent0).select("vec_id", "dist")
+    n = emb.count()
+    assert coarse.count() == n
+    assert coarse.select("vec_id").distinct().count() == n
+    assert coarse.select("cid").distinct().join(
+        cent0.select("cid"), "cid", "left_anti"
+    ).count() == 0
+    worse = coarse.join(exact, "vec_id").where(
+        F.col("cdist") < F.col("dist") - 1e-9
+    )
+    assert worse.count() == 0
+
+
 def test_approx_percentile_tolerance(spark, sf_dir):
     """value_percentiles_approx now RETURNS its rank-error assertion (the
     oracle gate hash-verifies it); this pins the same contract in pytest:
