@@ -648,10 +648,67 @@ def stream_user_status_by_user_log(spark: SparkSession, sf_dir: str) -> DataFram
 # the streaming spelling of the dedup family (T1/S10 × dedup_exact), i.e.
 # what a continuous training-data ingest actually runs.  The md5 index
 # lives in a PartitionedStateStore keyed on text_hash, so a batch reads
-# only the buckets its hashes touch; the merge rule (keeper = min doc_id,
-# copies = sum) is associative and commutative, so the final state is
-# independent of batch arrival order — which is the at-least-once /
-# out-of-order guarantee, and what makes the batch-SQL oracle exact.
+# only the buckets its hashes touch.  Two delivery guarantees, covered by
+# two distinct mechanisms (the r5 advice: associativity alone is NOT a
+# replay guarantee):
+# - OUT-OF-ORDER batches: the merge rule (keeper = min doc_id, copies =
+#   sum) is associative and commutative, so the final state is independent
+#   of arrival order;
+# - REPLAYED batches (foreachBatch is at-least-once — a micro-batch can
+#   re-run after a failure, and the store upsert is not transactional with
+#   the checkpoint): every state row is stamped with the last batch_id
+#   merged into it; a replay skips rows already carrying its batch_id, so
+#   re-applying a batch is a per-row no-op instead of a double-count.
+#   A crash mid-upsert (some buckets written, some not) heals the same
+#   way: the replay re-merges exactly the rows the stamp proves unmerged.
+def dedup_merge_batch(store, batch_df: DataFrame, batch_id: int) -> None:
+    """Merge one ingest micro-batch into the fingerprint index,
+    idempotently: rows already stamped with this ``batch_id`` are left
+    untouched (upsert_by_key keeps un-upserted keys), so an at-least-once
+    replay of the batch cannot double-count ``n_copies``.
+
+    Tracking only the LAST batch id per row suffices because Structured
+    Streaming commits batch N to the checkpoint before starting N+1 —
+    the only batch that can ever replay is the latest uncommitted one, so
+    "stamp == replayed id" is exactly "this row already merged it" (the
+    Spark-docs foreachBatch idempotency recipe, made per-row so a crash
+    mid-upsert that wrote only some buckets heals correctly too).
+    Module-level so the replay contract is directly testable."""
+    from pyspark.sql import functions as F
+
+    bagg = (
+        batch_df.select(F.md5("text").alias("text_hash"), "doc_id", "source")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.min_by("source", "doc_id").alias("keeper_source"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+    existing = store.read_for_keys(batch_df.sparkSession, bagg.select("text_hash"))
+    if existing is not None:
+        # replay guard: a state row whose stamp equals this batch_id already
+        # holds this batch's contribution — drop it from the merge so the
+        # bucket rewrite carries it through unchanged
+        already = existing.where(F.col("last_batch_id") == batch_id)
+        bagg = (
+            bagg.join(already.select("text_hash"), "text_hash", "left_anti")
+            .unionByName(
+                existing.where(F.col("last_batch_id") != batch_id).drop(
+                    "last_batch_id"
+                )
+            )
+            .groupBy("text_hash")
+            .agg(
+                F.min("keeper_id").alias("keeper_id"),
+                F.min_by("keeper_source", "keeper_id").alias("keeper_source"),
+                F.sum("n_copies").cast("bigint").alias("n_copies"),
+            )
+        )
+    store.upsert(bagg.withColumn("last_batch_id", F.lit(batch_id).cast("bigint")))
+
+
+
 @query(
     "stream_incremental_dedup",
     oracle="""
@@ -689,30 +746,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sparkb = batch_df.sparkSession
-        bagg = (
-            batch_df.select(
-                F.md5("text").alias("text_hash"), "doc_id", "source"
-            )
-            .groupBy("text_hash")
-            .agg(
-                F.min("doc_id").alias("keeper_id"),
-                F.min_by("source", "doc_id").alias("keeper_source"),
-                F.count(F.lit(1)).cast("bigint").alias("n_copies"),
-            )
-        )
-        existing = store.read_for_keys(sparkb, bagg.select("text_hash"))
-        if existing is not None:
-            bagg = (
-                bagg.unionByName(existing)
-                .groupBy("text_hash")
-                .agg(
-                    F.min("keeper_id").alias("keeper_id"),
-                    F.min_by("keeper_source", "keeper_id").alias("keeper_source"),
-                    F.sum("n_copies").cast("bigint").alias("n_copies"),
-                )
-            )
-        store.upsert(bagg)
+        dedup_merge_batch(store, batch_df, batch_id)
 
     docs_schema = (
         "doc_id bigint, text string, lang string, source string, n_chars bigint"

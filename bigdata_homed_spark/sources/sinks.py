@@ -305,13 +305,26 @@ def compact_small_files(
     try:
         out = df.hint("rebalance", *partition_cols) if partition_cols else df.hint("rebalance")
         tmp = path.rstrip("/") + "__compacting"
+        swap = path.rstrip("/") + "__old"
+        # a previous run that crashed mid-swap can leave either scratch
+        # directory behind; os.rename onto a non-empty dir would then fail
+        # every subsequent compaction, so clear them up-front (the write
+        # below regenerates __compacting; __old is a fully-superseded copy)
+        for stale in (tmp, swap):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         writer = out.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*list(partition_cols))
         writer.parquet(tmp)
-        swap = path.rstrip("/") + "__old"
         os.rename(path, swap)
-        os.rename(tmp, path)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            # restore the original table if the swap-in fails — readers
+            # must never be left with the table missing
+            os.rename(swap, path)
+            raise
         shutil.rmtree(swap)
     finally:
         if prev is not None:

@@ -487,3 +487,33 @@ def test_compact_small_files_keeps_partition_dirs(spark, sf_dir, tmp_path):
     ) == ["part=0", "part=1", "part=2"]
     got = spark.read.parquet(p).where(F.col("part") == 1)
     assert got.count() == ev.where(F.col("part") == 1).count()
+
+
+def test_compact_small_files_recovers_from_stale_swap_dirs(spark, sf_dir, tmp_path):
+    """r5-advice regression: a crash between the two swap renames (or a
+    killed previous run) leaves `__old` / `__compacting` behind; the next
+    compaction must clear them and succeed instead of failing os.rename
+    onto a non-empty directory."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from bigdata_homed_spark.sources.sinks import compact_small_files
+    from bigdata_homed_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    p = str(tmp_path / "frag")
+    ev.repartition(16).write.parquet(p)
+    want_rows = ev.count()
+
+    # plant both stale scratch dirs, non-empty, as a crashed run would
+    for stale in (p + "__old", p + "__compacting"):
+        os.makedirs(stale)
+        with open(os.path.join(stale, "leftover.parquet"), "w") as f:
+            f.write("junk")
+
+    stats = compact_small_files(spark, p, target_bytes=64 << 20)
+    assert stats["files_after"] < stats["files_before"]
+    assert not os.path.exists(p + "__old")
+    assert not os.path.exists(p + "__compacting")
+    assert spark.read.parquet(p).count() == want_rows

@@ -348,3 +348,47 @@ def test_stateful_v2_processor_logic():
     handle2 = FakeHandle()
     proc2.init(handle2)
     assert handle2.calls[0][2] is None
+
+
+def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME (batch_df,
+    batch_id) must leave the fingerprint index byte-identical (no
+    n_copies double-count), while a NEW batch id still merges."""
+    from bigdata_homed_spark.plans.streaming_queries import dedup_merge_batch
+    from bigdata_homed_spark.sources.sinks import PartitionedStateStore
+
+    store = PartitionedStateStore(
+        str(tmp_path / "idx"), ["text_hash"], n_buckets=4
+    )
+    b0 = spark.createDataFrame(
+        [(1, "alpha", "s1"), (2, "alpha", "s1"), (3, "beta", "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    dedup_merge_batch(store, b0, 0)
+
+    def snapshot():
+        return sorted(
+            (r["text_hash"], r["keeper_id"], r["n_copies"])
+            for r in store.read(spark).collect()
+        )
+
+    after_b0 = snapshot()
+    assert [c for _, _, c in after_b0] == [2, 1]
+
+    # replay of batch 0 (same id): a per-row no-op
+    dedup_merge_batch(store, b0, 0)
+    assert snapshot() == after_b0
+
+    # a genuinely new batch still merges (alpha gains a copy, gamma appears)
+    b1 = spark.createDataFrame(
+        [(4, "alpha", "s1"), (5, "gamma", "s3")],
+        "doc_id bigint, text string, source string",
+    )
+    dedup_merge_batch(store, b1, 1)
+    after_b1 = snapshot()
+    copies = {h: c for h, _, c in after_b1}
+    assert sorted(copies.values()) == [1, 1, 3]
+
+    # and replaying batch 1 changes nothing
+    dedup_merge_batch(store, b1, 1)
+    assert snapshot() == after_b1
