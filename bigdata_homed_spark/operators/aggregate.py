@@ -25,6 +25,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bounded_collect(df: DataFrame, max_rows: int, what: str) -> list:
+    """Driver-side collect with an explicit upper bound.
+
+    For the few legitimate driver-side frames (a bounded dim's parent map,
+    one row per calendar day/month): fetch at most ``max_rows + 1`` rows via
+    a distributed ``limit`` — so a pathological input fails loudly with the
+    bound in the message instead of OOMing the driver — and assert the bound
+    held.  Callers that need ordering must sort AFTER this check or pass an
+    already-ordered frame; the limit is applied before any collect, so
+    driver memory is capped at ``max_rows + 1`` rows by construction.
+    """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise AssertionError(
+            f"bounded_collect: {what} exceeded the documented driver-side "
+            f"bound of {max_rows} rows — refusing to pull it to the driver"
+        )
+    return rows
+
+
 def keep_latest(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -382,7 +382,13 @@ def cumulative_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tiny frame through a partition-less WindowExec.
     from pyspark.sql.types import LongType, StructField, StructType
 
-    rows = daily_new.orderBy("day").collect()
+    # bound guard: one row per calendar day; 100k days ≈ 270 years — past
+    # that the "bounded by time" premise is broken, so fail loudly
+    from ..operators.aggregate import bounded_collect
+
+    rows = bounded_collect(
+        daily_new.orderBy("day"), 100_000, "daily-new calendar series"
+    )
     cum = 0
     out = []
     for r in rows:
@@ -913,7 +919,12 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition-less WindowExec for an 80-row frame.
     from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
-    rows = m.orderBy("month").collect()
+    # bound guard: one row per calendar month; 100k months ≈ 8k years
+    from ..operators.aggregate import bounded_collect
+
+    rows = bounded_collect(
+        m.orderBy("month"), 100_000, "monthly calendar series"
+    )
     out = []
     prev = None
     for r in rows:

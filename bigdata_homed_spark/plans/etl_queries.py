@@ -528,7 +528,16 @@ def arate_subtree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the driver, broadcast the membership set back into the FACT
     # filter — the per-level Spark-join alternative costs one job per
     # tree level for a dim that fits in one task.
-    parent_of = {r.f_column_id: r.f_parent_id for r in dim.collect()}
+    # bound guard: a column taxonomy is thousands of rows; 1M rows (~16 MB)
+    # is far past any real taxonomy and still driver-safe — past that, fail
+    # loudly instead of OOMing (bounded_collect fetches via a distributed
+    # limit, so the driver never holds more than the bound either way)
+    from ..operators.aggregate import bounded_collect
+
+    parent_of = {
+        r.f_column_id: r.f_parent_id
+        for r in bounded_collect(dim, 1_000_000, "column-taxonomy dim")
+    }
     members = subtree_descendants(parent_of, [2, 9])
     member = spark.createDataFrame(
         [(int(m),) for m in sorted(members)], "f_column_id bigint"

@@ -185,6 +185,37 @@ from . import realtime_snapshots  # noqa: E402,F401
 # stream_incremental_dedup) wait outside the window per policy —
 # GATELOG_r5 covers them until r6 rotation, where they are the first
 # promotions.
+#
+# Round-6 rotation: IN = the six late-r5 waiters named above (the r5
+# verdict's stated first promotions) + stream_channel_live_counts (NEW
+# r6: the ChannelLiveByRunLogRealTime end-to-end flagship — new queries
+# go in the round they land).  OUT (every eviction has recorded driver
+# verdicts AND stays green in the committed full-gate log; §2/LLM rows
+# keep an in-window anchor):
+#   day_clamped_sessions -> P4 clamp machinery anchored by
+#                          capped_play_sessions (same sessionize cap/clamp
+#                          family, W3/T6); r1-r5 verdicts recorded
+#   minhash_lsh_pairs   -> LSH banding anchored by near_dup_components
+#                          (consumes the same candidate machinery) +
+#                          incremental_dedup_report + the promoted
+#                          stream_incremental_dedup; r1-r5 verdicts
+#   embedding_ann_pairs -> sign-LSH ANN anchored by embedding_knn_ivf +
+#                          embedding_pq_search + the promoted
+#                          hard_negative_mining (same broadcast-anchor
+#                          scoring shape); incremental_ann_index in gate
+#   decontamination     -> curation family anchored by curation_funnel;
+#                          contamination_overlap_scores stays in the gate
+#   distinct_users_approx_daily -> A7 anchored by
+#                          business_user_array_cycle's exact cycle;
+#                          HLL-vs-exact accuracy assertion stays gate-
+#                          checked; value_percentiles_approx keeps the
+#                          sketch family in-window
+#   ngram_novelty       -> shingle/token machinery anchored by the
+#                          promoted bigram_lm_quality + dsir_selection +
+#                          exact_substring_spans
+#   stream_static_segment_hourly -> J9 stream-static join anchored by the
+#                          promoted stream_channel_live_counts (broadcast
+#                          terminal dim join inside the flagship chain)
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
@@ -196,6 +227,8 @@ PRIORITY_QUERIES = [
     "partitioned_fact_roundtrip", # S2/S7/S8
     "jdbc_dim_roundtrip",         # NEW r5: S3/S4/S9 executed (embedded
                                   # Derby write + pushdown + partitioned read)
+    "zorder_locality",            # r6 promotion (late-r5 waiter): Z-order
+                                  # layout locality vs linear order
     # events/behavior chain (SURVEY §2 W1-W4, A7, §2.8)
     "capped_play_sessions",       # W3/T6
     "props_struct_parse",         # JSON from_json (sole typed-JSON anchor)
@@ -204,7 +237,7 @@ PRIORITY_QUERIES = [
                                   # repair (stacked lead/first_value windows)
     "user_state_merge",           # J5/P5
     "dedup_user_day_first_event", # A11 (+A8/W4/U3 keep-latest family)
-    "day_clamped_sessions",       # P4
+    # (day_clamped_sessions OUT r6: P4 anchored by capped_play_sessions)
     # composite report parity + custom operator
     "video_play_report",          # P6 + report family
     "channel_report_full",        # r3: ChannelReport full column parity
@@ -225,6 +258,8 @@ PRIORITY_QUERIES = [
                                   # U1 union-of-grains)
     "program_lookback_snapshot",  # NEW r5 promotion: lookback snapshot
     "arate_subtree_split",        # NEW r5 promotion: Arate subtree split
+    "scd2_status_history",        # r6 promotion (late-r5 waiter): SCD2
+                                  # validity-interval history
     # training-data pipeline: dedup family
     "exact_substring_spans",      # NEW late-r5: ExactSubstr span dedup
                                   # (arXiv:2107.06499); slot funded by
@@ -233,22 +268,29 @@ PRIORITY_QUERIES = [
                                   # anchors (minhash/near_dup/incremental/
                                   # media/exact-substr) + r1-r4 verdicts +
                                   # the committed gate log
-    "minhash_lsh_pairs",
+    # (minhash_lsh_pairs OUT r6: LSH banding anchored by near_dup_components)
     "near_dup_components",
     "incremental_dedup_report",
-    "decontamination",
+    "incremental_substring_report",  # r6 promotion (late-r5 waiter):
+                                  # persisted-index substring dedup
+    # (decontamination OUT r6: curation anchored by curation_funnel)
     "boilerplate_line_removal",   # NEW r5 promotion: CCNet/C4 line removal
     "media_dedup_by_content",     # NEW r5 promotion: binary-content dedup
     "quality_by_source",          # quality/lang/token stats family
+    "bigram_lm_quality",          # r6 promotion (late-r5 waiter): CCNet
+                                  # bigram-LM perplexity quality
     "dsir_selection",             # NEW late-r5: DSIR importance resampling
                                   # (arXiv:2302.03169); slot funded by
                                   # tfidf_top_terms (r1-r4 verdicts; its
                                   # explode+DF-join machinery anchored by
                                   # ngram_novelty + unigram surprisal in
                                   # the gate; stays green in GATELOG_r5)
-    "ngram_novelty",              # r2: first-seen shingle novelty
+    # (ngram_novelty OUT r6: shingle machinery anchored by bigram_lm_quality
+    #  + dsir_selection + exact_substring_spans)
     # embeddings / ANN family
-    "embedding_ann_pairs",        # sign-LSH ANN
+    # (embedding_ann_pairs OUT r6: sign-LSH anchored by knn_ivf/pq/hnm)
+    "hard_negative_mining",       # r6 promotion (late-r5 waiter):
+                                  # broadcast-anchor negative mining
     "embedding_knn_ivf",          # IVF probe (embedding_knn brute-force
                                   # baseline stays in the local gate)
     "embedding_pq_search",        # NEW r5 promotion: PQ+ADC with sampled
@@ -257,14 +299,21 @@ PRIORITY_QUERIES = [
                                   # K∝n cluster rule (reworked this round)
     "label_centroids",            # centroids/outliers family
     # approximate-sketch accuracy verified IN the gate (r3)
-    "distinct_users_approx_daily",   # HLL vs exact ≤5% assertion
+    # (distinct_users_approx_daily OUT r6: A7 anchored by
+    #  business_user_array_cycle; HLL accuracy stays gate-asserted)
     "value_percentiles_approx",      # KLL rank-error assertion
     # multimodal + curation
     "multimodal_frame_sample",
     "curation_funnel",
     # structured streaming (SURVEY §2.9)
     "stream_hourly_event_counts",   # S6/T1/T2
-    "stream_static_segment_hourly", # J9
+    # (stream_static_segment_hourly OUT r6: J9 anchored by
+    #  stream_channel_live_counts' broadcast terminal join)
+    "stream_channel_live_counts",   # NEW r6: ChannelLiveByRunLogRealTime
+                                    # end-to-end (P3→T3→J9→S10→T8 chain,
+                                    # dual-grain report; SURVEY §3.3)
+    "stream_incremental_dedup",     # r6 promotion (late-r5 waiter):
+                                    # replay-idempotent streaming dedup
     "stream_foreachbatch_ttl",      # S10/T8 + S13 retention
     "stream_online_user_state",     # T4 (oracle-shaped replay golden)
 ]

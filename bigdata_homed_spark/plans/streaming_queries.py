@@ -772,3 +772,252 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dups_absorbed"),
     )
+
+
+# --------------------------------------------------------------------------
+# The SURVEY §3.3 flagship realtime job, end-to-end: the streaming analog
+# of `homed/realtime/ChannelLiveByRunLogRealTime.scala:110-300`, stringing
+# together every component the reference's per-RDD loop ran —
+#   heartbeat filter      (`:128-129` — HEARTBREATH + live-service lines;
+#                          here event_type='view', the heartbeat stand-in)
+#   per-batch keep-latest (T3, `:137-157` reduceByKey newest-wins)
+#   terminal dim join     (J9, `:174-176` left join + `nvl(type,-1)`
+#                          fallback; here a broadcast stream-static join
+#                          with COALESCE(terminal, 0))
+#   keyed snapshot upsert (S10, the Phoenix overwrite-by-PK — here the
+#                          bucket-pruned PartitionedStateStore, merged
+#                          newest-wins so batch order/replay cannot
+#                          regress state)
+#   retention delete      (T8/S13, `deleteHistChannelRate` — expire() on
+#                          a driver-held monotonic event-time horizon)
+#   dual-grain report     (`:197-215` per-channel counts + `:252-266`
+#                          all-channel region rollup, the reference's
+#                          f_date/f_hour/f_timerange grain — here the
+#                          channel grain re-aggregated to the region
+#                          grain, channel -1 marking the rollup rows)
+# The oracle is the equivalent batch pipeline over the same events — the
+# same parity contract the reference kept between its realtime jobs and
+# nightly repair jobs.  Deterministic at any batch split because the
+# snapshot merge is global keep-latest per user (sec DESC, event_id DESC)
+# and the grain columns derive from each user's last-seen second, not the
+# wall clock.
+@query(
+    "stream_channel_live_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(ts)//1000000 AS sec,
+             coalesce(cast(json_extract_string(props, '$.k') as bigint), 0) % 10
+               AS channel_id,
+             user_id % 20 AS region_id,
+             user_id * 10 + event_id % 3 AS device_id,
+             cast(floor(value*1000000 + 0.5) as bigint) AS pt_micro
+      FROM events WHERE event_type = 'view'
+    ),
+    horizon AS (SELECT max(sec) - 86400 AS cutoff FROM ev),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY sec DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ),
+    live AS (SELECT l.* FROM latest l, horizon h WHERE l.sec >= h.cutoff),
+    term AS (
+      SELECT c_custkey*10 + j AS d_device_id,
+             cast(1 + (c_custkey + j) % 3 as int) AS d_device_type
+      FROM customer, (SELECT unnest([0,1,2]) AS j)
+      WHERE c_custkey % 4 != 0
+    ),
+    enr AS (
+      SELECT live.sec // 86400 AS f_day,
+             (live.sec % 86400) // 3600 AS f_hour,
+             (live.sec % 86400) // 1800 AS f_timerange,
+             live.region_id AS f_region_id,
+             coalesce(t.d_device_type, 0) AS f_terminal,
+             live.channel_id AS f_channel_id,
+             live.pt_micro AS pt_micro
+      FROM live LEFT JOIN term t ON live.device_id = t.d_device_id
+    ),
+    chan AS (
+      SELECT f_day, f_hour, f_timerange, f_region_id, f_terminal, f_channel_id,
+             cast(count(*) as bigint) AS f_online_users,
+             cast(sum(pt_micro) as bigint) AS pt_sum
+      FROM enr GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    reg AS (
+      SELECT f_day, f_hour, f_timerange, f_region_id, f_terminal,
+             cast(-1 as bigint) AS f_channel_id,
+             cast(sum(f_online_users) as bigint) AS f_online_users,
+             cast(sum(pt_sum) as bigint) AS pt_sum
+      FROM chan GROUP BY 1, 2, 3, 4, 5
+    ),
+    u AS (SELECT * FROM chan UNION ALL SELECT * FROM reg)
+    SELECT f_day, f_hour, f_timerange, f_region_id, f_terminal, f_channel_id,
+           f_online_users, cast(pt_sum as double)/1000000.0 AS f_play_time
+    FROM u
+    """,
+)
+def stream_channel_live_counts(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """ChannelLiveByRunLogRealTime end-to-end (see block comment above).
+
+    Scale shape: each micro-batch touches O(batch ∪ touched buckets) state
+    I/O (bucket-pruned store), the terminal dim is broadcast per batch
+    (J9), the per-batch keep-latest shrinks the upsert to one row per
+    active user, and the final dual-grain report is ONE scan of the
+    snapshot — the region grain re-aggregates the channel grain (exact
+    because keep-latest leaves one row per user), the A7 re-agg trick,
+    so no second pass and no grouping-sets expansion of the fact.
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import PartitionedStateStore
+    from ..sources.tables import load_table
+
+    # stage the events as n_batches files = n_batches replayed micro-batches
+    # (same T1 staging as stream_incremental_dedup; the snapshot merge makes
+    # the result independent of the split — pinned by
+    # test_channel_live_split_independent)
+    staged = tempfile.mkdtemp(prefix="chl_stream_")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props", "ts_sec"
+    ).repartitionByRange(n_batches, "event_id").write.mode("overwrite").parquet(
+        staged
+    )
+
+    term = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 4 != 0)
+        .select(
+            "c_custkey",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            (F.col("c_custkey") * 10 + F.col("j")).alias("d_device_id"),
+            (F.lit(1) + (F.col("c_custkey") + F.col("j")) % 3)
+            .cast("int")
+            .alias("d_device_type"),
+        )
+    )
+
+    store = PartitionedStateStore(
+        tempfile.mkdtemp(prefix="chl_state_"), ["user_id"], n_buckets=16
+    )
+    hi = {"max_sec": None}
+    w = Window.partitionBy("user_id").orderBy(F.desc("sec"), F.desc("event_id"))
+
+    def keep_latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sparkb = batch_df.sparkSession
+        # heartbeat filter (P3 analog) + parse into the realtime columns
+        parsed = batch_df.where(F.col("event_type") == "view").select(
+            "user_id",
+            "event_id",
+            F.col("ts_sec").alias("sec"),
+            (
+                F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0))
+                % 10
+            ).alias("channel_id"),
+            (F.col("user_id") % 20).alias("region_id"),
+            (F.col("user_id") * 10 + F.col("event_id") % 3).alias("device_id"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("pt_micro"),
+        )
+        # T3: newest-wins inside the batch, then J9: broadcast dim join
+        # with the reference's missing-device fallback
+        latest = keep_latest(parsed)
+        enriched = (
+            latest.join(
+                F.broadcast(term), latest["device_id"] == term["d_device_id"], "left"
+            )
+            .select(
+                "user_id",
+                "event_id",
+                "sec",
+                "channel_id",
+                "region_id",
+                "device_id",
+                "pt_micro",
+                F.coalesce(F.col("d_device_type"), F.lit(0).cast("int")).alias(
+                    "terminal"
+                ),
+            )
+        )
+        # S10: merge against existing snapshot rows for these keys,
+        # keeping the newer (sec, event_id) — replay/out-of-order safe
+        existing = store.read_for_keys(sparkb, enriched.select("user_id"))
+        if existing is not None:
+            enriched = keep_latest(enriched.unionByName(existing))
+        store.upsert(enriched)
+        # T8/S13: monotonic event-time horizon, 1-day retention
+        row = parsed.agg(F.max("sec").alias("mx")).collect()[0]
+        if row.mx is not None:
+            hi["max_sec"] = max(hi["max_sec"] or int(row.mx), int(row.mx))
+            store.expire(sparkb, f"sec < {hi['max_sec'] - 86400}")
+
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, props string, ts_sec bigint"
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chl_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # dual-grain report off the final snapshot: channel grain, then the
+    # region (all-channel) grain re-aggregated from it, channel_id = -1
+    snap = store.read(spark)
+    base = snap.select(
+        F.expr("sec div 86400").alias("f_day"),
+        F.expr("(sec % 86400) div 3600").alias("f_hour"),
+        F.expr("(sec % 86400) div 1800").alias("f_timerange"),
+        F.col("region_id").alias("f_region_id"),
+        F.col("terminal").alias("f_terminal"),
+        F.col("channel_id").alias("f_channel_id"),
+        "pt_micro",
+    )
+    chan = base.groupBy(
+        "f_day", "f_hour", "f_timerange", "f_region_id", "f_terminal", "f_channel_id"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("f_online_users"),
+        F.sum("pt_micro").cast("bigint").alias("pt_sum"),
+    )
+    reg = (
+        chan.groupBy("f_day", "f_hour", "f_timerange", "f_region_id", "f_terminal")
+        .agg(
+            F.sum("f_online_users").cast("bigint").alias("f_online_users"),
+            F.sum("pt_sum").cast("bigint").alias("pt_sum"),
+        )
+        .withColumn("f_channel_id", F.lit(-1).cast("bigint"))
+    )
+    cols = [
+        "f_day", "f_hour", "f_timerange", "f_region_id", "f_terminal",
+        "f_channel_id", "f_online_users", "pt_sum",
+    ]
+    return (
+        chan.select(*cols)
+        .unionByName(reg.select(*cols))
+        .withColumn(
+            "f_play_time", F.col("pt_sum").cast("double") / F.lit(1000000.0)
+        )
+        .drop("pt_sum")
+    )

@@ -414,3 +414,19 @@ def test_pq_search_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.6, f"PQ recall {recall:.2f} < 0.6"
+
+
+def test_bounded_collect_guard(spark):
+    """Driver-side collects are allowed only under an explicit bound: past
+    it the helper must fail loudly (with the bound in the message) instead
+    of pulling an unbounded frame onto the driver."""
+    import pytest as _pytest
+
+    from bigdata_homed_spark.operators.aggregate import bounded_collect
+
+    df = spark.range(10).selectExpr("id AS v")
+    rows = bounded_collect(df.orderBy("v"), 10, "ten rows")
+    assert [r["v"] for r in rows] == list(range(10))
+
+    with _pytest.raises(AssertionError, match="bound of 5 rows"):
+        bounded_collect(df, 5, "ten rows")

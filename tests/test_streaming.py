@@ -392,3 +392,35 @@ def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
     # and replaying batch 1 changes nothing
     dedup_merge_batch(store, b1, 1)
     assert snapshot() == after_b1
+
+
+def test_channel_live_split_independent(spark, sf_dir):
+    """The ChannelLiveByRunLogRealTime analog's snapshot merge is global
+    keep-latest per user, so the report must not depend on how the replay
+    is split into micro-batches (1 batch == pure batch semantics)."""
+    from bigdata_homed_spark.plans.streaming_queries import (
+        stream_channel_live_counts,
+    )
+
+    def rows(n):
+        out = stream_channel_live_counts(spark, sf_dir, n_batches=n)
+        return sorted(
+            tuple(r) for r in out.collect()
+        )
+
+    one = rows(1)
+    four = rows(4)
+    assert one == four
+    assert len(one) > 0
+    # rollup rows (channel -1) must re-aggregate the channel rows exactly
+    by_key = {}
+    for (d, h, tr, reg, term, ch, users, pt) in one:
+        if ch != -1:
+            k = (d, h, tr, reg, term)
+            u0, p0 = by_key.get(k, (0, 0.0))
+            by_key[k] = (u0 + users, p0 + pt)
+    for (d, h, tr, reg, term, ch, users, pt) in one:
+        if ch == -1:
+            u, p = by_key[(d, h, tr, reg, term)]
+            assert users == u
+            assert abs(p - pt) < 1e-6

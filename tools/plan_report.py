@@ -57,6 +57,20 @@ INTENTIONAL_BNL = {
     "package_program_periods": "1-row max-day broadcast (trailing-7d history window bound)",
     "program_lookback_snapshot": "1-row snapshot-instant (max ts) broadcast — the reference's driver nodeTime",
     "user_census_by_area": "1-row report-window bound (max create_day) broadcast",
+    "kmeans_clusters": (
+        "coarse-quantized assignment broadcasts (r6 rework, similarity.py "
+        "_kmeans_assign): at k<=8 the exact path broadcasts k<=8 centroid "
+        "rows; at k>8 the BNLs are the C=ceil(sqrt(k)) coarse-seed "
+        "broadcast (vectors probe top-2 of sqrt(k) cells, per-vector work "
+        "O(sqrt(k)) not O(k)) and the centroid->cell bucketing join "
+        "(k x sqrt(k), centroid-count-sized, not data-sized)"
+    ),
+    "semantic_dedup_decisions": (
+        "same coarse-quantized k-means assignment BNLs as kmeans_clusters "
+        "(shared _kmeans_assign, K proportional to n but broadcast sides "
+        "are sqrt(K) coarse seeds); the within-cluster pair join is an "
+        "equi-join on cid, not a BNL"
+    ),
     "channel_report_full": (
         "9× the 1-row day-count/report-date scalar broadcast (one per grain "
         "branch).  Its raw shuffle count is also inflated in THIS table: the "
