@@ -112,6 +112,13 @@ BENCH_QUERIES = [
     "incremental_substring_report",
     # in-row 36-term entropy chain: pure codegen quality signal.
     "char_entropy_quality",
+    # round-6 widening: the ChannelLiveByRunLogRealTime end-to-end
+    # streaming analog (4 replayed micro-batches through keep-latest ->
+    # terminal join -> snapshot upsert -> TTL -> dual-grain report).
+    # NOTE: its wall time is dominated by Structured Streaming fixed
+    # machinery (per-batch checkpoint + state-store I/O), not data volume —
+    # compare per-query, and expect it roughly flat across SFs.
+    "stream_channel_live_counts",
 ]
 
 
