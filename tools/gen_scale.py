@@ -18,7 +18,7 @@ exactly the scale pressure we want to measure):
 - embeddings: copy i shifts vec_id; labels unchanged (10× vectors/label).
 
 Output: /root/repo/.localdata/sf1/*.parquet (gitignored).
-Usage: python tools/gen_scale.py [n_copies=10]
+Usage: python tools/gen_scale.py [n_copies=10] [dst_dir=.localdata/sf1]
 """
 
 from __future__ import annotations
@@ -29,6 +29,8 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
+# default output; pass a second arg to derive bigger points (e.g.
+# `gen_scale.py 30 /root/repo/.localdata/sf3` for the 30-copy decade)
 DST = "/root/repo/.localdata/sf1"
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
@@ -54,7 +56,10 @@ def stride_permute(text: str, copy: int) -> str:
 
 
 def main() -> None:
+    global DST
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:
+        DST = sys.argv[2]
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     con.create_function("stride_permute", stride_permute)
