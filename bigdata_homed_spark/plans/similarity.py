@@ -757,24 +757,22 @@ def _sqdist_sql(a: str, b: str) -> str:
     )
 
 
-def _kmeans_assign(emb: DataFrame, cents: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
-    """One Lloyd assignment round: argmin squared-L2 over the centroids.
+def _kmeans_candidates(
+    emb: DataFrame, cents: DataFrame, k: int = K_CLUSTERS
+) -> DataFrame:
+    """The candidate (vector, centroid) rows the assignment argmin scores —
+    factored out so the scaling harness can count them through the
+    production code path (`tools/assign_work.py`).
 
-    k ≤ K_CLUSTERS → exact scoring against all (broadcast) centroids.
-    k > K_CLUSTERS → IVF coarse-quantized assignment (see the
-    KMEANS_COARSE_PROBES comment): n·2 probe rows through the cell join
-    instead of n·K scored rows through the argmin window.
+    k ≤ K_CLUSTERS → all n·k pairs (exact scoring).
+    k > K_CLUSTERS → IVF coarse-quantized probing (see the
+    KMEANS_COARSE_PROBES comment): only the centroids in each vector's
+    top-p coarse cells, ≈ p·K/C per vector instead of K.
     """
     c = kmeans_coarse_cells_for(k)
     if c <= 1:
-        scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        return emb.crossJoin(F.broadcast(cents)).withColumn(
             "dist", _sqdist("embedding", "ce")
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cid", "dist")
         )
     # coarse seeds: the first C centroids by cid (deterministic; every cid
     # < C survives both Lloyd rounds unless the corpus has duplicate seed
@@ -800,13 +798,23 @@ def _kmeans_assign(emb: DataFrame, cents: DataFrame, k: int = K_CLUSTERS) -> Dat
         .where(F.col("rn") <= KMEANS_COARSE_PROBES)
         .select("vec_id", "embedding", "gid")
     )
-    # fine argmin inside the probed cells: an equi-join on gid (centroid
+    # fine scoring inside the probed cells: an equi-join on gid (centroid
     # side is K rows — broadcast-able far beyond any K that fits a fleet,
-    # AQE picks it locally; shuffle-hash on gid at the extreme), then the
-    # same deterministic argmin window as the exact path
-    scored = probes.join(centcell, "gid").withColumn(
+    # AQE picks it locally; shuffle-hash on gid at the extreme)
+    return probes.join(centcell, "gid").withColumn(
         "dist", _sqdist("embedding", "ce")
     )
+
+
+def _kmeans_assign(emb: DataFrame, cents: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
+    """One Lloyd assignment round: argmin squared-L2 over the centroids.
+
+    k ≤ K_CLUSTERS → exact scoring against all (broadcast) centroids.
+    k > K_CLUSTERS → IVF coarse-quantized assignment (see the
+    KMEANS_COARSE_PROBES comment): n·2 probe rows through the cell join
+    instead of n·K scored rows through the argmin window.
+    """
+    scored = _kmeans_candidates(emb, cents, k)
     w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
