@@ -1384,9 +1384,21 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             if mod == 1
             else emb.where(hash64(F.col("vec_id"), "pq_train") % mod == 0)
         )
-        train_structs = F.array(
-            *[
-                F.struct(
+        # UNION ALL of four per-subspace projects (the oracle's _PQ_SUB_SQL
+        # shape) instead of explode(array(struct(..bucket..))): inlining the
+        # four 80-term plane expressions inside the Generate's array made
+        # generate_doConsume exceed janino's method limits (ERROR
+        # CodeGenerator → interpreted fallback, ~9 s of failed compiles in
+        # the cold path).  As top-level Project expressions they codegen
+        # fine; persisted because both the init codebook and the Lloyd
+        # refinement consume it.
+        from functools import reduce as _reduce
+
+        train = _reduce(
+            DataFrame.unionAll,
+            [
+                train_src.select(
+                    "vec_id",
                     F.lit(m).alias("m"),
                     F.slice("embedding", m * _PQ_SUBD + 1, _PQ_SUBD).alias(
                         "subvec"
@@ -1394,11 +1406,8 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _pq_bucket_col(m).alias("bucket"),
                 )
                 for m in range(_PQ_M)
-            ]
-        )
-        train = train_src.select(
-            "vec_id", F.explode(train_structs).alias("s")
-        ).select("vec_id", "s.m", "s.subvec", "s.bucket")
+            ],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
         # one-step codebooks: exact decimal mean per (m, bucket, dim)
         cdim = (
@@ -1471,6 +1480,7 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_CENTS_CACHE[ck] = [
             (r["m"], r["bucket"], r["ce"]) for r in cents_rows
         ]
+        train.unpersist()
 
     # the codebook enters the plan as a LOCAL relation: the downstream
     # consumers (encode join, query distance tables) broadcast a
