@@ -72,6 +72,7 @@ from . import business_reports  # noqa: E402,F401
 from . import demand_columns  # noqa: E402,F401
 from . import user_census  # noqa: E402,F401
 from . import realtime_snapshots  # noqa: E402,F401
+from . import push_sinks  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Evaluation-order curation.  The correctness driver checks registered
@@ -216,6 +217,20 @@ from . import realtime_snapshots  # noqa: E402,F401
 #   stream_static_segment_hourly -> J9 stream-static join anchored by the
 #                          promoted stream_channel_live_counts (broadcast
 #                          terminal dim join inside the flagship chain)
+#
+# Second r6 rotation (the S11/S12 push sinks move from "out of scope" to
+# executed): IN = rank_list_publish_roundtrip + hbase_cell_roundtrip
+# (NEW r6 — new queries go in the round they land).  OUT:
+#   stream_foreachbatch_ttl -> its §2 rows (S10 upsert-by-PK, T8
+#                          realtime retention, S13 retention delete) are
+#                          ALL exercised inside the promoted
+#                          stream_channel_live_counts chain (snapshot
+#                          upsert + event-time TTL expire); r1-r5 driver
+#                          verdicts recorded, stays green in the gate
+#   heartbeat_online_time -> W2/T5 heartbeat stitching anchored by the
+#                          in-window heartbeat_run_repair (the
+#                          OnlineTimePatch repair builds on the same
+#                          stitching machinery); r1-r5 verdicts recorded
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
@@ -227,12 +242,17 @@ PRIORITY_QUERIES = [
     "partitioned_fact_roundtrip", # S2/S7/S8
     "jdbc_dim_roundtrip",         # NEW r5: S3/S4/S9 executed (embedded
                                   # Derby write + pushdown + partitioned read)
+    "rank_list_publish_roundtrip",  # NEW r6: S12 executed (varint pack +
+                                  # pipelined per-partition hset publish)
+    "hbase_cell_roundtrip",       # NEW r6: S11 executed (salted-rowkey
+                                  # cell encode + batched executor Puts)
     "zorder_locality",            # r6 promotion (late-r5 waiter): Z-order
                                   # layout locality vs linear order
     # events/behavior chain (SURVEY §2 W1-W4, A7, §2.8)
     "capped_play_sessions",       # W3/T6
     "props_struct_parse",         # JSON from_json (sole typed-JSON anchor)
-    "heartbeat_online_time",      # W2/T5
+    # (heartbeat_online_time OUT 2nd-r6: W2/T5 anchored by
+    #  heartbeat_run_repair's stitching)
     "heartbeat_run_repair",       # NEW r5 promotion: OnlineTimePatch boot
                                   # repair (stacked lead/first_value windows)
     "user_state_merge",           # J5/P5
@@ -314,7 +334,8 @@ PRIORITY_QUERIES = [
                                     # dual-grain report; SURVEY §3.3)
     "stream_incremental_dedup",     # r6 promotion (late-r5 waiter):
                                     # replay-idempotent streaming dedup
-    "stream_foreachbatch_ttl",      # S10/T8 + S13 retention
+    # (stream_foreachbatch_ttl OUT 2nd-r6: S10/T8/S13 anchored by
+    #  stream_channel_live_counts' upsert+TTL chain)
     "stream_online_user_state",     # T4 (oracle-shaped replay golden)
 ]
 
