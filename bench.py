@@ -119,6 +119,13 @@ BENCH_QUERIES = [
     # machinery (per-batch checkpoint + state-store I/O), not data volume —
     # compare per-query, and expect it roughly flat across SFs.
     "stream_channel_live_counts",
+    # round-6 widening 2: the executed push sinks — varint pack ->
+    # per-partition pipelined publish -> read-back -> decode (S12), and
+    # the salted-rowkey cell encode -> batched Puts -> read-back (S11).
+    # Small frames by design (topN / dim-grain cells); they bench the
+    # foreachPartition + Arrow-codec fixed costs, roughly flat across SFs.
+    "rank_list_publish_roundtrip",
+    "hbase_cell_roundtrip",
 ]
 
 
