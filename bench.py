@@ -126,6 +126,13 @@ BENCH_QUERIES = [
     # foreachPartition + Arrow-codec fixed costs, roughly flat across SFs.
     "rank_list_publish_roundtrip",
     "hbase_cell_roundtrip",
+    # round-6 widening 3: IVFADC (coarse inverted lists × the shared PQ
+    # codebook — the probed-list ADC equi-join scan; benches cheaper than
+    # embedding_pq_search in the same session because training is cached)
+    # and Okapi BM25 retrieval scoring (tf/df token aggs + broadcast
+    # probe/corpus stats + per-doc decimal sum).
+    "embedding_ivf_pq_search",
+    "bm25_doc_scores",
 ]
 
 

@@ -299,6 +299,13 @@ PRIORITY_QUERIES = [
     "quality_by_source",          # quality/lang/token stats family
     "bigram_lm_quality",          # r6 promotion (late-r5 waiter): CCNet
                                   # bigram-LM perplexity quality
+    "bm25_doc_scores",            # NEW 3rd-r6: Okapi BM25 retrieval
+                                  # scoring (the RAG-curation ranker next
+                                  # to tfidf_top_terms); slot funded by
+                                  # label_centroids, whose centroid-mean
+                                  # machinery is anchored in-window by
+                                  # semantic_dedup_decisions' k-means
+                                  # updates + the committed gate logs
     "dsir_selection",             # NEW late-r5: DSIR importance resampling
                                   # (arXiv:2302.03169); slot funded by
                                   # tfidf_top_terms (r1-r4 verdicts; its
@@ -311,13 +318,18 @@ PRIORITY_QUERIES = [
     # (embedding_ann_pairs OUT r6: sign-LSH anchored by knn_ivf/pq/hnm)
     "hard_negative_mining",       # r6 promotion (late-r5 waiter):
                                   # broadcast-anchor negative mining
-    "embedding_knn_ivf",          # IVF probe (embedding_knn brute-force
-                                  # baseline stays in the local gate)
+    # (embedding_knn_ivf OUT 3rd-r6: the IVF probe shape is anchored by
+    #  embedding_ivf_pq_search, which composes the SAME coarse quantizer
+    #  with the PQ scan; knn_ivf stays green in the full gate)
+    "embedding_ivf_pq_search",    # NEW 3rd-r6: IVFADC — coarse inverted
+                                  # lists × shared PQ codebook, ADC only
+                                  # inside probed lists (the 100 TB ANN
+                                  # architecture)
     "embedding_pq_search",        # NEW r5 promotion: PQ+ADC with sampled
                                   # codebook training (reworked this round)
     "semantic_dedup_decisions",   # NEW r5 promotion: SemDeDup with the
                                   # K∝n cluster rule (reworked this round)
-    "label_centroids",            # centroids/outliers family
+    # (label_centroids OUT 3rd-r6: slot funds bm25_doc_scores above)
     # approximate-sketch accuracy verified IN the gate (r3)
     # (distinct_users_approx_daily OUT r6: A7 anchored by
     #  business_user_array_cycle; HLL accuracy stays gate-asserted)

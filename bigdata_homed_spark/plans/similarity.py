@@ -1229,7 +1229,13 @@ _PQ_SQD16 = (
     " * (cast({a}[i] as double) - cast({b}[i] as double))), (x, y) -> x + y)"
 )
 
-_PQ_ORACLE = f"""
+# The PQ oracle splits into a shared prefix (training + encoding + query
+# distance tables), a per-variant adc CTE (full-corpus scan for
+# embedding_pq_search; probed-inverted-lists scan for
+# embedding_ivf_pq_search), and a shared tail (candidate cut + exact
+# re-rank) — so the two variants are oracle-checked against the SAME
+# codebook/encoding math by construction.
+_PQ_ORACLE_PREFIX = f"""
 WITH sub AS (
 {_PQ_SUB_SQL}
 ),
@@ -1284,17 +1290,9 @@ t AS (
   SELECT q.query_id, q.m, c.bucket,
          {_PQ_SQD16.format(a='q.subvec', b='c.ce')} AS d
   FROM qsub q JOIN cents c USING (m)
-),
-adc AS (
-  SELECT t0.query_id, w.vec_id AS neighbor_id,
-         t0.d + t1.d + t2.d + t3.d AS approx_d
-  FROM codes_w w
-  JOIN t t0 ON t0.m = 0 AND t0.bucket = w.c0
-  JOIN t t1 ON t1.query_id = t0.query_id AND t1.m = 1 AND t1.bucket = w.c1
-  JOIN t t2 ON t2.query_id = t0.query_id AND t2.m = 2 AND t2.bucket = w.c2
-  JOIN t t3 ON t3.query_id = t0.query_id AND t3.m = 3 AND t3.bucket = w.c3
-  WHERE w.vec_id != t0.query_id
-),
+)"""
+
+_PQ_ORACLE_TAIL = f""",
 cand AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
@@ -1320,28 +1318,40 @@ QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY cosine DESC, neighbor_id) <= {_PQ_TOPK}
 """
 
+_PQ_ORACLE = f"""{_PQ_ORACLE_PREFIX},
+adc AS (
+  SELECT t0.query_id, w.vec_id AS neighbor_id,
+         t0.d + t1.d + t2.d + t3.d AS approx_d
+  FROM codes_w w
+  JOIN t t0 ON t0.m = 0 AND t0.bucket = w.c0
+  JOIN t t1 ON t1.query_id = t0.query_id AND t1.m = 1 AND t1.bucket = w.c1
+  JOIN t t2 ON t2.query_id = t0.query_id AND t2.m = 2 AND t2.bucket = w.c2
+  JOIN t t3 ON t3.query_id = t0.query_id AND t3.m = 3 AND t3.bucket = w.c3
+  WHERE w.vec_id != t0.query_id
+){_PQ_ORACLE_TAIL}"""
 
-@query("embedding_pq_search", oracle=_PQ_ORACLE)
-def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import session_cache_key
-    from ..sources.tables import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # codebook training-sample modulus tracks corpus size (pq_train_mod_for
-    # rule; same column-pruned count cache as the ANN plane rule) — the
-    # oracle's params/train CTEs apply the identical rule, so the sampled
-    # path stays oracle-exact at every SF
-    ck = session_cache_key(spark, sf_dir)
-    if ck not in _PQ_MOD_CACHE:
-        _PQ_MOD_CACHE[ck] = pq_train_mod_for(emb.count())
-    mod = _PQ_MOD_CACHE[ck]
+def _pq_sqd16(a, b):
+    """Squared L2 distance between two 16-dim array columns."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
-    # (vec, m, subvec) long frame.  The sign-LSH init bucket is NOT part of
-    # this frame: only the training sample ever uses it (codebook init),
-    # so the 20 plane dot-products are computed on the sampled training
-    # rows inside the cache-gated block below instead of burning them
-    # across the whole corpus (at mod=8 that is 8× less bucket work;
-    # encoding needs only subvec + the broadcast codebook).
+
+def _pq_sub_frame(emb: DataFrame) -> DataFrame:
+    """(vec, m, subvec) long frame.  The sign-LSH init bucket is NOT part
+    of this frame: only the training sample ever uses it (codebook init),
+    so the 20 plane dot-products are computed on the sampled training rows
+    inside the cache-gated training block instead of burning them across
+    the whole corpus (at mod=8 that is 8× less bucket work; encoding needs
+    only subvec + the broadcast codebook).  Persisted: `sub` feeds encoding
+    AND the query tables, so the corpus explode runs once per search."""
+    from pyspark.storagelevel import StorageLevel
+
     sub_structs = F.array(
         *[
             F.struct(
@@ -1351,27 +1361,21 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ]
     )
-    # `sub` feeds encoding AND the query tables — pin it so the corpus
-    # explode runs once per search
-    from pyspark.storagelevel import StorageLevel
-
-    sub = (
+    return (
         emb.select("vec_id", F.explode(sub_structs).alias("s"))
         .select("vec_id", "s.m", "s.subvec")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # deterministic hash-sample for codebook training (mod 1 = full corpus
-    # at the small SFs); a cheap filter over the cached `sub`, with the
-    # init bucket derived from the subvector on just these rows
-    def sqd16(a, b):
-        prods = F.zip_with(
-            a,
-            b,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
+
+def _pq_cents(spark: SparkSession, ck: str, emb: DataFrame, mod: int) -> DataFrame:
+    """The trained PQ codebook as a LocalRelation DataFrame (≤ M·2^planes =
+    128 rows).  Trains ONCE per (session, corpus) — both embedding_pq_search
+    and embedding_ivf_pq_search consume the SAME cached codebook, the
+    train-once/query-many contract."""
+    from pyspark.storagelevel import StorageLevel
+
+    sqd16 = _pq_sqd16
     if ck not in _PQ_CENTS_CACHE:
         # ---- codebook training: runs ONCE per (session, corpus) ----
         # The bucket is computed per-subspace BEFORE the explode (same
@@ -1485,19 +1489,21 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the codebook enters the plan as a LOCAL relation: the downstream
     # consumers (encode join, query distance tables) broadcast a
     # LocalTableScan — no job, no lineage re-execution
-    cents = spark.createDataFrame(
+    return spark.createDataFrame(
         _PQ_CENTS_CACHE[ck], "m int, bucket int, ce array<double>"
     )
 
-    # encode: argmin over the refined subspace codebook (tie -> smaller
-    # bucket).  One hash agg does BOTH the per-subspace argmin and the
-    # wide-code pivot — min(when(m=i, struct(d, cb))) skips other
-    # subspaces' rows as nulls, so the n·4·codes joined rows fold straight
-    # to one row per vector in a single map-side-combinable shuffle
-    # (replacing a row_number window sort plus a second pivot shuffle)
-    codes_w = (
+
+def _pq_codes_wide(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Encode: argmin over the refined subspace codebook (tie -> smaller
+    bucket).  One hash agg does BOTH the per-subspace argmin and the
+    wide-code pivot — min(when(m=i, struct(d, cb))) skips other subspaces'
+    rows as nulls, so the n·4·codes joined rows fold straight to one row
+    per vector in a single map-side-combinable shuffle (replacing a
+    row_number window sort plus a second pivot shuffle)."""
+    return (
         sub.join(F.broadcast(cents.withColumnRenamed("bucket", "cb")), "m")
-        .withColumn("d", sqd16(F.col("subvec"), F.col("ce")))
+        .withColumn("d", _pq_sqd16(F.col("subvec"), F.col("ce")))
         .groupBy("vec_id")
         .agg(
             *[
@@ -1511,21 +1517,22 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # per-query ADC distance tables — pivoted to ONE row per query with a
-    # code->distance map per subspace (≤ 10 rows × 4 maps of ≤32 entries),
-    # so the whole ADC scan is a SINGLE broadcast nested-loop join of the
-    # 10-row table against the codes (the classic "distance table in
-    # registers" lookup), not a 4-deep broadcast-join chain with three
-    # extra exchanges
+
+def _pq_qtab(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-query ADC distance tables — pivoted to ONE row per query with a
+    code->distance map per subspace (≤ 10 rows × 4 maps of ≤32 entries),
+    so the whole ADC scan is a SINGLE join of the 10-row table against the
+    codes (the classic "distance table in registers" lookup), not a 4-deep
+    broadcast-join chain with three extra exchanges."""
     qsub = sub.where(F.col("vec_id") < _PQ_TOPK).select(
         F.col("vec_id").alias("query_id"), "m", "subvec"
     )
     t = (
         qsub.join(F.broadcast(cents), "m")
-        .withColumn("d", sqd16(F.col("subvec"), F.col("ce")))
+        .withColumn("d", _pq_sqd16(F.col("subvec"), F.col("ce")))
         .select("query_id", "m", "bucket", "d")
     )
-    qtab = t.groupBy("query_id").agg(
+    return t.groupBy("query_id").agg(
         *[
             F.map_from_entries(
                 F.sort_array(
@@ -1537,28 +1544,11 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ]
     )
-    adc = (
-        codes_w.join(F.broadcast(qtab))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            sum(
-                [F.element_at(F.col(f"t{m}"), F.col(f"c{m}")) for m in range(_PQ_M)],
-                F.lit(0.0),
-            ).alias("approx_d"),
-        )
-    )
-    cand_w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_d").asc(), F.col("neighbor_id")
-    )
-    cand = (
-        adc.withColumn("approx_rank", F.row_number().over(cand_w))
-        .where(F.col("approx_rank") <= _PQ_CAND)
-        .select("query_id", "neighbor_id", "approx_rank")
-    )
 
-    # exact re-rank on the original floats (50 vectors per query)
+
+def _pq_rerank(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact cosine re-rank of the ADC candidates on the original floats
+    (≤ _PQ_CAND vectors per query), shared by both PQ search variants."""
     qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
     rer = (
@@ -1580,6 +1570,177 @@ def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def _pq_model(spark: SparkSession, sf_dir: str):
+    """Load embeddings, resolve the train-sample modulus, build the shared
+    (sub, cents) pair both PQ variants search over."""
+    from ..session import session_cache_key
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # codebook training-sample modulus tracks corpus size (pq_train_mod_for
+    # rule; same column-pruned count cache as the ANN plane rule) — the
+    # oracle's params/train CTEs apply the identical rule, so the sampled
+    # path stays oracle-exact at every SF
+    ck = session_cache_key(spark, sf_dir)
+    if ck not in _PQ_MOD_CACHE:
+        _PQ_MOD_CACHE[ck] = pq_train_mod_for(emb.count())
+    mod = _PQ_MOD_CACHE[ck]
+    sub = _pq_sub_frame(emb)
+    cents = _pq_cents(spark, ck, emb, mod)
+    return emb, sub, cents
+
+
+@query("embedding_pq_search", oracle=_PQ_ORACLE)
+def embedding_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, sub, cents = _pq_model(spark, sf_dir)
+    codes_w = _pq_codes_wide(sub, cents)
+    qtab = _pq_qtab(sub, cents)
+    adc = (
+        codes_w.join(F.broadcast(qtab))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sum(
+                [F.element_at(F.col(f"t{m}"), F.col(f"c{m}")) for m in range(_PQ_M)],
+                F.lit(0.0),
+            ).alias("approx_d"),
+        )
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("approx_rank", F.row_number().over(cand_w))
+        .where(F.col("approx_rank") <= _PQ_CAND)
+        .select("query_id", "neighbor_id", "approx_rank")
+    )
+    return _pq_rerank(emb, cand)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ search — the composed FAISS-style IVFADC architecture (Jégou et
+# al., "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+# 2011, §IV): a coarse quantizer partitions the corpus into inverted
+# lists, PQ codes compress every vector, and a query scans ADC distances
+# ONLY inside its probed lists.  This is the actual 100 TB ANN shape —
+# embedding_knn_ivf demonstrates the inverted-file pruning and
+# embedding_pq_search the compressed-domain scan; at a 10^10-vector corpus
+# you need BOTH: IVF cuts the scan to probes/cells of the data and PQ
+# makes each scanned entry 20 bits instead of 256 bytes.  Non-residual
+# variant (codes quantize the raw vector, not the residual), so the
+# codebook is the SAME train-once model embedding_pq_search caches — one
+# training pass serves both indexes.
+#
+# Scale shape: coarse assignment is n×16 scores (fixed-size centroid
+# broadcast); the inverted lists co-locate by cid (at scale: the shuffle
+# that builds the physical index layout); the ADC scan joins the 40-row
+# (query, cid) probe table to the codes on cid — an equi-join, so Catalyst
+# gets a broadcast HASH join where the flat PQ scan needs a nested-loop
+# pass over the full corpus; re-rank touches ≤ _PQ_CAND originals/query.
+_IVFPQ_SQL_IVF_CTES = f""",
+cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+cscored AS (
+  SELECT e.vec_id, c.cid,
+         {_dot_sql('e.embedding', 'c.ce')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('c.ce', 'c.ce')})) AS cs
+  FROM embeddings e, cent c
+),
+lists AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cscored WHERE vec_id < {_PQ_TOPK}
+  ) WHERE rn <= {N_PROBES}
+)"""
+
+_IVFPQ_ORACLE = f"""{_PQ_ORACLE_PREFIX}{_IVFPQ_SQL_IVF_CTES},
+adc AS (
+  SELECT p.query_id, w.vec_id AS neighbor_id,
+         t0.d + t1.d + t2.d + t3.d AS approx_d
+  FROM codes_w w
+  JOIN lists l ON l.vec_id = w.vec_id
+  JOIN probes p ON p.cid = l.cid
+  JOIN t t0 ON t0.query_id = p.query_id AND t0.m = 0 AND t0.bucket = w.c0
+  JOIN t t1 ON t1.query_id = p.query_id AND t1.m = 1 AND t1.bucket = w.c1
+  JOIN t t2 ON t2.query_id = p.query_id AND t2.m = 2 AND t2.bucket = w.c2
+  JOIN t t3 ON t3.query_id = p.query_id AND t3.m = 3 AND t3.bucket = w.c3
+  WHERE w.vec_id != p.query_id
+){_PQ_ORACLE_TAIL}"""
+
+
+@query("embedding_ivf_pq_search", oracle=_IVFPQ_ORACLE)
+def embedding_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: coarse inverted lists (the embedding_knn_ivf quantizer) ×
+    PQ codes (the embedding_pq_search codebook, shared via the train-once
+    cache) — ADC distances computed only inside each query's probed lists,
+    then exact re-rank.  See the block comment above for the scale
+    argument."""
+    emb, sub, cents = _pq_model(spark, sf_dir)
+    codes_w = _pq_codes_wide(sub, cents)
+    qtab = _pq_qtab(sub, cents)
+
+    # coarse quantizer: the 16 deterministic seed cells, every vector
+    # assigned to its nearest list (argmax cosine, tie -> smaller cid)
+    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cscored = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("cs", _dot("embedding", "ce") / (_norm("embedding") * _norm("ce")))
+        .select("vec_id", "cid", "cs")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid"))
+    lists = (
+        cscored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    probes = (
+        cscored.where(F.col("vec_id") < _PQ_TOPK)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= N_PROBES)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+
+    # ADC over the probed lists only: codes join their list id, the 40-row
+    # probe table broadcasts, and the distance-table lookup rides the SAME
+    # row — equi-joins end to end (vs the flat scan's nested-loop pass)
+    adc = (
+        codes_w.join(lists, "vec_id")
+        .join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qtab), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sum(
+                [F.element_at(F.col(f"t{m}"), F.col(f"c{m}")) for m in range(_PQ_M)],
+                F.lit(0.0),
+            ).alias("approx_d"),
+        )
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("approx_rank", F.row_number().over(cand_w))
+        .where(F.col("approx_rank") <= _PQ_CAND)
+        .select("query_id", "neighbor_id", "approx_rank")
+    )
+    return _pq_rerank(emb, cand)
 
 
 # --------------------------------------------------------------------------

@@ -810,6 +810,154 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 document scoring — the retrieval-grade sibling of tfidf_top_terms
+# (RAG corpus curation ranks candidate documents against a probe query with
+# BM25, not raw TF-IDF).  Probe terms are the 5 globally most frequent
+# tokens (deterministic: total tf desc, word asc).  Okapi BM25 with
+# k1=1.2, b=0.75:
+#   idf(w)      = ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N+2)/(2·df+1))
+#                 — the integer-ratio ln form (the unigram_surprisal /
+#                 bigram_lm precedent: both engines take ln of the SAME
+#                 double, and round(..,6) absorbs any last-ulp libm skew)
+#   tfnorm(w,d) = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)); dl/avgdl is
+#                 kept exact-rational as dl·N/T (T = corpus token count)
+# Per-term scores round to 6dp decimals before the per-doc sum, so the sum
+# is order-independent (the dsum discipline).  Scale shape: two token aggs
+# (tf, df — both map-side combinable), vocabulary-sized df and 5-row probe
+# sets broadcast back, one per-doc agg, one global top-k.  No shuffle
+# carries raw text.
+_BM25_K1 = "1.2"
+_BM25_TOPN_DOCS = 50
+_BM25_PROBES = 5
+
+
+@query(
+    "bm25_doc_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKS}) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, cast(count(*) as bigint) AS tf FROM toks GROUP BY doc_id, word
+    ),
+    dl AS (
+      SELECT doc_id, cast(count(*) as bigint) AS dl FROM toks GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT cast(count(*) as bigint) AS n_docs,
+             cast(sum(dl) as bigint) AS t_total
+      FROM dl
+    ),
+    df AS (
+      SELECT word, cast(count(*) as bigint) AS df, sum(tf) AS total_tf
+      FROM tf GROUP BY word
+    ),
+    probe AS (
+      SELECT word, df FROM df ORDER BY total_tf DESC, word ASC LIMIT {_BM25_PROBES}
+    ),
+    term_scores AS (
+      SELECT tf.doc_id,
+             cast(round(
+               ln(cast(2 * c.n_docs + 2 as double) / cast(2 * p.df + 1 as double))
+               * (cast(tf.tf as double)
+                    * (cast(1 as double) + cast({_BM25_K1} as double))
+                  / (cast(tf.tf as double)
+                     + cast({_BM25_K1} as double)
+                       * (cast(1 as double) - cast(0.75 as double)
+                          + cast(0.75 as double) * dl.dl * c.n_docs / c.t_total)))
+             , 6) as decimal(27,6)) AS s
+      FROM tf
+      JOIN probe p USING (word)
+      JOIN dl USING (doc_id)
+      CROSS JOIN corpus c
+    ),
+    doc_scores AS (
+      SELECT doc_id, cast(count(*) as bigint) AS n_hit_terms,
+             cast(sum(s) as double) AS bm25
+      FROM term_scores GROUP BY doc_id
+    )
+    SELECT doc_id, n_hit_terms, bm25,
+           cast(row_number() OVER (ORDER BY bm25 DESC, doc_id) as bigint) AS rnk
+    FROM doc_scores
+    QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= {_BM25_TOPN_DOCS}
+    """,
+)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{50} documents against the 5-most-frequent-token probe
+    query (the retrieval scorer a RAG curation pipeline runs corpus-side).
+    Reference parity: the reference has TF-IDF-shaped scoring only
+    (SearchReport's term stats); BM25 is the beyond-reference retrieval
+    op.  Plan: tf/df token aggs (map-combinable), probe set (5 rows) and
+    corpus stats (1 row) broadcast onto the tf stream, per-doc decimal sum,
+    then a single-partition top-50 (TakeOrderedAndProject-sized: the window
+    input is one row per doc that contains a probe term)."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_total"),
+    )
+    df = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    probe = (
+        df.orderBy(F.desc("total_tf"), F.asc("word"))
+        .limit(_BM25_PROBES)
+        .select("word", "df")
+    )
+    k1 = F.lit(float(_BM25_K1))
+    term_scores = (
+        tf.join(F.broadcast(probe), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (2 * F.col("n_docs") + 2).cast("double")
+                    / (2 * F.col("df") + 1).cast("double")
+                )
+                * (
+                    F.col("tf").cast("double") * (F.lit(1) + k1)
+                    / (
+                        F.col("tf").cast("double")
+                        + k1
+                        * (
+                            F.lit(1)
+                            - F.lit(0.75)
+                            + F.lit(0.75)
+                            * F.col("dl")
+                            * F.col("n_docs")
+                            / F.col("t_total")
+                        )
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(27,6)")
+            .alias("s"),
+        )
+    )
+    doc_scores = term_scores.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+        F.sum("s").cast("double").alias("bm25"),
+    )
+    # global top-50 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, never a single-partition shuffle of the corpus-sized score
+    # frame — the O3 pattern); the rank window then runs over ≤50 rows
+    top = doc_scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOPN_DOCS)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
 # Length-outlier banding — per-language exact-percentile thresholds, then a
 # broadcast join classifies every document (the curation "length filter").
 @query(

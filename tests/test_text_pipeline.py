@@ -1,0 +1,88 @@
+"""Tests for plans/text_pipeline.py query semantics on hand-built corpora.
+
+The oracle gate pins cross-engine equality; these tests pin the MATH on
+inputs where the right answer is computable independently (a from-scratch
+Python reimplementation of the formula, not a second run of the query).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from bigdata_homed_spark.plans.text_pipeline import (
+    _BM25_PROBES,
+    bm25_doc_scores,
+)
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def _bm25_reference(texts, k1=1.2, b=0.75, probes=_BM25_PROBES):
+    """Independent BM25: plain dicts and math.log, mirroring the documented
+    formula (idf = ln((2N+2)/(2·df+1)), per-term scores rounded to 6dp
+    before the per-doc sum)."""
+    toks = [t.split() for t in texts]
+    n, t_total = len(toks), sum(len(d) for d in toks)
+    tf = [{} for _ in toks]
+    for d, words in enumerate(toks):
+        for w in words:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    df, total_tf = {}, {}
+    for d in tf:
+        for w, c in d.items():
+            df[w] = df.get(w, 0) + 1
+            total_tf[w] = total_tf.get(w, 0) + c
+    probe = sorted(total_tf, key=lambda w: (-total_tf[w], w))[:probes]
+    out = {}
+    for d, words in enumerate(tf):
+        hits = [w for w in probe if w in words]
+        if not hits:
+            continue
+        s = 0.0
+        for w in hits:
+            idf = math.log((2 * n + 2) / (2 * df[w] + 1))
+            dl = len(toks[d])
+            tfn = (
+                words[w] * (1 + k1)
+                / (words[w] + k1 * (1 - b + b * dl * n / t_total))
+            )
+            s += round(idf * tfn, 6)
+        out[d] = (len(hits), round(s, 6))
+    return out
+
+
+def test_bm25_matches_independent_reference(spark, tmp_path):
+    texts = [
+        "apple apple banana",
+        "apple cherry cherry cherry",
+        "banana date egg fig",
+        "fig fig fig",  # only non-probe terms if fig misses the top-5 cut
+    ]
+    _write_docs(spark, tmp_path, texts)
+    got = {
+        r["doc_id"]: (r["n_hit_terms"], round(r["bm25"], 6))
+        for r in bm25_doc_scores(spark, str(tmp_path)).collect()
+    }
+    expected = _bm25_reference(texts)
+    # probe terms: apple(3) cherry(3) fig(4 — top by count) banana(2) date/egg(1)
+    # whatever the cut, the reference computes the same rule; compare exactly
+    assert got == expected
+
+
+def test_bm25_rank_orders_by_score_then_doc(spark, tmp_path):
+    # two docs with identical text score identically -> tie broken by doc_id
+    texts = ["same same token", "same same token", "other words here"]
+    _write_docs(spark, tmp_path, texts)
+    rows = bm25_doc_scores(spark, str(tmp_path)).orderBy("rnk").collect()
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    tied = [r for r in rows if r["bm25"] == rows[0]["bm25"]]
+    assert [r["doc_id"] for r in tied] == sorted(r["doc_id"] for r in tied)
