@@ -41,10 +41,12 @@ INTENTIONAL_BNL = {
     "embedding_knn": "10 query vectors broadcast against candidate scan",
     "embedding_knn_ivf": "16 centroids / 10 queries broadcast",
     "embedding_ivf_pq_search": (
-        "16 coarse centroids broadcast for the inverted-list assignment "
-        "(same shape as embedding_knn_ivf); the ADC scan itself is "
-        "equi-joined on (cid, query_id) — no corpus-wide BNL, unlike the "
-        "flat embedding_pq_search scan"
+        "16 coarse centroids broadcast for the query-probe scoring (the "
+        "corpus-side assignment + codes⋈lists layout happen in the "
+        "session-cached INDEX BUILD behind the localCheckpoint, so this "
+        "table shows the query-time plan); the ADC scan is equi-joined on "
+        "(cid, query_id) — no corpus-wide BNL, unlike the flat "
+        "embedding_pq_search scan"
     ),
     "bm25_doc_scores": "1-row corpus-stats (N docs, total tokens) broadcast (the BM25 idf/avgdl normalizers)",
     "multi_period_distinct_users": "~30 period rows broadcast (range join)",
