@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     # probe/corpus stats + per-doc decimal sum).
     "embedding_ivf_pq_search",
     "bm25_doc_scores",
+    # Gopher Table-A1 composite filter: 7 in-row rules + one per-source agg
+    # (pure codegen scan — benches the widest single-projection expression).
+    "gopher_quality_flags",
 ]
 
 

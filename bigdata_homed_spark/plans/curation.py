@@ -415,3 +415,171 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("sum_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446, Table A1): the
+# published composite document filter a pretraining pipeline runs before
+# dedup.  Seven rules, each a native per-row expression over whitespace
+# words/lines (NOT the alnum tokenizer — Gopher counts raw words), then ONE
+# map-side-combinable agg per source with per-rule failure counts, so the
+# corpus crosses the shuffle as (source, 9 longs) partial aggregates.
+# Mean-word-length and ratio comparisons are integer-ratio doubles —
+# identical in both engines.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, ' +'), x -> x != '') AS words,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             cast(len(words) as bigint) AS n_words,
+             cast(list_sum(list_transform(words, x -> len(x))) as bigint) AS sum_wlen,
+             cast(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) as bigint)
+               AS n_alpha_words,
+             cast(len(list_distinct(list_filter(words,
+               x -> list_contains({list(_GOPHER_STOPS)!r}, x)))) as bigint)
+               AS n_stop_kinds,
+             cast(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  as bigint) AS n_symbols,
+             cast(len(lines) as bigint) AS n_lines,
+             cast(len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%'))
+                  as bigint) AS n_bullet_lines,
+             cast(len(list_filter(lines, x -> x LIKE '%...')) as bigint)
+               AS n_ellipsis_lines
+      FROM w
+    ),
+    r AS (
+      SELECT source,
+             (n_words < 50 OR n_words > 100000) AS f_wordcount,
+             (n_words = 0
+              OR cast(sum_wlen as double) / n_words < 3
+              OR cast(sum_wlen as double) / n_words > 10) AS f_meanwordlen,
+             (n_words = 0
+              OR cast(n_symbols as double) / n_words > 0.1) AS f_symbolratio,
+             (cast(n_bullet_lines as double) / n_lines >= 0.9) AS f_bullets,
+             (cast(n_ellipsis_lines as double) / n_lines >= 0.3) AS f_ellipsis,
+             (n_words = 0
+              OR cast(n_alpha_words as double) / n_words < 0.8) AS f_alphawords,
+             (n_stop_kinds < 2) AS f_stopwords
+      FROM m
+    )
+    SELECT source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(CASE WHEN f_wordcount THEN 1 ELSE 0 END) as bigint) AS n_fail_wordcount,
+           cast(sum(CASE WHEN f_meanwordlen THEN 1 ELSE 0 END) as bigint) AS n_fail_meanwordlen,
+           cast(sum(CASE WHEN f_symbolratio THEN 1 ELSE 0 END) as bigint) AS n_fail_symbolratio,
+           cast(sum(CASE WHEN f_bullets THEN 1 ELSE 0 END) as bigint) AS n_fail_bullets,
+           cast(sum(CASE WHEN f_ellipsis THEN 1 ELSE 0 END) as bigint) AS n_fail_ellipsis,
+           cast(sum(CASE WHEN f_alphawords THEN 1 ELSE 0 END) as bigint) AS n_fail_alphawords,
+           cast(sum(CASE WHEN f_stopwords THEN 1 ELSE 0 END) as bigint) AS n_fail_stopwords,
+           cast(sum(CASE WHEN NOT (f_wordcount OR f_meanwordlen OR f_symbolratio
+                                   OR f_bullets OR f_ellipsis OR f_alphawords
+                                   OR f_stopwords)
+                         THEN 1 ELSE 0 END) as bigint) AS n_keep
+    FROM r GROUP BY source
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-rule failure counts + keep count (the Table A1
+    composite filter).  One narrow projection computes all seven rules
+    in-row (whole-stage codegen, zero joins), one hash agg per source."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    w = docs.select(
+        "source",
+        F.array_remove(F.split("text", " +"), "").alias("words"),
+        F.split("text", "\n").alias("lines"),
+        "text",
+    )
+    n_words = F.size("words").cast("bigint")
+    sum_wlen = F.aggregate(
+        F.transform("words", lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n_alpha = F.size(F.filter("words", lambda x: x.rlike("[a-z]"))).cast("bigint")
+    n_stop_kinds = F.size(
+        F.array_distinct(F.filter("words", lambda x: F.array_contains(stops, x)))
+    ).cast("bigint")
+    n_symbols = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / F.lit(3)
+    ).cast("bigint")
+    n_lines = F.size("lines").cast("bigint")
+    n_bullets = F.size(
+        F.filter("lines", lambda x: x.startswith("-") | x.startswith("*"))
+    ).cast("bigint")
+    n_ellipsis = F.size(F.filter("lines", lambda x: x.endswith("..."))).cast(
+        "bigint"
+    )
+    m = w.select(
+        "source",
+        n_words.alias("n_words"),
+        sum_wlen.alias("sum_wlen"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop_kinds.alias("n_stop_kinds"),
+        n_symbols.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullets.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+    )
+    mwl = F.col("sum_wlen").cast("double") / F.col("n_words")
+    r = m.select(
+        "source",
+        ((F.col("n_words") < 50) | (F.col("n_words") > 100000)).alias("f_wordcount"),
+        ((F.col("n_words") == 0) | (mwl < 3) | (mwl > 10)).alias("f_meanwordlen"),
+        (
+            (F.col("n_words") == 0)
+            | (F.col("n_symbols").cast("double") / F.col("n_words") > 0.1)
+        ).alias("f_symbolratio"),
+        (
+            F.col("n_bullet_lines").cast("double") / F.col("n_lines") >= 0.9
+        ).alias("f_bullets"),
+        (
+            F.col("n_ellipsis_lines").cast("double") / F.col("n_lines") >= 0.3
+        ).alias("f_ellipsis"),
+        (
+            (F.col("n_words") == 0)
+            | (F.col("n_alpha_words").cast("double") / F.col("n_words") < 0.8)
+        ).alias("f_alphawords"),
+        (F.col("n_stop_kinds") < 2).alias("f_stopwords"),
+    )
+    fails = [
+        "f_wordcount",
+        "f_meanwordlen",
+        "f_symbolratio",
+        "f_bullets",
+        "f_ellipsis",
+        "f_alphawords",
+        "f_stopwords",
+    ]
+    keep_col = F.lit(True)
+    for f in fails:
+        keep_col = keep_col & ~F.col(f)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f.replace("f_", "n_fail_"))
+            for f in fails
+        ],
+        F.sum(F.when(keep_col, 1).otherwise(0)).cast("bigint").alias("n_keep"),
+    )

@@ -296,7 +296,11 @@ PRIORITY_QUERIES = [
     # (decontamination OUT r6: curation anchored by curation_funnel)
     "boilerplate_line_removal",   # NEW r5 promotion: CCNet/C4 line removal
     "media_dedup_by_content",     # NEW r5 promotion: binary-content dedup
-    "quality_by_source",          # quality/lang/token stats family
+    # (quality_by_source OUT 4th-r6: the quality family anchor moves to
+    #  gopher_quality_flags, which computes the published composite rule
+    #  set; quality_by_source stays green in the full gate)
+    "gopher_quality_flags",       # NEW 4th-r6: Gopher Table-A1 composite
+                                  # filter (7 rules in-row, one agg)
     "bigram_lm_quality",          # r6 promotion (late-r5 waiter): CCNet
                                   # bigram-LM perplexity quality
     "bm25_doc_scores",            # NEW 3rd-r6: Okapi BM25 retrieval

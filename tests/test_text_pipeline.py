@@ -86,3 +86,39 @@ def test_bm25_rank_orders_by_score_then_doc(spark, tmp_path):
     assert scores == sorted(scores, reverse=True)
     tied = [r for r in rows if r["bm25"] == rows[0]["bm25"]]
     assert [r["doc_id"] for r in tied] == sorted(r["doc_id"] for r in tied)
+
+
+def _write_source_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, (src, t) in enumerate(rows)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_gopher_rules_fire_individually(spark, tmp_path):
+    from bigdata_homed_spark.plans.curation import gopher_quality_flags
+
+    good = " ".join(["the", "and"] + [f"word{i}" for i in range(58)])
+    rows = [
+        ("ok", good),
+        ("short", "the and tiny doc"),                      # <50 words
+        ("meanlen", " ".join(["the", "and"] + ["a"] * 58)), # mean len < 3
+        ("symbols", good + " " + "#" * 30),                 # >0.1 symbols/word
+        ("bullets", "\n".join(["- " + good] * 10)),         # 100% bullet lines
+        ("ellipsis", "\n".join([good + "..."] * 10)),       # 100% ellipsis lines
+        ("numeric", " ".join(["the", "and"] + ["123"] * 58)),  # <80% alphabetic
+        ("nostop", " ".join([f"word{i}" for i in range(60)])),  # <2 stopwords
+    ]
+    _write_source_docs(spark, tmp_path, rows)
+    got = {r["source"]: r.asDict() for r in gopher_quality_flags(spark, str(tmp_path)).collect()}
+    assert got["ok"]["n_keep"] == 1 and got["ok"]["n_docs"] == 1
+    assert got["short"]["n_fail_wordcount"] == 1 and got["short"]["n_keep"] == 0
+    assert got["meanlen"]["n_fail_meanwordlen"] == 1 and got["meanlen"]["n_keep"] == 0
+    assert got["symbols"]["n_fail_symbolratio"] == 1 and got["symbols"]["n_keep"] == 0
+    assert got["bullets"]["n_fail_bullets"] == 1 and got["bullets"]["n_keep"] == 0
+    assert got["ellipsis"]["n_fail_ellipsis"] == 1 and got["ellipsis"]["n_keep"] == 0
+    assert got["numeric"]["n_fail_alphawords"] == 1 and got["numeric"]["n_keep"] == 0
+    assert got["nostop"]["n_fail_stopwords"] == 1 and got["nostop"]["n_keep"] == 0
+    # rules are independent: the good doc fails nothing
+    assert all(got["ok"][k] == 0 for k in got["ok"] if k.startswith("n_fail_"))
