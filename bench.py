@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     # Gopher Table-A1 composite filter: 7 in-row rules + one per-source agg
     # (pure codegen scan — benches the widest single-projection expression).
     "gopher_quality_flags",
+    # compressed-domain near-dup banding over the cached PQ index: 4n-row
+    # 15-bit band self-join + pair-distinct + exact-cosine verify.
+    "pq_code_block_dedup",
 ]
 
 

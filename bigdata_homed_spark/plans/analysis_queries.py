@@ -173,7 +173,7 @@ def bind_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, event_type, cp_id,
            cast(count(*) as bigint) AS n_plays,
-           cast(sum(cast(value as decimal(27,6))) as double) AS total_time
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS total_time
     FROM ev GROUP BY day, event_type, cp_id
     """,
 )
@@ -581,14 +581,14 @@ def program_schedule_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT day, channel_id,
              cast(count(*) as bigint) AS vv,
              cast(count(DISTINCT user_id) as bigint) AS uv,
-             cast(sum(cast(value as decimal(27,6))) as double) AS total_time
+             cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS total_time
       FROM lb GROUP BY day, channel_id
     ),
     weekly AS (
       SELECT (day // {7 * DAY}) * {7 * DAY} AS day, channel_id,
              cast(sum(vv) as bigint) AS vv,
              cast(count(*) as bigint) AS uv_days,
-             cast(sum(cast(total_time as decimal(27,6))) as double) AS total_time
+             cast(cast(sum(cast(total_time as decimal(27,6))) as varchar) as double) AS total_time
       FROM daily GROUP BY 1, channel_id
     )
     SELECT 'day' AS grain, day, channel_id, vv,
@@ -885,7 +885,7 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
              cast(count(*) as bigint) AS n_orders,
-             cast(sum(cast(o_totalprice as decimal(27,6))) as double) AS revenue
+             cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS revenue
       FROM orders GROUP BY 1
     )
     SELECT month, n_orders, revenue,
@@ -974,7 +974,7 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cohort_day,
            cast(count(*) as bigint) AS n_signups,
            cast(count(first_view_sec) as bigint) AS n_activated,
-           cast(sum(cast(first_view_sec - signup_sec as decimal(27,6))) as double)
+           cast(cast(sum(cast(first_view_sec - signup_sec as decimal(27,6))) as varchar) as double)
              / nullif(count(first_view_sec), 0) AS avg_latency_sec
     FROM j GROUP BY cohort_day
     """,

@@ -103,12 +103,12 @@ def late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH lim AS (
       SELECT l_partkey,
-             0.2 * (cast(sum(cast(l_quantity as decimal(27,6))) as double) / count(*))
+             0.2 * (cast(cast(sum(cast(l_quantity as decimal(27,6))) as varchar) as double) / count(*))
                AS qty_limit
       FROM lineitem GROUP BY 1
     )
     SELECT cast(count(*) as bigint) AS n_lines,
-           round(cast(sum(cast(l.l_extendedprice as decimal(27,6))) as double) / 7.0, 4)
+           round(cast(cast(sum(cast(l.l_extendedprice as decimal(27,6))) as varchar) as double) / 7.0, 4)
              AS avg_yearly
     FROM lineitem l JOIN lim ON l.l_partkey = lim.l_partkey
     WHERE l.l_quantity < lim.qty_limit
@@ -149,12 +149,12 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_part AS (
       SELECT l_partkey,
-             cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(27,6))) as double)
+             cast(cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(27,6))) as varchar) as double)
                AS revenue
       FROM lineitem GROUP BY 1
     ),
     total AS (
-      SELECT cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(27,6))) as double)
+      SELECT cast(cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(27,6))) as varchar) as double)
                AS total_revenue
       FROM lineitem
     ),
@@ -203,7 +203,7 @@ def part_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(o.o_orderpriority, '-1') AS priority,
            grouping(r.r_name)*2 + grouping(o.o_orderpriority) AS gid,
            count(*) AS n_orders,
-           cast(sum(cast(o.o_totalprice as decimal(27,6))) as double) AS revenue
+           cast(cast(sum(cast(o.o_totalprice as decimal(27,6))) as varchar) as double) AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey

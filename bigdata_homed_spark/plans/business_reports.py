@@ -107,7 +107,7 @@ _GEO_COLS = [
            cast(b.f_user_type as bigint) AS f_user_type,
            cast(count(*) as bigint) AS f_count,
            cast(count(DISTINCT b.user_id) as bigint) AS f_user_count,
-           cast(sum(cast(b.price as decimal(27,6))) as double) AS f_price,
+           cast(cast(sum(cast(b.price as decimal(27,6))) as varchar) as double) AS f_price,
            cast(sum(b.f_cycle) as bigint) AS f_cycle_days
     FROM basic b
     JOIN geo g ON g.user_id = b.user_id
@@ -591,8 +591,8 @@ def home_open_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(count(DISTINCT day) as bigint) AS f_active_days,
              cast(count(*) as bigint) AS n_total,
              cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_view,
-             cast(sum(cast(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END
-                           as decimal(27,6))) as double) AS f_duration
+             cast(cast(sum(cast(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END
+                           as decimal(27,6))) as varchar) as double) AS f_duration
       FROM ev GROUP BY user_id
     ),
     fav_series AS (

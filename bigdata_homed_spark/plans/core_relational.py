@@ -21,7 +21,7 @@ def dsum(c: Column, alias: str) -> Column:
     return F.sum(c.cast("decimal(27,6)")).cast("double").alias(alias)
 
 
-DSUM = "cast(sum(cast({expr} as decimal(27,6))) as double) as {alias}"
+DSUM = "cast(cast(sum(cast({expr} as decimal(27,6))) as varchar) as double) as {alias}"
 
 
 # --------------------------------------------------------------------------
@@ -32,11 +32,11 @@ DSUM = "cast(sum(cast({expr} as decimal(27,6))) as double) as {alias}"
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           cast(sum(cast(l_quantity as decimal(27,6))) as double)            AS sum_qty,
-           cast(sum(cast(l_extendedprice as decimal(27,6))) as double)       AS sum_base_price,
-           cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(27,6))) as double) AS sum_disc_price,
-           cast(sum(cast(l_extendedprice*(1-l_discount)*(1+l_tax) as decimal(27,6))) as double) AS sum_charge,
-           cast(sum(cast(l_quantity as decimal(27,6))) as double) / count(*) AS avg_qty,
+           cast(cast(sum(cast(l_quantity as decimal(27,6))) as varchar) as double)            AS sum_qty,
+           cast(cast(sum(cast(l_extendedprice as decimal(27,6))) as varchar) as double)       AS sum_base_price,
+           cast(cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(27,6))) as varchar) as double) AS sum_disc_price,
+           cast(cast(sum(cast(l_extendedprice*(1-l_discount)*(1+l_tax) as decimal(27,6))) as varchar) as double) AS sum_charge,
+           cast(cast(sum(cast(l_quantity as decimal(27,6))) as varchar) as double) / count(*) AS avg_qty,
            count(*)                                                          AS count_order
     FROM lineitem
     WHERE l_shipdate <= timestamp '2000-12-01 00:00:00'
@@ -72,7 +72,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_revenue",
     oracle="""
     SELECT r.r_name,
-           cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(27,6))) as double) AS revenue,
+           cast(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(27,6))) as varchar) as double) AS revenue,
            count(DISTINCT o.o_orderkey)  AS n_orders,
            count(DISTINCT c.c_custkey)   AS n_customers
     FROM lineitem l
@@ -111,7 +111,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH part_rev AS (
       SELECT p.p_brand, p.p_partkey,
-             cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(27,6))) as double) AS revenue
+             cast(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(27,6))) as varchar) as double) AS revenue
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY p.p_brand, p.p_partkey
     )
@@ -173,7 +173,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            count(*) AS n_lines,
-           cast(sum(cast(l.l_extendedprice as decimal(27,6))) as double) AS base_price
+           cast(cast(sum(cast(l.l_extendedprice as decimal(27,6))) as varchar) as double) AS base_price
     FROM lineitem l
     JOIN orders o
       ON l.l_orderkey = o.o_orderkey
@@ -214,7 +214,7 @@ def interval_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(cast(r_name as varchar), '-1') AS r_name,
            coalesce(cast(n_name as varchar), '-1') AS n_name,
-           cast(sum(cast(o_totalprice as decimal(27,6))) as double) AS total_price,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS total_price,
            count(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -318,7 +318,7 @@ def _grain_sql(grain: str) -> str:
     return f"""
     SELECT '{grain}' AS grain, strftime({trunc}, '%Y-%m-%d') AS period,
            count(*) AS n_orders,
-           cast(sum(cast(o_totalprice as decimal(27,6))) as double) AS total_price
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS total_price
     FROM orders GROUP BY 2
     """
 

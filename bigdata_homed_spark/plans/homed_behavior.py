@@ -52,7 +52,7 @@ def events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_seq,
            min(sec) AS session_start, max(sec) AS session_end,
            count(*) AS n_events,
-           cast(sum(cast(value as decimal(27,6))) as double) AS sum_value
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS sum_value
     FROM sess GROUP BY user_id, session_seq
     """,
 )
@@ -290,7 +290,7 @@ def bitmap_multi_period_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cast(json_extract_string(props, '$.k') as bigint)//10 AS k_bucket,
            count(*) AS n_events,
-           cast(sum(cast(value as decimal(27,6))) as double) AS sum_value
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS sum_value
     FROM events GROUP BY 1
     """,
 )
@@ -460,7 +460,7 @@ def runlog_parse_terminals(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(json_extract_string(props, '$.k') as bigint) % 2 AS k_parity,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           cast(sum(cast(value as decimal(27,6))) as double) AS sum_value
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )

@@ -47,7 +47,7 @@ def _fact_path(spark: SparkSession, sf_dir: str) -> str:
     SELECT strftime(make_timestamp((epoch_us(ts)//1000000)*1000000), '%Y%m%d') AS day,
            event_type,
            count(*) AS n_events,
-           cast(sum(cast(value as decimal(27,6))) as double) AS sum_value
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS sum_value
     FROM events
     WHERE strftime(make_timestamp((epoch_us(ts)//1000000)*1000000), '%Y%m%d') BETWEEN '20240105' AND '20240112'
     GROUP BY 1, 2
@@ -315,7 +315,7 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(event_type, '-1') AS event_type,
            cast(grouping(terminal) * 2 + grouping(event_type) as bigint) AS grouping_lvl,
            count(*) AS n_events,
-           cast(sum(cast(value as decimal(27,6))) as double) AS sum_value
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS sum_value
     FROM ev GROUP BY CUBE (terminal, event_type)
     """,
 )

@@ -43,7 +43,7 @@ from .registry import query
     oracle="""
     WITH rev AS (
       SELECT s.s_suppkey, s.s_name,
-             cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(27,6))) as double) AS revenue
+             cast(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(27,6))) as varchar) as double) AS revenue
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY s.s_suppkey, s.s_name
     ),
@@ -147,7 +147,7 @@ def favorite_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            count(*) AS n_customers,
-           cast(sum(cast(o_totalprice as decimal(27,6))) as double) AS latest_revenue
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS latest_revenue
     FROM latest GROUP BY c_mktsegment
     """,
 )
@@ -264,7 +264,7 @@ def daily_online_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(event_type, '[^a-z]', '', 'g') AS visit_kind,
            count(*) AS n_visits,
            count(DISTINCT user_id) AS n_users,
-           round(cast(sum(cast(value as decimal(27,6))) as double) / count(*), 4) AS avg_duration
+           round(cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) / count(*), 4) AS avg_duration
     FROM ev GROUP BY 1, 2
     """,
 )
@@ -298,7 +298,7 @@ def visit_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
            split_part(p_type, ' ', 1) AS type_family,
            count(*) AS n_items,
            count(DISTINCT p_size) AS n_sizes,
-           cast(sum(cast(p_retailprice as decimal(27,6))) as double) AS catalogue_value
+           cast(cast(sum(cast(p_retailprice as decimal(27,6))) as varchar) as double) AS catalogue_value
     FROM part GROUP BY 1, 2
     """,
 )
@@ -382,7 +382,7 @@ def report_completeness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_channel AS (
       SELECT user_id, terminal, channel,
-             cast(sum(cast(value as decimal(27,6))) as double) AS sum_time
+             cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS sum_time
       FROM ev GROUP BY 1, 2, 3
     )
     SELECT user_id, terminal,

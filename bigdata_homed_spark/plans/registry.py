@@ -329,8 +329,13 @@ PRIORITY_QUERIES = [
                                   # lists × shared PQ codebook, ADC only
                                   # inside probed lists (the 100 TB ANN
                                   # architecture)
-    "embedding_pq_search",        # NEW r5 promotion: PQ+ADC with sampled
-                                  # codebook training (reworked this round)
+    # (embedding_pq_search OUT 4th-r6: the PQ machinery — training, encode,
+    #  ADC, re-rank — is exercised in-window by embedding_ivf_pq_search
+    #  (same codebook, same tail) and pq_code_block_dedup (same codes);
+    #  the flat-scan variant stays green in the full gate)
+    "pq_code_block_dedup",        # NEW 4th-r6: compressed-domain near-dup
+                                  # banding (>=3-of-4 PQ subcode agreement,
+                                  # exact-cosine verified)
     "semantic_dedup_decisions",   # NEW r5 promotion: SemDeDup with the
                                   # K∝n cluster rule (reworked this round)
     # (label_centroids OUT 3rd-r6: slot funds bm25_doc_scores above)

@@ -205,7 +205,7 @@ def multiscreen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT hour,
            coalesce(cp_sp, 'ALL') AS cp_sp,
-           cast(sum(cast(value as decimal(27,6))) as double) AS play_time,
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS play_time,
            cast(count(*) as bigint) AS play_count,
            cast(count(DISTINCT user_id) as bigint) AS user_count,
            CASE WHEN sum(cast(value as decimal(27,6))) <= 600 THEN 1

@@ -427,7 +427,7 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT e.label, d.i - 1 AS dim,
            cast(count(*) as bigint) AS n_vecs,
-           cast(sum(cast(cast(e.embedding[d.i] as double) as decimal(27,6))) as double)
+           cast(cast(sum(cast(cast(e.embedding[d.i] as double) as decimal(27,6))) as varchar) as double)
              / count(*) AS mean_val
     FROM embeddings e
     CROSS JOIN (SELECT unnest(generate_series(1, {DIMS})) AS i) d
@@ -460,7 +460,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cent AS (
       SELECT e.label, d.i AS i,
-             cast(sum(cast(cast(e.embedding[d.i] as double) as decimal(27,6))) as double)
+             cast(cast(sum(cast(cast(e.embedding[d.i] as double) as decimal(27,6))) as varchar) as double)
                / count(*) AS mean_val
       FROM embeddings e
       CROSS JOIN (SELECT unnest(generate_series(1, {DIMS})) AS i) d
@@ -911,7 +911,7 @@ def _kmeans_update(assigned: DataFrame) -> DataFrame:
     {_kmeans_assign_cte('1', 'cent0').strip()},
     cent1d AS (
       SELECT a.cid, d.i AS i,
-             cast(sum(cast(cast(a.embedding[d.i] as double) as decimal(27,6))) as double)
+             cast(cast(sum(cast(cast(a.embedding[d.i] as double) as decimal(27,6))) as varchar) as double)
                / count(*) AS m
       FROM assign1 a CROSS JOIN {_KM_DIMS_SQL} d
       GROUP BY a.cid, d.i
@@ -919,7 +919,7 @@ def _kmeans_update(assigned: DataFrame) -> DataFrame:
     cent1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM cent1d GROUP BY cid),
     {_kmeans_assign_cte('2', 'cent1').strip()}
     SELECT cid, cast(count(*) as bigint) AS n_vecs,
-           cast(sum(cast(dist as decimal(27,6))) as double) / count(*) AS avg_sqdist
+           cast(cast(sum(cast(dist as decimal(27,6))) as varchar) as double) / count(*) AS avg_sqdist
     FROM assign2 GROUP BY cid
     """,
 )
@@ -976,7 +976,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, cast(count(*) as bigint) AS n_vecs,
-           cast(sum(cast(mse as decimal(27,12))) as double) / count(*) AS avg_mse
+           cast(cast(sum(cast(mse as decimal(27,12))) as varchar) as double) / count(*) AS avg_mse
     FROM q GROUP BY label
     """,
 )
@@ -1248,7 +1248,7 @@ train AS (
 ),
 cdim AS (
   SELECT m, bucket, i.i AS dim,
-         cast(sum(cast(subvec[i.i] as decimal(27,12))) as double) / count(*) AS cval
+         cast(cast(sum(cast(subvec[i.i] as decimal(27,12))) as varchar) as double) / count(*) AS cval
   FROM train, LATERAL (SELECT unnest(generate_series(1, {_PQ_SUBD})) AS i) i
   GROUP BY m, bucket, i.i
 ),
@@ -1262,7 +1262,7 @@ asg1 AS (
 ),
 cdim1 AS (
   SELECT m, bucket, i.i AS dim,
-         cast(sum(cast(subvec[i.i] as decimal(27,12))) as double) / count(*) AS cval
+         cast(cast(sum(cast(subvec[i.i] as decimal(27,12))) as varchar) as double) / count(*) AS cval
   FROM asg1, LATERAL (SELECT unnest(generate_series(1, {_PQ_SUBD})) AS i) i
   WHERE rn = 1
   GROUP BY m, bucket, i.i
@@ -1787,6 +1787,124 @@ def embedding_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Compressed-domain near-dup banding: candidate pairs are vectors whose
+# 20-bit PQ codes agree in AT LEAST 3 of the 4 subspaces — the pigeonhole
+# trick (simhash_near_pairs' 4-chunk banding, applied to PQ codes): if two
+# vectors are near-identical, at most one subspace code can disagree, so
+# they collide in at least one of the 4 leave-one-out bands.  Candidates
+# are verified by exact cosine.  This candidate generation comes FREE with
+# the PQ index — no clustering pass, no extra LSH tables: at 100 TB the
+# codes already exist (they ARE the ANN index), banding shuffles 4 rows of
+# 15-bit keys per vector, and pair work is bounded by band-block sizes
+# exactly like the MinHash/SimHash band joins.  Real systems run this as
+# the cheap first pass before semantic dedup.
+_PQ_BANDS_SQL = "\n  UNION ALL\n".join(
+    "  SELECT vec_id, {b} AS band, {ks} FROM codes_w".format(
+        b=b,
+        ks=", ".join(
+            f"c{m} AS k{i}"
+            for i, m in enumerate(mm for mm in range(_PQ_M) if mm != b)
+        ),
+    )
+    for b in range(_PQ_M)
+)
+
+
+@query(
+    "pq_code_block_dedup",
+    oracle=f"""{_PQ_ORACLE_PREFIX},
+bands AS (
+{_PQ_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+              AND a.k2 = b.k2 AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.a_id, c.b_id,
+         (CASE WHEN wa.c0 = wb.c0 THEN 1 ELSE 0 END
+          + CASE WHEN wa.c1 = wb.c1 THEN 1 ELSE 0 END
+          + CASE WHEN wa.c2 = wb.c2 THEN 1 ELSE 0 END
+          + CASE WHEN wa.c3 = wb.c3 THEN 1 ELSE 0 END) AS n_code_agree,
+         {_dot_sql('ea.embedding', 'eb.embedding')}
+           / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
+              * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})) AS cosine
+  FROM cand c
+  JOIN codes_w wa ON wa.vec_id = c.a_id
+  JOIN codes_w wb ON wb.vec_id = c.b_id
+  JOIN embeddings ea ON ea.vec_id = c.a_id
+  JOIN embeddings eb ON eb.vec_id = c.b_id
+)
+SELECT a_id, b_id, cast(n_code_agree as bigint) AS n_code_agree,
+       round(cosine, 6) AS cosine_r,
+       cosine >= {ANN_THRESHOLD} AS confirmed
+FROM scored
+""",
+)
+def pq_code_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from >=3-of-4 PQ-subcode agreement
+    (leave-one-out banding over the session-cached PQ index), verified by
+    exact cosine against ANN_THRESHOLD.  The only new shuffles are the
+    4n-row band self-join (15-bit keys) and the pair-distinct agg."""
+    emb, sub, cents, codes_w = _pq_model(spark, sf_dir)
+    code_cols = [f"c{m}" for m in range(_PQ_M)]
+    band_frames = []
+    for b in range(_PQ_M):
+        ks = [m for m in range(_PQ_M) if m != b]
+        band_frames.append(
+            codes_w.select(
+                "vec_id",
+                F.lit(b).alias("band"),
+                *[F.col(f"c{m}").alias(f"k{i}") for i, m in enumerate(ks)],
+            )
+        )
+    from functools import reduce as _reduce
+
+    bands = _reduce(DataFrame.unionAll, band_frames)
+    a = bands.select(
+        F.col("vec_id").alias("a_id"), "band", "k0", "k1", "k2"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("b_id"), "band", "k0", "k1", "k2"
+    )
+    cand = (
+        a.join(b, ["band", "k0", "k1", "k2"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    wa = codes_w.select(
+        F.col("vec_id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in code_cols]
+    )
+    wb = codes_w.select(
+        F.col("vec_id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in code_cols]
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"))
+    agree = None
+    for c in code_cols:
+        term = F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    scored = (
+        cand.join(wa, "a_id")
+        .join(wb, "b_id")
+        .join(ea, "a_id")
+        .join(eb, "b_id")
+        .withColumn("n_code_agree", agree.cast("bigint"))
+        .withColumn("cosine", _dot("ae", "be") / (_norm("ae") * _norm("be")))
+    )
+    return scored.select(
+        "a_id",
+        "b_id",
+        "n_code_agree",
+        F.round("cosine", 6).alias("cosine_r"),
+        (F.col("cosine") >= ANN_THRESHOLD).alias("confirmed"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup for
 # pretraining corpora — cluster the embeddings with k-means, then look
 # for near-duplicate pairs ONLY inside each cluster (the published trick
@@ -1826,7 +1944,7 @@ def embedding_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_kmeans_assign_cte('1', 'cent0').strip()},
     cent1d AS (
       SELECT a.cid, d.i AS i,
-             cast(sum(cast(cast(a.embedding[d.i] as double) as decimal(27,6))) as double)
+             cast(cast(sum(cast(cast(a.embedding[d.i] as double) as decimal(27,6))) as varchar) as double)
                / count(*) AS m
       FROM assign1 a CROSS JOIN {_KM_DIMS_SQL} d
       GROUP BY a.cid, d.i

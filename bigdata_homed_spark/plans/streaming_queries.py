@@ -30,7 +30,7 @@ from .registry import query
     )
     SELECT win_start, event_type,
            count(*) AS n_events,
-           cast(sum(cast(value as decimal(27,6))) as double) AS sum_value
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS sum_value
     FROM w GROUP BY 1, 2
     """,
 )
@@ -117,7 +117,7 @@ def stream_channel_hourly_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ((epoch_us(e.ts)//1000000)//3600)*3600 AS hour_start,
            c.c_mktsegment,
            count(*) AS n_events,
-           cast(sum(cast(e.value as decimal(27,6))) as double) AS sum_value
+           cast(cast(sum(cast(e.value as decimal(27,6))) as varchar) as double) AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -158,7 +158,7 @@ def stream_static_segment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ((epoch_us(ts)//1000000)//3600)*3600 AS hour_start,
            event_type,
            count(*) AS n_events,
-           cast(sum(cast(value as decimal(27,6))) as double) AS sum_value
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )

@@ -125,7 +125,7 @@ _STOP_RATIO_SQL = (
     )
     SELECT source, lang_guess,
            count(*) AS n_docs,
-           cast(sum(cast(quality as decimal(27,6))) as double) / count(*) AS avg_quality,
+           cast(cast(sum(cast(quality as decimal(27,6))) as varchar) as double) / count(*) AS avg_quality,
            cast(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) as bigint) AS n_pass
     FROM scored GROUP BY source, lang_guess
     """,
@@ -974,7 +974,7 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN d.n_chars > th.hi THEN 'long'
                 ELSE 'ok' END AS band,
            cast(count(*) as bigint) AS n_docs,
-           cast(sum(cast(d.n_chars as decimal(27,6))) as double) AS total_chars
+           cast(cast(sum(cast(d.n_chars as decimal(27,6))) as varchar) as double) AS total_chars
     FROM documents d JOIN th ON d.lang = th.lang
     GROUP BY 1, 2
     """,

@@ -29,9 +29,9 @@ from .registry import query
     "running_customer_revenue",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           cast(sum(cast(o_totalprice as decimal(27,6)))
+           cast(cast(sum(cast(o_totalprice as decimal(27,6)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total,
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as varchar) as double) AS running_total,
            cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) as bigint) AS order_seq
     FROM orders
     WHERE o_custkey % 100 = 0
@@ -118,9 +118,9 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_custkey % 100 = 0
     )
     SELECT o_custkey, o_orderkey,
-           cast(sum(cast(o_totalprice as decimal(27,6)))
+           cast(cast(sum(cast(o_totalprice as decimal(27,6)))
                 OVER (PARTITION BY o_custkey ORDER BY day_num
-                      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) as double) AS rev_30d
+                      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) as varchar) as double) AS rev_30d
     FROM o
     """,
 )
@@ -161,7 +161,7 @@ def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT type_word,
            count(*) AS n_lines,
-           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(27,6))) as double) AS revenue
+           cast(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(27,6))) as varchar) as double) AS revenue
     FROM exploded GROUP BY type_word
     """,
 )

@@ -456,3 +456,26 @@ def test_bounded_collect_guard(spark):
 
     with _pytest.raises(AssertionError, match="bound of 5 rows"):
         bounded_collect(df, 5, "ten rows")
+
+
+def test_pq_code_banding_pigeonhole_complete(spark, sf_dir):
+    """Leave-one-out code banding must find EXACTLY the pairs agreeing on
+    >=3 of 4 PQ subcodes (pigeonhole: at most one differing code implies a
+    shared 3-subcode band) — verified against a brute-force O(n^2) scan of
+    the same codes in Python."""
+    from itertools import combinations
+
+    from bigdata_homed_spark.plans import QUERIES
+    from bigdata_homed_spark.plans.similarity import _pq_model
+
+    _, _, _, codes_w = _pq_model(spark, sf_dir)
+    codes = {r["vec_id"]: (r["c0"], r["c1"], r["c2"], r["c3"]) for r in codes_w.collect()}
+    expected = {
+        (a, b)
+        for a, b in combinations(sorted(codes), 2)
+        if sum(x == y for x, y in zip(codes[a], codes[b])) >= 3
+    }
+    rows = QUERIES["pq_code_block_dedup"](spark, sf_dir).collect()
+    got = {(r["a_id"], r["b_id"]) for r in rows}
+    assert got == expected
+    assert all(r["n_code_agree"] >= 3 for r in rows)
