@@ -63,3 +63,25 @@ def test_entry(spark):
     assert set(df.columns) == {"slot_start", "n_name", "n_sessions", "n_users", "online_sec"}
     assert set(m.queries()) == set(QUERIES)
     assert set(m.oracle_sql()) == set(ORACLES)
+
+
+def test_oracles_use_correctly_rounded_decimal_to_double():
+    """DuckDB's native decimal->double cast double-rounds (int128->double,
+    then /10^scale) and came out 1 ulp off Spark's correctly-rounded
+    BigDecimal conversion on a 30x-scale sum (pricing_summary at sf3,
+    round 6).  Every decimal-sum oracle must bridge through varchar
+    (`cast(cast(sum(..decimal..) as varchar) as double)`); this guard
+    fails if the native-cast spelling reappears."""
+    import re
+
+    bad = re.compile(r"as decimal\(27,\d+\)\)\)\s+as double", re.I)
+    offenders = {
+        name
+        for name, sql in ORACLES.items()
+        if any(
+            not sql[max(0, m.start() - 200):m.start()].rstrip().endswith("as varchar)")
+            and "as varchar) as double" not in sql[m.start():m.end() + 40]
+            for m in bad.finditer(sql)
+        )
+    }
+    assert not offenders, f"native decimal->double casts in oracles: {sorted(offenders)}"
