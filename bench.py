@@ -139,6 +139,15 @@ BENCH_QUERIES = [
     # compressed-domain near-dup banding over the cached PQ index: 4n-row
     # 15-bit band self-join + pair-distinct + exact-cosine verify.
     "pq_code_block_dedup",
+    # round-6 widening 4: the first ITERATIVE bench entry — 8 fixed-point
+    # PageRank rounds over the co-order part graph (one keyed shuffle +
+    # one broadcast-ranks map-join per round; benches the per-round fixed
+    # machinery, so expect it closer to flat than linear across SFs) —
+    # and sorted-neighborhood fuzzy linkage (two-pass global rank +
+    # rn-shift equi-join + native levenshtein verify; n·W candidates by
+    # construction).
+    "pagerank_copurchase_parts",
+    "sorted_neighborhood_linkage",
 ]
 
 

@@ -73,6 +73,8 @@ from . import demand_columns  # noqa: E402,F401
 from . import user_census  # noqa: E402,F401
 from . import realtime_snapshots  # noqa: E402,F401
 from . import push_sinks  # noqa: E402,F401
+from . import graph_queries  # noqa: E402,F401
+from . import linkage  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Evaluation-order curation.  The correctness driver checks registered

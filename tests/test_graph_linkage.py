@@ -1,0 +1,108 @@
+"""Unit tests for the graph (PageRank) and linkage (SNM) operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_homed_spark.operators.graph import (
+    PR_DAMPING_PCT,
+    PR_SCALE,
+    PR_TELEPORT,
+    pagerank_ranks,
+)
+from bigdata_homed_spark.operators.rank import global_row_number
+
+
+def _reference_pagerank(edges: list[tuple[int, int, int]], iterations: int):
+    """Pure-python fixed-point recurrence — the independent ground truth."""
+    strength: dict[int, int] = {}
+    for s, _, w in edges:
+        strength[s] = strength.get(s, 0) + w
+    pr = {n: PR_SCALE for n in strength}
+    for _ in range(iterations):
+        incoming: dict[int, int] = {}
+        for s, d, w in edges:
+            incoming[d] = incoming.get(d, 0) + (pr[s] * w) // strength[s]
+        pr = {
+            n: PR_TELEPORT + (PR_DAMPING_PCT * inc) // 100
+            for n, inc in incoming.items()
+        }
+    return pr
+
+
+def test_pagerank_matches_python_recurrence(spark):
+    # triangle with a pendant: 1-2 heavy, 2-3, 3-1, 3-4 — symmetrized
+    und = [(1, 2, 5), (2, 3, 1), (3, 1, 2), (3, 4, 1)]
+    sym = und + [(b, a, w) for a, b, w in und]
+    edges = spark.createDataFrame(sym, "src long, dst long, w long")
+    got = {
+        r["node"]: r["pr_rank"]
+        for r in pagerank_ranks(edges, iterations=8).collect()
+    }
+    assert got == _reference_pagerank(sym, 8)
+    # mass sanity: every rank positive and below the theoretical max
+    assert all(0 < v <= 2 * PR_SCALE for v in got.values())
+
+
+def test_pagerank_broadcast_mode_identical(spark):
+    und = [(1, 2, 5), (2, 3, 1), (3, 1, 2), (3, 4, 1)]
+    sym = und + [(b, a, w) for a, b, w in und]
+    edges = spark.createDataFrame(sym, "src long, dst long, w long")
+    a = sorted(map(tuple, pagerank_ranks(edges, 8).collect()))
+    b = sorted(map(tuple, pagerank_ranks(edges, 8, broadcast_ranks=True).collect()))
+    assert a == b
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    und = [(i, i + 1, (i % 3) + 1) for i in range(1, 40)] + [(40, 1, 2)]
+    sym = und + [(b, a, w) for a, b, w in und]
+    e1 = spark.createDataFrame(sym, "src long, dst long, w long")
+    e2 = e1.repartition(7, "dst")  # different physical layout, same graph
+    r1 = sorted(map(tuple, pagerank_ranks(e1, 6).collect()))
+    r2 = sorted(map(tuple, pagerank_ranks(e2, 6).collect()))
+    assert r1 == r2
+
+
+def test_global_row_number_dense_and_ordered(spark):
+    rows = [(i % 7, 1000 - i) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, uid int")
+    got = global_row_number(df, ["k", "uid"]).collect()
+    assert len(got) == 200
+    by_rn = sorted(got, key=lambda r: r["rn"])
+    assert [r["rn"] for r in by_rn] == list(range(1, 201))
+    # rn order == (k, uid) lexicographic order
+    assert [(r["k"], r["uid"]) for r in by_rn] == sorted(rows)
+
+
+def test_global_row_number_uses_multiple_partitions(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "uid int")
+    staged = df.repartitionByRange(8, F.col("uid"))
+    # precondition: the range partitioner actually spreads the data
+    npart = staged.rdd.getNumPartitions()
+    assert npart > 1
+    got = global_row_number(df, ["uid"], num_partitions=8).collect()
+    assert sorted(r["rn"] for r in got) == list(range(1, 501))
+
+
+def test_snm_candidate_count_is_linear(spark, sf_dir):
+    # n·W - W(W+1)/2 candidate pairs BY CONSTRUCTION (the SNM guarantee):
+    # every row pairs with its W successors; the last W rows have fewer.
+    from bigdata_homed_spark.plans.linkage import (
+        _SNM_WINDOW,
+        sorted_neighborhood_linkage,
+    )
+    from bigdata_homed_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "documents").count()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    expected_cands = n * _SNM_WINDOW - _SNM_WINDOW * (_SNM_WINDOW + 1) // 2
+    # rebuild the candidate set with threshold disabled via the module fn
+    # is private; instead assert the registered query's output is a subset
+    out = sorted_neighborhood_linkage(spark, sf_dir)
+    m = out.count()
+    assert m <= expected_cands
+    rows = out.collect()
+    assert all(r["d1"] < r["d2"] for r in rows)
+    assert all(r["lev_dist"] >= 0 for r in rows)
