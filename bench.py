@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     # construction).
     "pagerank_copurchase_parts",
     "sorted_neighborhood_linkage",
+    # PSI drift monitor: one fact scan + (type, bin) combinable shuffle +
+    # 1-row extent broadcast — benches the smoothed-log term machinery.
+    "distribution_drift_psi",
 ]
 
 

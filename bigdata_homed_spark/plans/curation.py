@@ -583,3 +583,243 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum(F.when(keep_col, 1).otherwise(0)).cast("bigint").alias("n_keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# DISTRIBUTION DRIFT (Population Stability Index) — the pipeline-health
+# monitor a continuously-ingesting 100 TB corpus runs nightly: bucket a
+# numeric signal into fixed bins, compare the bin distribution of the new
+# period against the old, alarm when PSI crosses ~0.2.  Absent in the
+# reference (its health checks are row counts); standard in production
+# feature/data pipelines.
+#
+# Determinism of a log-based metric across engines (the DSIR/bigram-LM
+# precedent, plans/data_selection.py): Laplace-smoothed proportions are
+# exact integer ratios, ln() gets ONE integer-ratio argument
+# ((ca+1)(nb+10)) / ((cb+1)(na+10)) so both engines see bit-identical
+# doubles, each term is rounded to 6dp per row, and the final sum is an
+# exact decimal(27,6) re-sum — order-independent.
+#
+# Scale shape: one fact scan → one (event_type, bin) count shuffle
+# (map-side combinable, ≤ |event_types|·10 groups), a 1-row min/max
+# broadcast, and a 10-row-per-type grid join.  Linear in the fact.
+_PSI_BINS = 10
+
+
+@query(
+    "distribution_drift_psi",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    ext AS (
+      SELECT min(sec) AS mn, max(sec) AS mx,
+             min(value) AS lo, max(value) AS hi
+      FROM ev
+    ),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN sec <= (mn + mx) // 2 THEN 'a' ELSE 'b' END AS period,
+             CASE WHEN hi > lo
+                  THEN least({_PSI_BINS - 1},
+                             cast(floor(((value - lo) * {_PSI_BINS}.0) / (hi - lo)) as int))
+                  ELSE 0 END AS bin
+      FROM ev, ext
+    ),
+    counts AS (
+      SELECT event_type, bin,
+             cast(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) as bigint) AS ca,
+             cast(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) as bigint) AS cb
+      FROM binned GROUP BY event_type, bin
+    ),
+    grid AS (
+      SELECT et.event_type, g.bin
+      FROM (SELECT DISTINCT event_type FROM ev) et,
+           (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) g
+    ),
+    filled AS (
+      SELECT g.event_type, g.bin,
+             coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+      FROM grid g LEFT JOIN counts c
+        ON c.event_type = g.event_type AND c.bin = g.bin
+    ),
+    tot AS (
+      SELECT event_type, cast(sum(ca) as bigint) AS na,
+             cast(sum(cb) as bigint) AS nb
+      FROM filled GROUP BY event_type
+    ),
+    terms AS (
+      SELECT f.event_type, t.na, t.nb,
+             round((cast(f.ca + 1 as double) / cast(t.na + {_PSI_BINS} as double)
+                   - cast(f.cb + 1 as double) / cast(t.nb + {_PSI_BINS} as double))
+                   * ln(cast((f.ca + 1) * (t.nb + {_PSI_BINS}) as double)
+                        / cast((f.cb + 1) * (t.na + {_PSI_BINS}) as double)),
+                   6) AS term
+      FROM filled f JOIN tot t ON t.event_type = f.event_type
+    )
+    SELECT event_type,
+           cast(cast(sum(cast(term as decimal(27,6))) as varchar) as double) AS psi,
+           cast(max(na) as bigint) AS n_a,
+           cast(max(nb) as bigint) AS n_b
+    FROM terms GROUP BY event_type
+    """,
+)
+def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI between the first and second halves of the time
+    range, over 10 equal-width value bins with +1 Laplace smoothing."""
+    ev = events_sec(spark, sf_dir).select("event_type", "value", "sec")
+    ext = F.broadcast(
+        ev.agg(
+            F.min("sec").alias("mn"),
+            F.max("sec").alias("mx"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+    b = _PSI_BINS
+    binned = ev.crossJoin(ext).select(
+        "event_type",
+        F.when(F.col("sec") <= F.expr("(mn + mx) div 2"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("period"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(b - 1).cast("int"),
+                F.floor(
+                    ((F.col("value") - F.col("lo")) * F.lit(float(b)))
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(b).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    filled = (
+        grid.join(counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    terms = filled.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "na",
+        "nb",
+        F.round(
+            (
+                (F.col("ca") + 1).cast("double") / (F.col("na") + b).cast("double")
+                - (F.col("cb") + 1).cast("double") / (F.col("nb") + b).cast("double")
+            )
+            * F.log(
+                ((F.col("ca") + 1) * (F.col("nb") + b)).cast("double")
+                / ((F.col("cb") + 1) * (F.col("na") + b)).cast("double")
+            ),
+            6,
+        ).alias("term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum(F.col("term").cast("decimal(27,6)")).cast("double").alias("psi"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K-ANONYMITY AUDIT — the privacy-side curation check: how identifiable is
+# a row by its quasi-identifiers?  A class (unique quasi-identifier
+# combination) smaller than k means its members are re-identifiable; the
+# audit reports, per nation, how many classes violate k and how many rows
+# sit in them.  One groupBy on the quasi-id tuple + one re-agg — both
+# map-side combinable, linear in the dim.
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH ext AS (
+      SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer
+    ),
+    q AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CASE WHEN hi > lo
+                  THEN least(9, cast(floor(((c_acctbal - lo) * 10.0) / (hi - lo)) as int))
+                  ELSE 0 END AS bal_decile
+      FROM customer, ext
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_decile,
+             cast(count(*) as bigint) AS class_size
+      FROM q GROUP BY c_nationkey, c_mktsegment, bal_decile
+    )
+    SELECT c_nationkey AS nation_key,
+           cast(count(*) as bigint) AS n_classes,
+           cast(sum(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END) as bigint) AS n_violating,
+           cast(min(class_size) as bigint) AS min_class_size,
+           cast(sum(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END) as bigint) AS rows_at_risk
+    FROM classes GROUP BY c_nationkey
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation k-anonymity report over the quasi-identifier tuple
+    (nation, market segment, account-balance decile), k={k}."""
+    from ..sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    ext = F.broadcast(
+        cust.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    )
+    q = cust.crossJoin(ext).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(9).cast("int"),
+                F.floor(
+                    ((F.col("c_acctbal") - F.col("lo")) * F.lit(10.0))
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bal_decile"),
+    )
+    classes = q.groupBy("c_nationkey", "c_mktsegment", "bal_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    k = _KANON_K
+    return classes.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+    )
+
+
+k_anonymity_audit.__doc__ = k_anonymity_audit.__doc__.format(k=_KANON_K)

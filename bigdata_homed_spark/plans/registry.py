@@ -296,8 +296,18 @@ PRIORITY_QUERIES = [
     "incremental_substring_report",  # r6 promotion (late-r5 waiter):
                                   # persisted-index substring dedup
     # (decontamination OUT r6: curation anchored by curation_funnel)
-    "boilerplate_line_removal",   # NEW r5 promotion: CCNet/C4 line removal
-    "media_dedup_by_content",     # NEW r5 promotion: binary-content dedup
+    # (boilerplate_line_removal OUT 5th-r6: slot funds
+    #  sorted_neighborhood_linkage below; line-level removal keeps r5+gate
+    #  verdicts and the dedup-adjacent family holds four in-window anchors
+    #  — exact_substring_spans, incremental_dedup_report,
+    #  incremental_substring_report, near_dup_components)
+    # (media_dedup_by_content OUT 5th-r6: slot funds
+    #  pagerank_copurchase_parts below; binary-content dedup keeps its
+    #  r5 driver verdict + gate; the multimodal family's window anchor is
+    #  multimodal_frame_sample, the dedup family as above)
+    "sorted_neighborhood_linkage",  # NEW 5th-r6: SNM fuzzy record linkage
+                                  # (edit-distance verifier family;
+                                  # distributed global-rank machinery)
     # (quality_by_source OUT 4th-r6: the quality family anchor moves to
     #  gopher_quality_flags, which computes the published composite rule
     #  set; quality_by_source stays green in the full gate)
@@ -340,6 +350,8 @@ PRIORITY_QUERIES = [
                                   # exact-cosine verified)
     "semantic_dedup_decisions",   # NEW r5 promotion: SemDeDup with the
                                   # K∝n cluster rule (reworked this round)
+    "pagerank_copurchase_parts",  # NEW 5th-r6: fixed-point iterative
+                                  # PageRank (first graph-ranking entry)
     # (label_centroids OUT 3rd-r6: slot funds bm25_doc_scores above)
     # approximate-sketch accuracy verified IN the gate (r3)
     # (distinct_users_approx_daily OUT r6: A7 anchored by

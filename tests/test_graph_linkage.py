@@ -94,15 +94,34 @@ def test_snm_candidate_count_is_linear(spark, sf_dir):
     from bigdata_homed_spark.sources.tables import load_table
 
     n = load_table(spark, sf_dir, "documents").count()
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
-    )
     expected_cands = n * _SNM_WINDOW - _SNM_WINDOW * (_SNM_WINDOW + 1) // 2
-    # rebuild the candidate set with threshold disabled via the module fn
-    # is private; instead assert the registered query's output is a subset
     out = sorted_neighborhood_linkage(spark, sf_dir)
     m = out.count()
     assert m <= expected_cands
     rows = out.collect()
     assert all(r["d1"] < r["d2"] for r in rows)
     assert all(r["lev_dist"] >= 0 for r in rows)
+
+
+def test_psi_nonnegative_and_bounded(spark, sf_dir):
+    # PSI is a sum of (pa-pb)·ln(pa/pb) terms, each ≥ 0 — up to the 6dp
+    # per-term rounding, whose worst case is 10 bins × 5e-7
+    from bigdata_homed_spark.plans.curation import distribution_drift_psi
+
+    rows = distribution_drift_psi(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["psi"] >= -1e-5
+        assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_k_anonymity_audit_consistency(spark, sf_dir):
+    from bigdata_homed_spark.plans.curation import k_anonymity_audit
+    from bigdata_homed_spark.sources.tables import load_table
+
+    rows = k_anonymity_audit(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["rows_at_risk"] for r in rows) <= n_cust
+    for r in rows:
+        assert 1 <= r["min_class_size"]
+        assert r["n_violating"] <= r["n_classes"]
