@@ -62,14 +62,16 @@ def global_row_number(
     flat: list = []
     for pid, off in offsets.items():
         flat.extend([F.lit(pid), F.lit(off)])
-    offmap = F.create_map(*flat) if flat else F.create_map()
+    if flat:
+        off_expr = F.create_map(*flat)[F.col("__pid")]
+    else:
+        # empty input: an argless create_map() is map<void,void>, whose
+        # lookup fails analysis — the offset is vacuously zero
+        off_expr = F.lit(0).cast("bigint")
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
     return (
         staged.withColumn(
-            rn_col,
-            (F.row_number().over(w).cast("bigint") + offmap[F.col("__pid")]).cast(
-                "bigint"
-            ),
+            rn_col, (F.row_number().over(w).cast("bigint") + off_expr).cast("bigint")
         )
         .drop("__pid")
     )

@@ -125,3 +125,19 @@ def test_k_anonymity_audit_consistency(spark, sf_dir):
     for r in rows:
         assert 1 <= r["min_class_size"]
         assert r["n_violating"] <= r["n_classes"]
+
+
+def test_global_row_number_empty_input(spark):
+    df = spark.createDataFrame([], "uid int")
+    assert global_row_number(df, ["uid"]).count() == 0
+
+
+def test_global_row_number_duplicate_keys_stay_dense(spark):
+    # equal keys land in one range partition; with a tie-broken ordering
+    # the numbering is still dense and deterministic
+    rows = [(5, i) for i in range(50)] + [(1, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k int, uid int")
+    got = global_row_number(df, ["k", "uid"], num_partitions=4).collect()
+    by_rn = sorted(got, key=lambda r: r["rn"])
+    assert [r["rn"] for r in by_rn] == list(range(1, 101))
+    assert [(r["k"], r["uid"]) for r in by_rn] == sorted(rows)

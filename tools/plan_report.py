@@ -57,6 +57,12 @@ INTENTIONAL_BNL = {
     "bpe_pair_counts": "1-row pair-total aggregate broadcast (corpus share denominator)",
     "dsir_selection": "1-row feature-total aggregate broadcast (the smoothed p/q denominators)",
     "zorder_locality": "1-row min/max domain-extent broadcast (the range normalizer)",
+    "distribution_drift_psi": (
+        "1-row time/value extent broadcast (bin edges + period midpoint) "
+        "plus the 10-row bin-grid cross join (|event_types| x 10 rows — "
+        "constant-sized, the full-grid PSI denominator)"
+    ),
+    "k_anonymity_audit": "1-row min/max balance-extent broadcast (the decile normalizer)",
     "embedding_pq_search": "10-row per-query ADC distance-table broadcast (the map-lookup scan; the != predicate makes it BNL)",
     "bigram_lm_quality": "1-row LM-token-total broadcast (the backoff denominator)",
     "hard_negative_mining": "10 anchor vectors broadcast against candidate scan (same shape as embedding_knn)",
