@@ -371,8 +371,8 @@ def _run_keyed_upsert_stream(
     queries so the keep-latest tiebreaker and stream wiring cannot drift.
 
     Multi-batch correctness (batches are per-file and NOT event-time
-    ordered): each batch's keep-latest rows are merged against the
-    EXISTING state for those keys (bucket-pruned read) keeping the newer
+    ordered): each batch is merged against the EXISTING state for its keys
+    in ONE bucket-pruned pass (``merge_latest``), keeping the newer
     (sec, event_id) — so an out-of-order or replayed batch can never
     overwrite newer state with older events.  The retention cutoff uses a
     driver-held running max of event time, so it is genuinely monotonic
@@ -380,7 +380,6 @@ def _run_keyed_upsert_stream(
     buckets) throughout."""
     import tempfile
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..sources.sinks import PartitionedStateStore
@@ -389,22 +388,10 @@ def _run_keyed_upsert_stream(
         tempfile.mkdtemp(prefix="upsert_state_"), ["user_id"], n_buckets=16
     )
     hi = {"max_sec": None}
-    w = Window.partitionBy("user_id").orderBy(F.desc("sec"), F.desc("event_id"))
-
-    def keep_latest(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sparkb = batch_df.sparkSession
-        latest = keep_latest(batch_df)
-        existing = store.read_for_keys(sparkb, latest.select("user_id"))
-        if existing is not None:
-            latest = keep_latest(latest.unionByName(existing))
-        store.upsert(latest)
+        store.merge_latest(batch_df, ["sec", "event_id"])
         row = batch_df.agg(F.max("sec").alias("mx")).collect()[0]
         if row.mx is not None:
             hi["max_sec"] = max(hi["max_sec"] or int(row.mx), int(row.mx))
@@ -865,15 +852,14 @@ def stream_channel_live_counts(
 
     Scale shape: each micro-batch touches O(batch ∪ touched buckets) state
     I/O (bucket-pruned store), the terminal dim is broadcast per batch
-    (J9), the per-batch keep-latest shrinks the upsert to one row per
-    active user, and the final dual-grain report is ONE scan of the
-    snapshot — the region grain re-aggregates the channel grain (exact
+    (J9), the fused merge_latest leaves one snapshot row per active user
+    in a single state pass, and the final dual-grain report is ONE scan of
+    the snapshot — the region grain re-aggregates the channel grain (exact
     because keep-latest leaves one row per user), the A7 re-agg trick,
     so no second pass and no grouping-sets expansion of the fact.
     """
     import tempfile
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..sources.sinks import PartitionedStateStore
@@ -903,20 +889,15 @@ def stream_channel_live_counts(
             .cast("int")
             .alias("d_device_type"),
         )
+        # materialize once: the dim is broadcast-joined in EVERY micro-batch,
+        # and without this each batch re-reads + re-derives it from customer
+        .localCheckpoint()
     )
 
     store = PartitionedStateStore(
         tempfile.mkdtemp(prefix="chl_state_"), ["user_id"], n_buckets=16
     )
     hi = {"max_sec": None}
-    w = Window.partitionBy("user_id").orderBy(F.desc("sec"), F.desc("event_id"))
-
-    def keep_latest(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sparkb = batch_df.sparkSession
@@ -935,12 +916,13 @@ def stream_channel_live_counts(
             .cast("bigint")
             .alias("pt_micro"),
         )
-        # T3: newest-wins inside the batch, then J9: broadcast dim join
-        # with the reference's missing-device fallback
-        latest = keep_latest(parsed)
+        # J9: broadcast dim join with the reference's missing-device
+        # fallback.  The T3 newest-wins dedup happens INSIDE merge_latest
+        # (one window over batch ∪ touched state instead of two passes) —
+        # enrichment is row-wise, so dedup-after-join ≡ dedup-before-join.
         enriched = (
-            latest.join(
-                F.broadcast(term), latest["device_id"] == term["d_device_id"], "left"
+            parsed.join(
+                F.broadcast(term), parsed["device_id"] == term["d_device_id"], "left"
             )
             .select(
                 "user_id",
@@ -955,12 +937,10 @@ def stream_channel_live_counts(
                 ),
             )
         )
-        # S10: merge against existing snapshot rows for these keys,
-        # keeping the newer (sec, event_id) — replay/out-of-order safe
-        existing = store.read_for_keys(sparkb, enriched.select("user_id"))
-        if existing is not None:
-            enriched = keep_latest(enriched.unionByName(existing))
-        store.upsert(enriched)
+        # S10+T3: one-pass merge against the existing snapshot rows for
+        # these keys, keeping the newer (sec, event_id) — replay/
+        # out-of-order safe, one state read per batch
+        store.merge_latest(enriched, ["sec", "event_id"])
         # T8/S13: monotonic event-time horizon, 1-day retention
         row = parsed.agg(F.max("sec").alias("mx")).collect()[0]
         if row.mx is not None:

@@ -139,6 +139,53 @@ class PartitionedStateStore:
         ).parquet(self.path)
         return touched
 
+    def merge_latest(self, updates: DataFrame, order_cols: Sequence[str]) -> list[int]:
+        """One-pass newest-wins merge (S10 + T3 fused): union the batch
+        with the touched buckets' existing rows and keep, per key, the row
+        with the greatest ``order_cols`` tuple.
+
+        Equivalent to ``read_for_keys`` + keep-latest + ``upsert`` — the
+        shape the keyed streaming jobs used through r6 — but reads the
+        state ONCE per batch instead of twice and needs one driver collect
+        instead of two.  In a micro-batch loop the per-batch JOB count,
+        not data volume, bounds throughput at any scale, so fusing the
+        read matters as much locally as on a cluster.
+
+        Replay/out-of-order safe: max over ``order_cols`` is associative,
+        commutative and idempotent, so a reprocessed or late batch can
+        never regress the snapshot (same argument as the unfused path).
+        ``updates`` may contain several rows per key; exactly one survives.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = updates.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        upd = self._bucketed(updates).localCheckpoint()
+        # bounded metadata collect: ≤ n_buckets ints (the pruning predicate)
+        touched = [r[0] for r in upd.select(self.BUCKET_COL).distinct().collect()]
+        merged = upd
+        if self._state_exists(spark):
+            merged = upd.unionByName(
+                spark.read.parquet(self.path).where(
+                    F.col(self.BUCKET_COL).isin(touched)
+                )
+            )
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        winners = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # localCheckpoint: materialize before overwriting the files being read
+        winners.localCheckpoint().write.mode("overwrite").partitionBy(
+            self.BUCKET_COL
+        ).parquet(self.path)
+        self._known_initialized = True
+        return touched
+
     def expire(self, spark: SparkSession, predicate) -> list[int]:
         """Retention delete (S13 analog): remove rows matching ``predicate``
         — the reference's per-batch ``DELETE FROM t WHERE f_date < …``

@@ -240,6 +240,39 @@ def test_partitioned_state_store_restart_merges(spark, tmp_path):
     assert state[3] == 99 and state[4] == 1
 
 
+def test_partitioned_state_store_merge_latest(spark, tmp_path):
+    """merge_latest fuses read_for_keys + keep-latest + upsert into ONE
+    state pass: the greatest (order_cols) row wins per key, intra-batch
+    duplicates collapse, untouched keys survive, an out-of-order batch
+    cannot regress newer state, and a replayed batch is a no-op."""
+    import os
+
+    from bigdata_homed_spark.sources.sinks import PartitionedStateStore
+
+    path = os.path.join(str(tmp_path), "state")
+    store = PartitionedStateStore(path, ["user_id"], n_buckets=4)
+
+    def snap():
+        return {r.user_id: (r.sec, r.v) for r in store.read(spark).collect()}
+
+    schema = "user_id long, sec long, v string"
+    # intra-batch duplicate keys: only the newest survives
+    store.merge_latest(
+        spark.createDataFrame([(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], schema),
+        ["sec"],
+    )
+    assert snap() == {1: (20, "b"), 2: (5, "c")}
+
+    # out-of-order batch: older row for user 1 must not regress the state
+    late = spark.createDataFrame([(1, 15, "z"), (3, 7, "d")], schema)
+    store.merge_latest(late, ["sec"])
+    assert snap() == {1: (20, "b"), 2: (5, "c"), 3: (7, "d")}
+
+    # at-least-once replay of the same batch: a no-op
+    store.merge_latest(late, ["sec"])
+    assert snap() == {1: (20, "b"), 2: (5, "c"), 3: (7, "d")}
+
+
 def test_partitioned_state_store_expire_bounded_io(spark, tmp_path):
     """Retention (S13 raw-DML analog): expire(predicate) removes matching
     rows rewriting ONLY buckets that contain them; buckets with no expired
