@@ -1001,3 +1001,110 @@ def stream_channel_live_counts(
         )
         .drop("pt_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC oplog apply — MERGE-with-tombstones onto the keyed state store.
+# Absent in the reference (its realtime jobs only ever overwrote rows by
+# PK; none processed deletes), but the standard shape of a lakehouse
+# ingestion pipeline: a change feed of upserts and deletes folded into a
+# queryable snapshot (Delta/Hudi `MERGE WHEN MATCHED DELETE`).  The key
+# design point is that tombstones are STATE, not filters: a delete row is
+# merged and kept in the store so that an older update replayed later
+# (at-least-once delivery, out-of-order batches) loses to it under the
+# same (sec, event_id) newest-wins rule as everything else — filtering
+# deletes at ingest would resurrect the row.  Deletes are dropped only at
+# READ time.  Per-batch I/O is the store's O(batch ∪ touched buckets);
+# at 100 TB the tombstone population is bounded by the S13 retention pass
+# (expire on the tombstone flag + horizon), same machinery as TTL.
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts)//1000000 AS sec, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY sec DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    )
+    SELECT user_id, event_id AS last_event_id, sec AS last_sec,
+           value AS last_value
+    FROM last WHERE op <> 'D'
+    """,
+)
+def stream_cdc_apply(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """Fold a replayed CDC feed (upserts + deletes) into the live snapshot.
+
+    The events table plays the change feed: ``error`` rows are delete
+    tombstones, everything else is an upsert.  Each micro-batch goes
+    through ``PartitionedStateStore.merge_latest`` — one bucket-pruned
+    state pass per batch, newest (sec, event_id) wins, tombstones merge
+    like any row — and the final read drops keys whose WINNING op is a
+    delete.  The oracle is the equivalent batch fold: global keep-latest
+    per user, minus users whose last op was a delete.  Split-independent
+    and replay-idempotent for the same reason merge_latest is.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import PartitionedStateStore
+    from ..sources.tables import load_table
+
+    staged = tempfile.mkdtemp(prefix="cdc_stream_")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts_sec"
+    ).repartitionByRange(n_batches, "event_id").write.mode("overwrite").parquet(
+        staged
+    )
+
+    store = PartitionedStateStore(
+        tempfile.mkdtemp(prefix="cdc_state_"), ["user_id"], n_buckets=16
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ops = batch_df.select(
+            "user_id",
+            "event_id",
+            F.col("ts_sec").alias("sec"),
+            "value",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        store.merge_latest(ops, ["sec", "event_id"])
+
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, ts_sec bigint"
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # tombstones drop at READ time, never at ingest
+    return (
+        store.read(spark)
+        .where(F.col("op") != "D")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("sec").alias("last_sec"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -24,7 +24,7 @@ portable hashes (functions/hashing.py) — no Spark-murmur3 anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, minhash_signature, shingle_hashes
@@ -1762,5 +1762,124 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_boiler").cast("bigint").alias("n_removed"),
             F.md5(kept_text).alias("cleaned_hash"),
             F.length(kept_text).cast("bigint").alias("cleaned_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — the mergeable fixed-size frequency
+# sketch (Cormode & Muthukrishnan 2005).  At 100 TB an exact term-frequency
+# table is vocabulary-sized and shuffle-heavy; a CMS is D*W counters
+# REGARDLESS of corpus size, each partition's partial sketch map-side
+# combines into the global one (cell counts are sums), and point estimates
+# are min over D cells with a one-sided error bound (estimate >= truth,
+# over by <= eps*N with eps = e/W).  The reference has no sketches at all;
+# this is the approx side of the exact ngram_frequency_topk pair, same
+# role the HLL path plays for distinct counts (A7).
+#
+# Determinism: row-r cell of a term is md5-hash64(f"cms{r}_" + term) mod W —
+# the same portable scheme as every other hash here, so DuckDB rebuilds the
+# identical sketch.  The exact top-k side (tie-broken by term) exists to
+# AUDIT the sketch: the report pairs each true heavy hitter's exact count
+# with its CMS estimate and the one-sided overestimate.
+CMS_D = 4
+CMS_W = 2048
+CMS_TOP_K = 25
+
+_CMS_CELL_SQL = (
+    f"cast(('0x' || substr(md5('cms' || cast(r as varchar) || '_' || term), 1, 15)) "
+    f"as bigint) % {CMS_W}"
+)
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({TOKS}) AS term FROM documents),
+    cells AS (
+      SELECT r, {_CMS_CELL_SQL} AS cms_col
+      FROM toks, range({CMS_D}) t(r)
+    ),
+    sketch AS (
+      SELECT r, cms_col, cast(count(*) as bigint) AS cell_n
+      FROM cells GROUP BY r, cms_col
+    ),
+    exact AS (
+      SELECT term, cast(count(*) as bigint) AS exact_n
+      FROM toks GROUP BY term
+      ORDER BY exact_n DESC, term LIMIT {CMS_TOP_K}
+    ),
+    probes AS (
+      SELECT term, exact_n, r, {_CMS_CELL_SQL} AS cms_col
+      FROM exact, range({CMS_D}) t(r)
+    )
+    SELECT p.term, p.exact_n,
+           cast(min(s.cell_n) as bigint) AS cms_n,
+           cast(min(s.cell_n) - p.exact_n as bigint) AS overestimate
+    FROM probes p JOIN sketch s ON p.r = s.r AND p.cms_col = s.cms_col
+    GROUP BY p.term, p.exact_n
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{CMS_TOP_K} corpus terms with exact count vs count-min estimate.
+
+    Build: one token pass, each token fanned to its D (row, col) cells via
+    a posexplode over an in-row transform (no join), then ONE groupBy on
+    (r, cms_col) whose output is at most D*W = {CMS_D}*{CMS_W} rows — the
+    partial agg collapses every partition to sketch size before the
+    exchange, which is the entire point of the structure.  Probing joins
+    the K*D probe cells (broadcast) against the sketch.  The exact top-k
+    pass is the audit oracle, not part of the sketch path.
+    """
+    from ..sources.tables import load_table
+
+    def cms_cells(term: Column) -> Column:
+        # row-r column index: same md5 scheme as hash64(), seed varies by row
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(CMS_D - 1)),
+            lambda r: F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cms"), r.cast("string"), F.lit("_"), term
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(CMS_W),
+            ),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term"))
+    sketch = (
+        toks.select(F.posexplode(cms_cells(F.col("term"))).alias("r", "cms_col"))
+        .groupBy("r", "cms_col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_n"))
+    )
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+        .limit(CMS_TOP_K)
+    )
+    probes = exact.select(
+        "term", "exact_n", F.posexplode(cms_cells(F.col("term"))).alias("r", "cms_col")
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["r", "cms_col"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("cell_n").cast("bigint").alias("cms_n"))
+        .select(
+            "term",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overestimate"),
         )
     )
