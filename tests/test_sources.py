@@ -550,3 +550,33 @@ def test_compact_small_files_recovers_from_stale_swap_dirs(spark, sf_dir, tmp_pa
     assert not os.path.exists(p + "__old")
     assert not os.path.exists(p + "__compacting")
     assert spark.read.parquet(p).count() == want_rows
+
+
+def test_merge_latest_tombstone_not_resurrected(spark, tmp_path):
+    """CDC contract (stream_cdc_apply): a delete tombstone is merged STATE,
+    so an older upsert replayed after the delete loses to it, and the
+    read-time op filter is what hides the key — it never comes back."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.sinks import PartitionedStateStore
+
+    path = os.path.join(str(tmp_path), "state")
+    store = PartitionedStateStore(path, ["user_id"], n_buckets=4)
+    schema = "user_id long, sec long, op string"
+
+    upsert = spark.createDataFrame([(1, 10, "U"), (2, 11, "U")], schema)
+    delete = spark.createDataFrame([(1, 20, "D")], schema)
+
+    store.merge_latest(upsert, ["sec"])
+    store.merge_latest(delete, ["sec"])
+    # at-least-once: the ORIGINAL upsert batch arrives again, after the delete
+    store.merge_latest(upsert, ["sec"])
+
+    live = {
+        r.user_id for r in store.read(spark).where(F.col("op") != "D").collect()
+    }
+    assert live == {2}, "replayed older upsert resurrected a deleted key"
+    # the tombstone itself is still present in state (not filtered at ingest)
+    assert {r.user_id: r.op for r in store.read(spark).collect()} == {1: "D", 2: "U"}

@@ -122,3 +122,51 @@ def test_gopher_rules_fire_individually(spark, tmp_path):
     assert got["nostop"]["n_fail_stopwords"] == 1 and got["nostop"]["n_keep"] == 0
     # rules are independent: the good doc fails nothing
     assert all(got["ok"][k] == 0 for k in got["ok"] if k.startswith("n_fail_"))
+
+
+def test_cms_matches_python_mirror_and_dominates_exact(spark, tmp_path):
+    """Count-min sketch: the query's estimates equal an independent Python
+    CMS built with the same md5 cell scheme, and every estimate is >= the
+    exact count (the sketch's one-sided error bound)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from bigdata_homed_spark.plans.text_pipeline import (
+        CMS_D,
+        CMS_TOP_K,
+        CMS_W,
+        cms_heavy_hitters,
+    )
+
+    # skewed corpus: a few heavy terms + a long tail of unique ones
+    texts = []
+    for i in range(40):
+        texts.append(
+            "alpha beta beta gamma " + " ".join(f"tail{i}x{j}" for j in range(30))
+        )
+    _write_docs(spark, tmp_path, texts)
+
+    toks = [w for t in texts for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+    exact = Counter(toks)
+
+    def cell(r, term):
+        return int(hashlib.md5(f"cms{r}_{term}".encode()).hexdigest()[:15], 16) % CMS_W
+
+    sketch = Counter()
+    for term, n in exact.items():
+        for r in range(CMS_D):
+            sketch[(r, cell(r, term))] += n
+
+    def estimate(term):
+        return min(sketch[(r, cell(r, term))] for r in range(CMS_D))
+
+    topk = sorted(exact, key=lambda w: (-exact[w], w))[:CMS_TOP_K]
+    expected = {
+        t: (exact[t], estimate(t), estimate(t) - exact[t]) for t in topk
+    }
+
+    rows = cms_heavy_hitters(spark, str(tmp_path)).collect()
+    got = {r.term: (r.exact_n, r.cms_n, r.overestimate) for r in rows}
+    assert got == expected
+    assert all(r.cms_n >= r.exact_n for r in rows)
