@@ -151,6 +151,16 @@ BENCH_QUERIES = [
     # PSI drift monitor: one fact scan + (type, bin) combinable shuffle +
     # 1-row extent broadcast — benches the smoothed-log term machinery.
     "distribution_drift_psi",
+    # round-6 widening 5: count-min sketch build (token pass → sketch-sized
+    # (r,col) groupBy → broadcast probe join) and the CDC tombstone fold
+    # (3 replayed micro-batches through merge_latest; streaming fixed costs
+    # dominate, like the other foreachBatch entries — expect ~flat across SFs).
+    "cms_heavy_hitters",
+    "stream_cdc_apply",
+    # prefix-filtered set-similarity join (All-Pairs/PPJoin): df shuffle →
+    # in-row prefix slice → length-filtered prefix self-join → positional
+    # prune groupBy → exact verify on survivors only.
+    "prefix_filter_jaccard_pairs",
 ]
 
 

@@ -1883,3 +1883,146 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join — All-Pairs/PPJoin (Bayardo et al.
+# WWW'07; Xiao et al. WWW'08; the MapReduce formulation is Vernica, Carey
+# & Li SIGMOD'10).  Third candidate-generation technique next to
+# MinHash-LSH (probabilistic) and the full shingle inverted index (exact
+# but df²-bound): order every doc's shingles by GLOBAL rarity (df asc,
+# shingle asc); for Jaccard >= t a qualifying pair must share a shingle
+# inside both docs' first n - ceil(t*n) + 1 shingles, so candidates come
+# from an equi-join over PREFIXES only — at the t=4/5 near-dup operating
+# point the prefix is ~n/5, and the stop-shingle problem disappears
+# structurally (a frequent shingle sorts to the END of every doc and
+# almost never lands in a prefix).  Two further exact prunes run BEFORE
+# the expensive verify:
+#   length filter (in the join): t*max(na,nb) <= min(na,nb);
+#   positional filter (grouped): with m shared prefix shingles whose last
+#   matched sorted positions are pa, pb, true overlap <= m +
+#   min(na-pa, nb-pb); require that bound >= alpha = ceil(t/(1+t)*(na+nb)).
+# Only survivors pay the array_intersect verify.  All thresholds are
+# integer-exact (no float boundary), and the oracle is the brute-force
+# all-pairs formulation — identical output proves the cascade admits no
+# false negatives.
+PFX_T_NUM, PFX_T_DEN = 4, 5  # Jaccard threshold t = 4/5
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+    WITH docsh AS (
+      SELECT doc_id, {SHINGLES3} AS sh
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    ),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docsh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, cast(inter as bigint) AS inter,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE inter * {PFX_T_DEN} >= (sa.n + sb.n - inter) * {PFX_T_NUM}
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Jaccard >= {PFX_T_NUM}/{PFX_T_DEN} via the
+    prefix + length + positional filter cascade.
+
+    Plan: df per shingle (one combinable shuffle); shingles re-sorted per
+    doc by (df, shingle) and prefix-sliced in-row; candidate equi-join
+    over the exploded prefixes with the length filter IN the join
+    condition; ONE combinable (d1,d2) groupBy computes the shared-prefix
+    count m and last matched positions for the positional upper bound —
+    pairs the bound disqualifies never reach the verify join; survivors
+    verified exactly by array_intersect against the per-doc arrays.
+    """
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # both fan-out points are read twice (self-join sides / verify sides):
+    # materialize once or the shingle build + df join run 2x each
+    docsh = docs.select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    ).localCheckpoint()
+    sh = docsh.select("doc_id", F.explode("sh").alias("shingle"))
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # prefix_len = n - ceil(t*n) + 1, integer-exact
+    pl = (
+        f"size(ord) - ((size(ord) * {PFX_T_NUM} + {PFX_T_DEN} - 1) "
+        f"div {PFX_T_DEN}) + 1"
+    )
+    pref = (
+        sh.join(df_tab, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
+        .select(
+            "doc_id",
+            F.size("ord").alias("n"),
+            F.posexplode(
+                F.expr(f"transform(slice(ord, 1, {pl}), s -> s.shingle)")
+            ).alias("p0", "shingle"),
+        )
+        .select("doc_id", "n", (F.col("p0") + 1).alias("pos"), "shingle")
+        .localCheckpoint()
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: t*max <= min, integer form
+        & (F.col("a.n") * PFX_T_NUM <= F.col("b.n") * PFX_T_DEN)
+        & (F.col("b.n") * PFX_T_NUM <= F.col("a.n") * PFX_T_DEN),
+    ).select(
+        F.col("a.doc_id").alias("d1"),
+        F.col("b.doc_id").alias("d2"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    # positional filter: overlap <= m + min(na - max_pa, nb - max_pb);
+    # required overlap alpha = ceil(t/(1+t) * (na+nb))
+    alpha = F.expr(
+        f"(({PFX_T_NUM} * (na + nb)) + {PFX_T_NUM + PFX_T_DEN} - 1) "
+        f"div {PFX_T_NUM + PFX_T_DEN}"
+    )
+    cands = (
+        matches.groupBy("d1", "d2", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("pa").alias("mpa"),
+            F.max("pb").alias("mpb"),
+        )
+        .where(
+            F.col("m")
+            + F.least(F.col("na") - F.col("mpa"), F.col("nb") - F.col("mpb"))
+            >= alpha
+        )
+        .select("d1", "d2")
+    )
+    s1 = docsh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = docsh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("bigint")
+    union = F.size("sh1").cast("bigint") + F.size("sh2").cast("bigint") - inter
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", inter.alias("inter"), union.alias("union_n"))
+        .where(F.col("inter") * PFX_T_DEN >= F.col("union_n") * PFX_T_NUM)
+        .select(
+            "d1",
+            "d2",
+            "inter",
+            F.round(F.col("inter") * F.lit(1.0) / F.col("union_n"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -170,3 +170,48 @@ def test_cms_matches_python_mirror_and_dominates_exact(spark, tmp_path):
     got = {r.term: (r.exact_n, r.cms_n, r.overestimate) for r in rows}
     assert got == expected
     assert all(r.cms_n >= r.exact_n for r in rows)
+
+
+def test_prefix_filter_matches_bruteforce(spark, tmp_path):
+    """PPJoin cascade vs a from-scratch Python all-pairs Jaccard: the
+    filter chain (prefix + length + positional) must admit every
+    qualifying pair — including boundary cases (exact duplicates, docs
+    shorter than one shingle, pairs exactly AT the threshold)."""
+    import re
+    from itertools import combinations
+
+    from bigdata_homed_spark.plans.text_pipeline import (
+        PFX_T_DEN,
+        PFX_T_NUM,
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    texts = [
+        base,
+        base,  # exact duplicate -> J = 1
+        base + " extra",  # near-dup
+        base.replace("quick", "slow").replace("dog", "cat"),  # mid similarity
+        "completely different words in this one here now",  # unrelated
+        "xy",  # shorter than one shingle
+        "xy",  # its exact duplicate
+    ]
+    _write_docs(spark, tmp_path, texts)
+
+    def shingles(t):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    sets = [shingles(t) for t in texts]
+    expected = {}
+    for i, j in combinations(range(len(texts)), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        if inter * PFX_T_DEN >= union * PFX_T_NUM:
+            expected[(i, j)] = (inter, round(inter / union, 6))
+
+    rows = prefix_filter_jaccard_pairs(spark, str(tmp_path)).collect()
+    got = {(r.d1, r.d2): (r.inter, r.jaccard) for r in rows}
+    assert got == expected
+    assert (0, 1) in got and got[(0, 1)][1] == 1.0
+    assert (5, 6) in got, "sub-shingle-length duplicate pair missed"
