@@ -161,6 +161,14 @@ BENCH_QUERIES = [
     # in-row prefix slice → length-filtered prefix self-join → positional
     # prune groupBy → exact verify on survivors only.
     "prefix_filter_jaccard_pairs",
+    # round-6 widening 6: the BPE merge loop — 3 unrolled trainer rounds,
+    # each a compact pair-key agg + doc-partitioned rewrite windows over
+    # the persisted token frame (benches the iterate-with-persist shape;
+    # per-round cost is token-linear) — and MMR diversity selection (one
+    # corpus relevance pass + top-C cut; the K greedy rounds are 50-row
+    # work, so expect the number dominated by the single scan).
+    "bpe_vocab_merges",
+    "mmr_diverse_topk",
 ]
 
 

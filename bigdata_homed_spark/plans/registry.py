@@ -291,7 +291,11 @@ PRIORITY_QUERIES = [
                                   # media/exact-substr) + r1-r4 verdicts +
                                   # the committed gate log
     # (minhash_lsh_pairs OUT r6: LSH banding anchored by near_dup_components)
-    "near_dup_components",
+    # (near_dup_components OUT 6th-r6: slot funds bpe_vocab_merges below;
+    #  its LSH-candidate machinery is anchored in-window by
+    #  incremental_dedup_report + stream_incremental_dedup, its iterative
+    #  fixed-point shape by pagerank_copurchase_parts; r1-r5 driver
+    #  verdicts recorded, stays green in the full gate)
     "incremental_dedup_report",
     "incremental_substring_report",  # r6 promotion (late-r5 waiter):
                                   # persisted-index substring dedup
@@ -315,6 +319,11 @@ PRIORITY_QUERIES = [
                                   # filter (7 rules in-row, one agg)
     "bigram_lm_quality",          # r6 promotion (late-r5 waiter): CCNet
                                   # bigram-LM perplexity quality
+    "bpe_vocab_merges",           # NEW 6th-r6: the BPE merge LOOP (argmax
+                                  # -> greedy non-overlap rewrite ->
+                                  # recount, 3 unrolled rounds) — the
+                                  # tokenizer-trainer iteration next to
+                                  # bpe_pair_counts' single statistic
     "bm25_doc_scores",            # NEW 3rd-r6: Okapi BM25 retrieval
                                   # scoring (the RAG-curation ranker next
                                   # to tfidf_top_terms); slot funded by
@@ -359,7 +368,15 @@ PRIORITY_QUERIES = [
     "value_percentiles_approx",      # KLL rank-error assertion
     # multimodal + curation
     "multimodal_frame_sample",
-    "curation_funnel",
+    # (curation_funnel OUT 6th-r6: slot funds mmr_diverse_topk below; its
+    #  stage machinery is anchored in-window stage-by-stage —
+    #  gopher_quality_flags (quality rules), incremental_dedup_report
+    #  (dedup decisions), and the decontamination overlap scorer in the
+    #  full gate; r1-r5 driver verdicts recorded, stays green in the gate)
+    "mmr_diverse_topk",           # NEW 6th-r6: maximal-marginal-relevance
+                                  # diversity selection (bounded post-ANN
+                                  # iterate: top-C TakeOrdered cut, then
+                                  # 50-row × K selected work only)
     # structured streaming (SURVEY §2.9)
     "stream_hourly_event_counts",   # S6/T1/T2
     # (stream_static_segment_hourly OUT r6: J9 anchored by

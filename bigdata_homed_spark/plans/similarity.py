@@ -2116,3 +2116,151 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nlabel").cast("bigint").alias("neighbor_label"),
         F.round("cosine", 6).alias("cosine_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Maximal-marginal-relevance diversity selection (Carbonell & Goldstein
+# 1998) — the retrieval/curation step that keeps a result set RELEVANT but
+# not redundant: after an ANN stage bounds the candidates, greedily pick
+# argmax  λ·rel(v) − (1−λ)·max_{s∈S} cos(v, s)  K times.  The iterative
+# part is inherently sequential, so the scale design is the production
+# one: the UNBOUNDED work (relevance scan + top-C cut) is one distributed
+# pass ending in TakeOrderedAndProject; every MMR round after that touches
+# only the C=50 cached candidates × ≤K selected rows — driver-free,
+# bounded, and independent of corpus size.  Ties break by vec_id; both
+# engines fold the same doubles left-to-right so the argmax is exact.
+MMR_K = 5
+MMR_CANDIDATES = 50
+MMR_LAM = 0.7
+MMR_MU = 0.3  # 1 − λ, pinned as its own literal so both engines agree
+
+
+def _mmr_round_cte(r: int) -> str:
+    """DuckDB CTEs for one MMR pick (sel{r-1} -> pick{r} -> sel{r}).
+
+    maxsim is a LEFT JOIN ON true + GROUP BY (not a correlated scalar
+    subquery: DuckDB can't bind an outer column inside a list lambda);
+    `taken` folds the already-selected test into the same aggregation —
+    mirroring the Spark side exactly."""
+    sim = f"{_dot_sql('c.ce', 's.ce')} / (c.cnorm * s.cnorm)"
+    return f"""
+    scored{r} AS (
+      SELECT c.vec_id, c.rel,
+             coalesce(max({sim}), 0.0) AS maxsim,
+             coalesce(max(CASE WHEN s.vec_id = c.vec_id THEN 1 ELSE 0 END), 0) AS taken
+      FROM cand c LEFT JOIN sel{r - 1} s ON true
+      GROUP BY c.vec_id, c.rel
+    ),
+    pick{r} AS (
+      SELECT vec_id, rel, maxsim, {MMR_LAM} * rel - {MMR_MU} * maxsim AS mmr
+      FROM scored{r} WHERE taken = 0
+      ORDER BY {MMR_LAM} * rel - {MMR_MU} * maxsim DESC, vec_id LIMIT 1
+    ),
+    sel{r} AS (
+      SELECT * FROM sel{r - 1} UNION ALL
+      SELECT c.vec_id, c.ce, c.cnorm FROM cand c JOIN pick{r} p USING (vec_id)
+    )"""
+
+
+@query(
+    "mmr_diverse_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, ce, sqrt({_dot_sql('ce', 'ce')}) AS cnorm,
+             {_dot_sql('ce', 'qe')}
+               / (sqrt({_dot_sql('ce', 'ce')}) * sqrt({_dot_sql('qe', 'qe')})) AS rel
+      FROM (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id <> 0), q
+      ORDER BY rel DESC, vec_id LIMIT {MMR_CANDIDATES}
+    ),
+    sel0 AS (SELECT vec_id, ce, cnorm FROM cand WHERE false),
+    {",".join(_mmr_round_cte(r).strip() for r in range(1, MMR_K + 1))}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT cast({r} as bigint) AS rnk, vec_id, round(rel, 6) AS rel_r,"
+          f" round(maxsim, 6) AS maxsim_r, round(mmr, 6) AS mmr_r FROM pick{r}"
+          for r in range(1, MMR_K + 1)
+      )}
+    ) ORDER BY rnk
+    """,
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    rel = _dot("ce", "qe") / (
+        F.sqrt(_dot("ce", "ce")) * F.sqrt(_dot("qe", "qe"))
+    )
+    # the only corpus-sized pass: score vs the 1-row broadcast query and
+    # cut to C via TakeOrderedAndProject; everything after is 50-row work
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", F.col("embedding").alias("ce"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "ce",
+            F.sqrt(_dot("ce", "ce")).alias("cnorm"),
+            rel.alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_CANDIDATES)
+        .persist()
+    )
+    sel = cand.where(F.lit(False)).select("vec_id", "ce", "cnorm")
+    rows = []
+    for r in range(1, MMR_K + 1):
+        c = cand.select(
+            F.col("vec_id"), F.col("ce"), F.col("cnorm"), F.col("rel")
+        )
+        s = F.broadcast(
+            sel.select(
+                F.col("vec_id").alias("s_vec_id"),
+                F.col("ce").alias("s_ce"),
+                F.col("cnorm").alias("s_cnorm"),
+            )
+        )
+        sim = _dot("ce", "s_ce") / (F.col("cnorm") * F.col("s_cnorm"))
+        scored = (
+            c.join(s, F.lit(True), "left")
+            .select("vec_id", "ce", "cnorm", "rel", "s_vec_id", sim.alias("sim"))
+            .groupBy("vec_id", "rel")
+            .agg(
+                F.coalesce(F.max("sim"), F.lit(0.0)).alias("maxsim"),
+                F.max(F.when(F.col("s_vec_id") == F.col("vec_id"), 1).otherwise(0)).alias(
+                    "taken"
+                ),
+            )
+            .where(F.col("taken") == 0)
+        )
+        pick = (
+            scored.select(
+                "vec_id",
+                "rel",
+                "maxsim",
+                (F.lit(MMR_LAM) * F.col("rel") - F.lit(MMR_MU) * F.col("maxsim")).alias(
+                    "mmr"
+                ),
+            )
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+        )
+        sel = sel.unionByName(
+            cand.join(F.broadcast(pick.select("vec_id")), "vec_id").select(
+                "vec_id", "ce", "cnorm"
+            )
+        )
+        rows.append(
+            pick.select(
+                F.lit(r).cast("bigint").alias("rnk"),
+                "vec_id",
+                F.round("rel", 6).alias("rel_r"),
+                F.round("maxsim", 6).alias("maxsim_r"),
+                F.round("mmr", 6).alias("mmr_r"),
+            )
+        )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("rnk")

@@ -1537,6 +1537,173 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE vocabulary induction, step 2: the actual merge LOOP (bpe_pair_counts
+# above is one round's statistic; this runs the trainer).  Each round:
+# (1) global adjacent-pair counts, (2) 1-row argmax broadcast (count desc,
+# key asc — deterministic), (3) greedy left-to-right NON-OVERLAPPING
+# rewrite of every document, (4) recount on the rewritten corpus.  The
+# greedy scan — inherently sequential in a naive tokenizer — is expressed
+# declaratively: consecutive matched positions form islands
+# (pos − row_number), and within an island greedy keeps every other match
+# (parity rule), exactly the left-to-right semantics of HF/sentencepiece
+# trainers.  Pair keys are length-prefixed (len(tok)||':'||tok||US||nxt) so
+# a merged token's internal separator can never make two distinct
+# adjacencies collide; merged token values join with U+001F.
+# Scale design: per round = ONE hash-agg over compact pair keys + windows
+# partitioned by doc_id (each doc rewritten independently — embarrassingly
+# parallel), with the chosen merge a 1-row broadcast.  No self-joins, no
+# all-pairs, each round's state persisted so lineage doesn't re-derive
+# prior rounds (the distributed map-reduce BPE shape).  Rounds are a fixed
+# unrolled R=3 — at 100 TB the same plan iterates with the pair table
+# staged between rounds.
+BPE_MERGE_ROUNDS = 3
+BPE_SEP = "\u001f"  # joins merged token values; never appears in raw tokens
+
+
+def _bpe_round_cte(r: int) -> str:
+    """DuckDB CTE chain mirroring one Spark merge round (tok{r-1} -> tok{r})."""
+    return f"""
+    marked{r} AS (
+      SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM tok{r - 1}
+    ),
+    keyed{r} AS (
+      SELECT *, CASE WHEN nxt IS NULL THEN NULL
+                     ELSE length(tok) || ':' || tok || chr(31) || nxt END AS pair_key
+      FROM marked{r}
+    ),
+    best{r} AS (
+      SELECT pair_key AS best_pair, cast(count(*) as bigint) AS n_occ
+      FROM keyed{r} WHERE pair_key IS NOT NULL
+      GROUP BY pair_key ORDER BY n_occ DESC, best_pair LIMIT 1
+    ),
+    m{r} AS (
+      SELECT k.*, coalesce(k.pair_key = b.best_pair, false) AS is_match
+      FROM keyed{r} k, best{r} b
+    ),
+    g{r} AS (
+      SELECT *, pos - row_number() OVER (PARTITION BY doc_id, is_match ORDER BY pos) AS grp
+      FROM m{r}
+    ),
+    kept{r} AS (
+      SELECT *, is_match AND
+             (row_number() OVER (PARTITION BY doc_id, is_match, grp ORDER BY pos) - 1) % 2 = 0 AS kept
+      FROM g{r}
+    ),
+    cons{r} AS (
+      SELECT *, coalesce(lag(kept) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed
+      FROM kept{r}
+    ),
+    tok{r} AS (
+      SELECT doc_id,
+             cast(row_number() OVER (PARTITION BY doc_id ORDER BY pos) as bigint) AS pos,
+             CASE WHEN kept THEN tok || chr(31) || nxt ELSE tok END AS tok
+      FROM cons{r} WHERE NOT consumed
+    ),
+    after{r} AS (SELECT cast(count(*) as bigint) AS tokens_after FROM tok{r})"""
+
+
+@query(
+    "bpe_vocab_merges",
+    oracle=f"""
+    WITH tok0 AS (
+      SELECT doc_id, cast(i as bigint) AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    ),
+    {",".join(_bpe_round_cte(r).strip() for r in range(1, 4))}
+    SELECT * FROM (
+      SELECT cast(1 as bigint) AS merge_rank,
+             replace(regexp_replace(best_pair, '^[0-9]+:', ''), chr(31), ' ') AS pair,
+             n_occ, tokens_after
+      FROM best1, after1
+      UNION ALL
+      SELECT cast(2 as bigint), replace(regexp_replace(best_pair, '^[0-9]+:', ''), chr(31), ' '),
+             n_occ, tokens_after FROM best2, after2
+      UNION ALL
+      SELECT cast(3 as bigint), replace(regexp_replace(best_pair, '^[0-9]+:', ''), chr(31), ' '),
+             n_occ, tokens_after FROM best3, after3
+    ) ORDER BY merge_rank
+    """,
+)
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+        .persist()
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    rows = []
+    cur = toks
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        marked = cur.withColumn("nxt", F.lead("tok").over(w_doc))
+        pair_key = F.when(
+            F.col("nxt").isNotNull(),
+            F.concat(
+                F.length("tok").cast("string"),
+                F.lit(":"),
+                F.col("tok"),
+                F.lit(BPE_SEP),
+                F.col("nxt"),
+            ),
+        )
+        best = (
+            marked.where(F.col("nxt").isNotNull())
+            .groupBy(pair_key.alias("best_pair"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+            .orderBy(F.col("n_occ").desc(), F.col("best_pair"))
+            .limit(1)
+        )
+        m = marked.crossJoin(F.broadcast(best)).withColumn(
+            "is_match", F.coalesce(pair_key == F.col("best_pair"), F.lit(False))
+        )
+        w_island = Window.partitionBy("doc_id", "is_match").orderBy("pos")
+        g = m.withColumn("grp", F.col("pos") - F.row_number().over(w_island))
+        w_grp = Window.partitionBy("doc_id", "is_match", "grp").orderBy("pos")
+        kept = g.withColumn(
+            "kept",
+            F.col("is_match") & (((F.row_number().over(w_grp) - 1) % 2) == 0),
+        )
+        cons = kept.withColumn(
+            "consumed", F.coalesce(F.lag("kept").over(w_doc), F.lit(False))
+        )
+        # each round's rewritten corpus feeds BOTH the next round's argmax
+        # and its rewrite — persist so lineage doesn't re-derive the chain
+        cur = (
+            cons.where(~F.col("consumed"))
+            .select(
+                "doc_id",
+                F.row_number().over(w_doc).cast("bigint").alias("pos"),
+                F.when(
+                    F.col("kept"), F.concat(F.col("tok"), F.lit(BPE_SEP), F.col("nxt"))
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .persist()
+        )
+        after = cur.agg(F.count(F.lit(1)).cast("bigint").alias("tokens_after"))
+        rows.append(
+            best.crossJoin(F.broadcast(after)).select(
+                F.lit(r).cast("bigint").alias("merge_rank"),
+                F.translate(
+                    F.regexp_replace("best_pair", "^[0-9]+:", ""), BPE_SEP, " "
+                ).alias("pair"),
+                "n_occ",
+                "tokens_after",
+            )
+        )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("merge_rank")
+
+
+# --------------------------------------------------------------------------
 # Unigram-LM surprisal scoring — the perplexity-proxy quality filter a
 # pretraining pipeline runs when a real LM can't be shipped to the scan:
 # train the unigram model ON the corpus (one token hash-agg), then score

@@ -479,3 +479,81 @@ def test_pq_code_banding_pigeonhole_complete(spark, sf_dir):
     got = {(r["a_id"], r["b_id"]) for r in rows}
     assert got == expected
     assert all(r["n_code_agree"] >= 3 for r in rows)
+
+
+def test_mmr_matches_python_reference(spark, tmp_path):
+    """mmr_diverse_topk vs a from-scratch greedy MMR in plain Python: same
+    left-to-right double folds, same argmax rule (mmr desc, vec_id asc),
+    same empty-set convention (maxsim=0 on round 1).  The fixture plants a
+    redundant cluster aligned with the query so relevance-only ranking and
+    MMR visibly diverge, plus an exact duplicate pair to pin the
+    tie-break."""
+    import math
+
+    import numpy as np
+
+    from bigdata_homed_spark.plans.similarity import (
+        MMR_CANDIDATES,
+        MMR_K,
+        MMR_LAM,
+        MMR_MU,
+        mmr_diverse_topk,
+    )
+
+    raw = [
+        (0, [1.0, 0.0, 0.0]),   # the query
+        (1, [0.99, 0.1, 0.0]),  # redundant cluster aligned with q
+        (2, [0.98, 0.12, 0.01]),
+        (3, [0.97, 0.14, 0.02]),
+        (4, [0.6, 0.8, 0.0]),   # diverse, mid relevance
+        (5, [0.6, 0.0, 0.8]),   # diverse, mid relevance
+        (6, [0.1, 0.9, 0.4]),   # low relevance
+        (7, [0.5, 0.5, 0.7]),
+        (8, [0.97, 0.14, 0.02]),  # exact duplicate of 3: tie -> lower id
+    ]
+    vecs = {i: [float(np.float32(x)) for x in v] for i, v in raw}
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    q = vecs[0]
+    cand = sorted(
+        ((i, cos(v, q), v) for i, v in vecs.items() if i != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:MMR_CANDIDATES]
+    sel, expected = [], []
+    for r in range(1, MMR_K + 1):
+        best = None
+        for i, rel, v in cand:
+            if any(i == s[0] for s in sel):
+                continue
+            ms = max((cos(v, sv) for _, sv in sel), default=0.0)
+            mmr = MMR_LAM * rel - MMR_MU * ms
+            key = (-mmr, i)
+            if best is None or key < best[0]:
+                best = (key, (i, rel, ms, mmr, v))
+        i, rel, ms, mmr, v = best[1]
+        sel.append((i, v))
+        expected.append((r, i, round(rel, 6), round(ms, 6), round(mmr, 6)))
+
+    got = [
+        (r.rnk, r.vec_id, r.rel_r, r.maxsim_r, r.mmr_r)
+        for r in mmr_diverse_topk(spark, str(tmp_path)).collect()
+    ]
+    assert got == expected
+    # MMR must diverge from pure relevance: the redundant cluster (1,2,3,8)
+    # cannot fill all top slots even though it dominates raw cosine
+    picked = {v for _, v, *_ in got}
+    assert not picked <= {1, 2, 3, 8}
+    # duplicate tie resolved toward the smaller vec_id
+    assert 8 not in picked or 3 in picked

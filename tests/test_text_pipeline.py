@@ -215,3 +215,84 @@ def test_prefix_filter_matches_bruteforce(spark, tmp_path):
     assert got == expected
     assert (0, 1) in got and got[(0, 1)][1] == 1.0
     assert (5, 6) in got, "sub-shingle-length duplicate pair missed"
+
+
+def test_bpe_vocab_merges_matches_python_trainer(spark, tmp_path):
+    """3-round merge loop vs a from-scratch Python greedy BPE trainer:
+    same argmax rule (count desc, length-prefixed key asc) and the same
+    left-to-right non-overlapping rewrite — including the overlap case
+    ('a a a' merges once, not twice) and a tie broken by key order."""
+    import re
+
+    from bigdata_homed_spark.plans.text_pipeline import (
+        BPE_MERGE_ROUNDS,
+        BPE_SEP,
+        bpe_vocab_merges,
+    )
+
+    texts = [
+        "a a a b c",          # overlapping run of the 'a a' pair
+        "a a b c a a",        # two disjoint 'a a' occurrences
+        "b c b c b c",        # 'b c' appears often -> likely round-1 best
+        "x y x y",            # competing pair, fewer occurrences
+        "z",                  # single-token doc: no pairs
+        "",                   # empty doc: no tokens at all
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def trainer(docs, rounds):
+        """Plain-list greedy BPE: per round pick (count desc, key asc),
+        rewrite each doc left-to-right skipping overlaps."""
+        corpora = [
+            [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w] for t in docs
+        ]
+        merges = []
+        for _ in range(rounds):
+            counts = {}
+            for toks in corpora:
+                for i in range(len(toks) - 1):
+                    k = f"{len(toks[i])}:{toks[i]}{BPE_SEP}{toks[i + 1]}"
+                    counts[k] = counts.get(k, 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            key, n_occ = best
+            left_len = int(key.split(":", 1)[0])
+            body = key.split(":", 1)[1]
+            left, right = body[:left_len], body[left_len + len(BPE_SEP):]
+            new_corpora = []
+            for toks in corpora:
+                out, i = [], 0
+                while i < len(toks):
+                    if (
+                        i + 1 < len(toks)
+                        and toks[i] == left
+                        and toks[i + 1] == right
+                    ):
+                        out.append(toks[i] + BPE_SEP + toks[i + 1])
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                new_corpora.append(out)
+            corpora = new_corpora
+            merges.append(
+                (
+                    body.replace(BPE_SEP, " "),
+                    n_occ,
+                    sum(len(t) for t in corpora),
+                )
+            )
+        return merges
+
+    expected = trainer(texts, BPE_MERGE_ROUNDS)
+    got = [
+        (r.pair, r.n_occ, r.tokens_after)
+        for r in bpe_vocab_merges(spark, str(tmp_path)).collect()
+    ]
+    assert got == expected
+    # the overlap doc proves greedy: 'a a a' contributes 2 raw pair counts
+    # but only 1 merge happens there, so tokens_after drops by LESS than a
+    # naive count-based prediction whenever the best pair self-overlaps
+    assert all(t > 0 for _, _, t in expected)
