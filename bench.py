@@ -169,6 +169,10 @@ BENCH_QUERIES = [
     # work, so expect the number dominated by the single scan).
     "bpe_vocab_merges",
     "mmr_diverse_topk",
+    # snapshot-table lifecycle: 3 commits (2 appends + 1 compaction
+    # rewrite) then 3 manifest-pinned reads; first call pays the writes,
+    # warm repeats measure the pinned reads (session-cached table).
+    "table_snapshot_timetravel",
 ]
 
 

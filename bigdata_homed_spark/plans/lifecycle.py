@@ -810,3 +810,79 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("version"),
     )
     return hist.withColumn("is_current", F.col("valid_to_sec").isNull())
+
+
+# --------------------------------------------------------------------------
+# Manifest-pinned snapshot table: atomic commits, TIME TRAVEL, compaction
+# that can't disturb readers (sources/snapshots.py — the Delta/Iceberg
+# commit protocol in miniature, superseding the reference's drop/rename
+# report refresh, MysqlToHive.scala:52-54).  The query drives the full
+# lifecycle — v1 append (pre-1998 orders, 2 files), v2 append (the rest,
+# +2 files), v3 compaction rewrite (same rows, 1 file) — then reads every
+# version BACK through its manifest and aggregates.  The n_files column
+# comes from the manifest itself, so the oracle's literals verify the
+# commit protocol produced exactly the promised file sets, and v2 = v3
+# row/sum equality proves compaction preserved the data.
+_SNAP_CACHE: dict[str, str] = {}
+_SNAP_CUT = "1998-01-01"
+
+
+def _snapshot_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAP_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snap_"), "orders_snap")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders")
+        early = orders.where(F.col("o_orderdate") < F.lit(_SNAP_CUT).cast("timestamp"))
+        late = orders.where(F.col("o_orderdate") >= F.lit(_SNAP_CUT).cast("timestamp"))
+        t.commit_append(early, n_files=2)            # v1
+        t.commit_append(late, n_files=2)             # v2 = v1 files + 2
+        t.commit_rewrite(t.read(spark, 2), n_files=1)  # v3: compaction
+        _SNAP_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "table_snapshot_timetravel",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT cast(1 as bigint) AS version, cast(count(*) as bigint) AS n_rows,
+             cast(2 as bigint) AS n_files,
+             cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS sum_total
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_CUT} 00:00:00'
+      UNION ALL
+      SELECT cast(2 as bigint), cast(count(*) as bigint), cast(4 as bigint),
+             cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double)
+      FROM orders
+      UNION ALL
+      SELECT cast(3 as bigint), cast(count(*) as bigint), cast(1 as bigint),
+             cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double)
+      FROM orders
+    ) ORDER BY version
+    """,
+)
+def table_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snapshot_table(spark, sf_dir)
+    frames = []
+    for v in t.versions():
+        agg = t.read(spark, v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        frames.append(
+            agg.select(
+                F.lit(v).cast("bigint").alias("version"),
+                "n_rows",
+                F.lit(len(t.files(v))).cast("bigint").alias("n_files"),
+                "sum_total",
+            )
+        )
+    out = frames[0]
+    for extra in frames[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("version")

@@ -238,7 +238,15 @@ PRIORITY_QUERIES = [
     "pricing_summary",            # P1/P2/A1
     "region_revenue",             # J1/J2/J7/A2
     "interval_join_ship_window",  # J6
-    "rollup_region_nation",       # A6
+    # (rollup_region_nation OUT 6th-r6: slot funds table_snapshot_timetravel
+    #  below; A6 multi-grain machinery is anchored in-window by
+    #  channel_report_full's grain-union re-agg and in the gate by
+    #  cube_terminal_event + grouping_sets_revenue + union_period_grains;
+    #  r1-r5 driver verdicts recorded, stays green in the full gate)
+    "table_snapshot_timetravel",  # NEW 6th-r6: manifest-pinned snapshot
+                                  # commits — atomic manifest rename, time
+                                  # travel, reader-safe compaction (the
+                                  # Delta/Iceberg protocol in miniature)
     "customer_tier_pivot",        # A5
     "clickers_without_purchase",  # J10/U2
     "partitioned_fact_roundtrip", # S2/S7/S8

@@ -1,0 +1,120 @@
+"""Manifest-pinned snapshot tables: atomic commits, time travel, safe
+compaction.
+
+The reference refreshed report tables with drop/rename swaps (e.g. the
+MysqlToHive overwrite cycle, `etl/MysqlToHive.scala:52-54`) — readers see a
+window where the table is missing, and no historical version survives.  The
+lakehouse answer (Delta/Iceberg/Hudi) pins every read to a MANIFEST — a
+small JSON file naming the version's exact data-file set — so:
+
+- **atomic commit**: data files land first (immutable, uniquely named);
+  the commit point is one ``os.replace`` of the manifest — readers see the
+  old version or the new one, never a torn mix.  A crash before the rename
+  leaves orphan data files but a fully consistent table.
+- **time travel**: old manifests are never touched; ``read(version=N)``
+  reconstructs any committed state exactly.
+- **safe compaction**: ``commit_rewrite`` publishes the same rows as new
+  files in a new manifest; in-flight readers of version N keep their file
+  list and are undisturbed (contrast ``compact_small_files``'s rename swap,
+  which this supersedes for tables that opt in).
+
+Scale: the manifest holds file PATHS only — at 100 TB that is O(files),
+kilobytes per commit, and readers schedule exactly the listed files (no
+directory listing, no eventual-consistency hazards on object stores).
+Partition-pruning stats per file (min/max) are the natural next field; the
+JSON schema carries an extensible per-file dict for that reason.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    """A parquet table whose committed state is defined by version manifests.
+
+    Layout::
+
+        <path>/data/<uuid>.parquet        immutable data files
+        <path>/_manifests/v<N>.json       {"version": N, "files": [...]}
+        <path>/_manifests/v<N>.json.tmp   staged then os.replace'd (atomic)
+    """
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.data_dir = os.path.join(self.path, "data")
+        self.manifest_dir = os.path.join(self.path, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    def files(self, version: int | None = None) -> list[str]:
+        versions = self.versions()
+        if not versions:
+            return []
+        v = version if version is not None else versions[-1]
+        return [e["path"] for e in self._manifest(v)["files"]]
+
+    # -- commits -----------------------------------------------------------
+    def _write_data_files(self, df: DataFrame, n_files: int) -> list[dict]:
+        """Materialize df as exactly n_files immutable parquet files and
+        return their manifest entries.  Files go through a staging dir so a
+        crash mid-write can never be confused with committed data."""
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
+        df.repartition(n_files).write.mode("overwrite").parquet(stage)
+        entries = []
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            final = os.path.join(self.data_dir, f"{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(stage, name), final)
+            entries.append({"path": final})
+        for leftover in os.listdir(stage):
+            os.remove(os.path.join(stage, leftover))
+        os.rmdir(stage)
+        return entries
+
+    def _publish(self, entries: list[dict]) -> int:
+        versions = self.versions()
+        v = (versions[-1] + 1) if versions else 1
+        manifest = {"version": v, "parent": versions[-1] if versions else None,
+                    "files": entries}
+        final = os.path.join(self.manifest_dir, f"v{v}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, final)  # THE commit point
+        return v
+
+    def commit_append(self, df: DataFrame, n_files: int = 1) -> int:
+        """New version = parent's files + df's files."""
+        prev = [{"path": p} for p in self.files()]
+        return self._publish(prev + self._write_data_files(df, n_files))
+
+    def commit_rewrite(self, df: DataFrame, n_files: int = 1) -> int:
+        """New version = df's files only (compaction / full overwrite).
+        Parent versions keep their file lists — old readers are safe."""
+        return self._publish(self._write_data_files(df, n_files))
+
+    # -- reads -------------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a pinned version: schedules exactly the manifest's files."""
+        files = self.files(version)
+        if not files:
+            raise ValueError(f"snapshot table {self.path} has no commits")
+        return spark.read.parquet(*files)

@@ -580,3 +580,73 @@ def test_merge_latest_tombstone_not_resurrected(spark, tmp_path):
     assert live == {2}, "replayed older upsert resurrected a deleted key"
     # the tombstone itself is still present in state (not filtered at ingest)
     assert {r.user_id: r.op for r in store.read(spark).collect()} == {1: "D", 2: "U"}
+
+
+def test_snapshot_table_time_travel_and_atomicity(spark, tmp_path):
+    """SnapshotTable commit protocol: every version stays exactly readable
+    after later commits; a staged-but-unrenamed manifest or orphan data
+    files (crash simulation) do NOT change any committed version."""
+    import json
+    import os
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    df1 = spark.range(0, 100).withColumnRenamed("id", "k")
+    df2 = spark.range(100, 150).withColumnRenamed("id", "k")
+    assert t.commit_append(df1, n_files=2) == 1
+    assert t.commit_append(df2, n_files=1) == 2
+
+    assert t.read(spark, 1).count() == 100
+    assert t.read(spark, 2).count() == 150
+    assert t.read(spark).count() == 150  # latest by default
+    assert len(t.files(1)) == 2 and len(t.files(2)) == 3
+
+    # crash simulation 1: orphan data files with no manifest — invisible
+    df_orphan = spark.range(900, 950).withColumnRenamed("id", "k")
+    t._write_data_files(df_orphan, 1)
+    assert t.versions() == [1, 2]
+    assert t.read(spark).count() == 150
+
+    # crash simulation 2: a staged manifest that never got renamed
+    stale = os.path.join(t.manifest_dir, "v3.json.tmp")
+    with open(stale, "w") as f:
+        json.dump({"version": 3, "files": []}, f)
+    assert t.versions() == [1, 2]
+
+    # the failed commit retries cleanly as the NEXT version
+    assert t.commit_append(df_orphan, n_files=1) == 3
+    assert t.read(spark, 3).count() == 200
+
+
+def test_snapshot_table_compaction_preserves_readers(spark, tmp_path):
+    """commit_rewrite publishes the same rows under a new manifest without
+    touching the parent version's files — an in-flight reader of v1 keeps
+    a valid file list (the compact_small_files rename-swap hazard is
+    structurally impossible here)."""
+    import os
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    t.commit_append(df, n_files=8)
+    v1_files = t.files(1)
+    v1_sum = t.read(spark, 1).agg({"k": "sum"}).collect()[0][0]
+
+    t.commit_rewrite(t.read(spark, 1), n_files=1)
+    assert len(t.files(2)) == 1
+    # parent's files all still on disk and still the same list
+    assert t.files(1) == v1_files
+    assert all(os.path.exists(p) for p in v1_files)
+    # both versions agree on content
+    assert t.read(spark, 1).agg({"k": "sum"}).collect()[0][0] == v1_sum
+    assert t.read(spark, 2).agg({"k": "sum"}).collect()[0][0] == v1_sum
+
+    # empty table read fails loudly, not with a silent empty frame
+    t2 = SnapshotTable(str(tmp_path / "empty"))
+    try:
+        t2.read(spark)
+        raise AssertionError("expected ValueError on commit-less table")
+    except ValueError:
+        pass
