@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     # rewrite) then 3 manifest-pinned reads; first call pays the writes,
     # warm repeats measure the pinned reads (session-cached table).
     "table_snapshot_timetravel",
+    # snapshot CDC derivation: one PK full-outer join between two pinned
+    # versions + value-compare classify (session-cached table, same
+    # write-once semantics as above).
+    "snapshot_diff",
 ]
 
 

@@ -886,3 +886,92 @@ def table_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in frames[1:]:
         out = out.unionByName(extra)
     return out.orderBy("version")
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff — change-data derivation between two pinned versions (the
+# Delta CDF / Iceberg changelog analog): v1 and v2 are manifests of the
+# SAME table, so "what changed" is ONE full-outer join on the primary key
+# comparing the value columns.  The fixture plants all four outcomes
+# deterministically (keys mod 10: 0 removed, 9 added; mod 3: price
+# restated; rest unchanged).  Scale: the join is PK-equi (bucket both
+# sides at 100 TB for a shuffle-free SMJ); only keys + compared columns
+# move, never whole rows.  Separate cached table from
+# table_snapshot_timetravel's — diffing must not grow that query's
+# version list.
+_SNAPDIFF_CACHE: dict[str, str] = {}
+
+
+def _snapdiff_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPDIFF_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapdiff_"), "orders_cdc")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        v1 = orders.where(F.col("o_orderkey") % 10 < 9)
+        v2 = orders.where(F.col("o_orderkey") % 10 > 0).select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(100.0)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        t.commit_rewrite(v1, n_files=2)
+        t.commit_rewrite(v2, n_files=2)
+        _SNAPDIFF_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 9
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 > 0
+    ),
+    d AS (
+      SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                  WHEN v2.o_orderkey IS NULL THEN 'removed'
+                  WHEN v1.o_totalprice <> v2.o_totalprice THEN 'modified'
+                  ELSE 'unchanged' END AS change,
+             coalesce(v2.o_totalprice, 0.0) AS new_price
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT change, cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(new_price as decimal(27,6))) as varchar) as double) AS sum_new_price
+    FROM d GROUP BY change
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snapdiff_table(spark, sf_dir)
+    v1 = t.read(spark, 1).select(
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
+    )
+    v2 = t.read(spark, 2).select(
+        F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("p2")
+    )
+    d = v1.join(v2, v1["k1"] == v2["k2"], "full_outer").select(
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "modified")
+        .otherwise("unchanged")
+        .alias("change"),
+        F.coalesce(F.col("p2"), F.lit(0.0)).alias("new_price"),
+    )
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum(F.col("new_price"), "sum_new_price"),
+    )

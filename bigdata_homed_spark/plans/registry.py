@@ -265,7 +265,14 @@ PRIORITY_QUERIES = [
     #  heartbeat_run_repair's stitching)
     "heartbeat_run_repair",       # NEW r5 promotion: OnlineTimePatch boot
                                   # repair (stacked lead/first_value windows)
-    "user_state_merge",           # J5/P5
+    # (user_state_merge OUT 6th-r6: slot funds snapshot_diff below, which
+    #  exercises the SAME J5 full-outer merge-classify shape
+    #  (added/removed/modified/unchanged ≈ new/churned/retained) on
+    #  manifest-pinned versions; P5 null hygiene is throughout; r1-r5
+    #  driver verdicts recorded, stays green in the full gate)
+    "snapshot_diff",              # NEW 6th-r6: CDC derivation between two
+                                  # pinned snapshot versions (Delta CDF
+                                  # analog — PK full-outer + value compare)
     "dedup_user_day_first_event", # A11 (+A8/W4/U3 keep-latest family)
     # (day_clamped_sessions OUT r6: P4 anchored by capped_play_sessions)
     # composite report parity + custom operator

@@ -118,3 +118,33 @@ class SnapshotTable:
         if not files:
             raise ValueError(f"snapshot table {self.path} has no commits")
         return spark.read.parquet(*files)
+
+    # -- retention -----------------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Expire all but the newest ``keep_last`` versions and delete data
+        files no surviving version references.
+
+        Order matters for crash safety: expired MANIFESTS are removed
+        first, then orphaned data files — a crash between the two phases
+        leaves harmless orphans (invisible to readers, removable by the
+        next vacuum), never a manifest pointing at deleted files.  Files
+        shared across versions (append lineage) survive as long as any
+        surviving manifest lists them.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.versions()
+        expired = versions[:-keep_last]
+        survivors = versions[-keep_last:]
+        referenced = set()
+        for v in survivors:
+            referenced.update(self.files(v))
+        for v in expired:
+            os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
+        removed_files = 0
+        for name in os.listdir(self.data_dir):
+            p = os.path.join(self.data_dir, name)
+            if p not in referenced:
+                os.remove(p)
+                removed_files += 1
+        return {"expired_versions": expired, "removed_files": removed_files}

@@ -650,3 +650,45 @@ def test_snapshot_table_compaction_preserves_readers(spark, tmp_path):
         raise AssertionError("expected ValueError on commit-less table")
     except ValueError:
         pass
+
+
+def test_snapshot_table_vacuum_retention(spark, tmp_path):
+    """vacuum(keep_last=N) drops expired manifests first, then every data
+    file unreferenced by a survivor — files SHARED through append lineage
+    must survive while compacted-away files go; surviving versions stay
+    byte-identical readable."""
+    import os
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    a = spark.range(0, 100).withColumnRenamed("id", "k")
+    b = spark.range(100, 150).withColumnRenamed("id", "k")
+    t.commit_append(a, n_files=2)          # v1: 2 files
+    t.commit_append(b, n_files=1)          # v2: v1's 2 + 1 (shared lineage)
+    t.commit_rewrite(t.read(spark, 2), 1)  # v3: 1 fresh file
+    t.commit_append(spark.range(150, 160).withColumnRenamed("id", "k"), 1)  # v4
+
+    # keep v3+v4: v1/v2's three files are referenced by NO survivor -> gone
+    res = t.vacuum(keep_last=2)
+    assert res["expired_versions"] == [1, 2]
+    assert res["removed_files"] == 3
+    assert t.versions() == [3, 4]
+    assert t.read(spark, 3).count() == 150
+    assert t.read(spark, 4).count() == 160
+    assert all(os.path.exists(p) for p in t.files(3) + t.files(4))
+
+    # shared-lineage protection: v4 references v3's file, so keep_last=1
+    # removes only v3's manifest, not the file v4 still lists
+    v3_files = set(t.files(3))
+    res2 = t.vacuum(keep_last=1)
+    assert res2["expired_versions"] == [3]
+    assert v3_files <= set(t.files(4))
+    assert all(os.path.exists(p) for p in t.files(4))
+    assert t.read(spark, 4).count() == 160
+
+    try:
+        t.vacuum(keep_last=0)
+        raise AssertionError("expected ValueError for keep_last=0")
+    except ValueError:
+        pass
