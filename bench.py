@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     # versions + value-compare classify (session-cached table, same
     # write-once semantics as above).
     "snapshot_diff",
+    # zone-map pruned range scan: manifest min/max skipping leaves 2 of 7
+    # files; warm repeats measure the pruned read (table session-cached).
+    "snapshot_pruned_scan",
 ]
 
 

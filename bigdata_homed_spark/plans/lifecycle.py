@@ -975,3 +975,73 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         dsum(F.col("new_price"), "sum_new_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zone-map data skipping over the snapshot table — the manifest-level
+# min/max stats that make a 100 TB range scan read only the files that can
+# match (Delta/Iceberg file skipping; parquet row-group pruning one level
+# up).  The fixture commits orders year-by-year (7 files, each manifest
+# entry carrying o_orderdate min/max), then scans a 2-year range: the
+# n_files_scanned/n_files_total columns come from the MANIFEST's pruning
+# decision, so the oracle's literals (2 of 7) verify the zone maps
+# actually skipped, while n_rows/sum verify the surviving files + residual
+# filter return exactly the right rows.
+_SNAPPRUNE_CACHE: dict[str, str] = {}
+_PRUNE_LO = "1997-01-01 00:00:00"
+_PRUNE_HI = "1998-12-31 23:59:59"
+
+
+def _snapprune_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPPRUNE_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapzm_"), "orders_zm")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        # one commit per year: a bounded driver loop over the 7-value year
+        # dim (the ingest cadence a nightly pipeline has anyway)
+        for y in range(1995, 2002):
+            t.commit_append(
+                orders.where(F.year("o_orderdate") == y),
+                n_files=1,
+                stats_cols=["o_orderdate"],
+            )
+        _SNAPPRUNE_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_pruned_scan",
+    oracle=f"""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(2 as bigint) AS n_files_scanned,
+           cast(7 as bigint) AS n_files_total
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '{_PRUNE_LO}' AND TIMESTAMP '{_PRUNE_HI}'
+    """,
+)
+def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snapprune_table(spark, sf_dir)
+    pruned = t.pruned_files("o_orderdate", _PRUNE_LO, _PRUNE_HI)
+    df = t.read_pruned(spark, "o_orderdate", _PRUNE_LO, _PRUNE_HI).where(
+        F.col("o_orderdate").between(
+            F.lit(_PRUNE_LO).cast("timestamp"), F.lit(_PRUNE_HI).cast("timestamp")
+        )
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_total"),
+    ).select(
+        "n_rows",
+        "sum_total",
+        F.lit(len(pruned)).cast("bigint").alias("n_files_scanned"),
+        F.lit(len(t.files())).cast("bigint").alias("n_files_total"),
+    )

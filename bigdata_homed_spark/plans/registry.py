@@ -249,7 +249,15 @@ PRIORITY_QUERIES = [
                                   # Delta/Iceberg protocol in miniature)
     "customer_tier_pivot",        # A5
     "clickers_without_purchase",  # J10/U2
-    "partitioned_fact_roundtrip", # S2/S7/S8
+    # (partitioned_fact_roundtrip OUT 6th-r6: slot funds
+    #  snapshot_pruned_scan below; the S7/S8 partitioned write is exercised
+    #  in-window by business_user_array_cycle's pack→persist→unpack cycle,
+    #  the S2 pruned scan by the zone-map skipping query + the gate row;
+    #  r1-r5 driver verdicts recorded, stays green in the full gate)
+    "snapshot_pruned_scan",       # NEW 6th-r6: manifest zone-map data
+                                  # skipping (per-file min/max stats; the
+                                  # oracle's 2-of-7 literal verifies the
+                                  # pruning decision itself)
     "jdbc_dim_roundtrip",         # NEW r5: S3/S4/S9 executed (embedded
                                   # Derby write + pushdown + partitioned read)
     "rank_list_publish_roundtrip",  # NEW r6: S12 executed (varint pack +

@@ -71,10 +71,20 @@ class SnapshotTable:
         return [e["path"] for e in self._manifest(v)["files"]]
 
     # -- commits -----------------------------------------------------------
-    def _write_data_files(self, df: DataFrame, n_files: int) -> list[dict]:
+    def _write_data_files(
+        self, df: DataFrame, n_files: int, stats_cols: list[str] | None = None
+    ) -> list[dict]:
         """Materialize df as exactly n_files immutable parquet files and
         return their manifest entries.  Files go through a staging dir so a
-        crash mid-write can never be confused with committed data."""
+        crash mid-write can never be confused with committed data.
+
+        ``stats_cols`` adds per-file min/max zone maps to the entries (one
+        grouped pass over the landed files; a production writer would lift
+        these from the parquet footers it just wrote).  Values are stored
+        as strings via Spark's cast — lexicographic order matches the
+        native order for timestamps ('yyyy-MM-dd HH:mm:ss') and strings;
+        numeric columns should be zero-padded by the caller if pruned on.
+        """
         stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
         df.repartition(n_files).write.mode("overwrite").parquet(stage)
         entries = []
@@ -87,7 +97,34 @@ class SnapshotTable:
         for leftover in os.listdir(stage):
             os.remove(os.path.join(stage, leftover))
         os.rmdir(stage)
+        if stats_cols and entries:
+            self._attach_stats(df.sparkSession, entries, stats_cols)
         return entries
+
+    @staticmethod
+    def _attach_stats(
+        spark: SparkSession, entries: list[dict], stats_cols: list[str]
+    ) -> None:
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).cast("string").alias(f"min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"max_{c}"))
+        rows = (
+            spark.read.parquet(*[e["path"] for e in entries])
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(*aggs)
+            .collect()
+        )  # bounded: one row per just-written file
+        by_path = {unquote(urlparse(r["f"]).path): r for r in rows}
+        for e in entries:
+            r = by_path[e["path"]]
+            e["stats"] = {
+                c: {"min": r[f"min_{c}"], "max": r[f"max_{c}"]} for c in stats_cols
+            }
 
     def _publish(self, entries: list[dict]) -> int:
         versions = self.versions()
@@ -101,15 +138,20 @@ class SnapshotTable:
         os.replace(tmp, final)  # THE commit point
         return v
 
-    def commit_append(self, df: DataFrame, n_files: int = 1) -> int:
-        """New version = parent's files + df's files."""
-        prev = [{"path": p} for p in self.files()]
-        return self._publish(prev + self._write_data_files(df, n_files))
+    def commit_append(
+        self, df: DataFrame, n_files: int = 1, stats_cols: list[str] | None = None
+    ) -> int:
+        """New version = parent's ENTRIES (stats preserved) + df's files."""
+        versions = self.versions()
+        prev = list(self._manifest(versions[-1])["files"]) if versions else []
+        return self._publish(prev + self._write_data_files(df, n_files, stats_cols))
 
-    def commit_rewrite(self, df: DataFrame, n_files: int = 1) -> int:
+    def commit_rewrite(
+        self, df: DataFrame, n_files: int = 1, stats_cols: list[str] | None = None
+    ) -> int:
         """New version = df's files only (compaction / full overwrite).
         Parent versions keep their file lists — old readers are safe."""
-        return self._publish(self._write_data_files(df, n_files))
+        return self._publish(self._write_data_files(df, n_files, stats_cols))
 
     # -- reads -------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -117,6 +159,37 @@ class SnapshotTable:
         files = self.files(version)
         if not files:
             raise ValueError(f"snapshot table {self.path} has no commits")
+        return spark.read.parquet(*files)
+
+    def pruned_files(
+        self, col: str, lo: str, hi: str, version: int | None = None
+    ) -> list[str]:
+        """Data skipping: the version's files whose [min, max] zone map for
+        ``col`` overlaps [lo, hi].  A file with no stats for ``col`` cannot
+        be skipped and is always returned (correctness over pruning)."""
+        versions = self.versions()
+        v = version if version is not None else versions[-1]
+        out = []
+        for e in self._manifest(v)["files"]:
+            st = e.get("stats", {}).get(col)
+            if st is None or not (st["max"] < lo or st["min"] > hi):
+                out.append(e["path"])
+        return out
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo: str,
+        hi: str,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read only the zone-map-surviving files.  The caller still
+        applies the row-level predicate — pruning is file-granular, like
+        parquet row-group skipping one level up."""
+        files = self.pruned_files(col, lo, hi, version)
+        if not files:
+            return self.read(spark, version).limit(0)
         return spark.read.parquet(*files)
 
     # -- retention -----------------------------------------------------------

@@ -692,3 +692,50 @@ def test_snapshot_table_vacuum_retention(spark, tmp_path):
         raise AssertionError("expected ValueError for keep_last=0")
     except ValueError:
         pass
+
+
+def test_snapshot_zone_map_pruning(spark, tmp_path):
+    """Manifest zone maps: disjoint files are skipped, boundary-touching
+    files are kept, files WITHOUT stats are never pruned (correctness over
+    pruning), and an all-pruned read returns an empty frame with the full
+    schema."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    mk = lambda lo, hi: (
+        spark.range(lo, hi)
+        .withColumnRenamed("id", "k")
+        .selectExpr("k", "lpad(cast(k as string), 6, '0') AS s")
+    )
+    t.commit_append(mk(0, 100), n_files=1, stats_cols=["s"])
+    t.commit_append(mk(100, 200), n_files=1, stats_cols=["s"])
+    t.commit_append(mk(200, 300), n_files=1)  # NO stats: unprunable
+
+    total = t.files()
+    assert len(total) == 3
+
+    # range inside file 2 only -> file 2 + the stat-less file survive
+    surv = t.pruned_files("s", "000150", "000160")
+    assert len(surv) == 2
+    rows = (
+        t.read_pruned(spark, "s", "000150", "000160")
+        .where("s between '000150' and '000160'")
+        .count()
+    )
+    assert rows == 11
+
+    # boundary touch: hi == file 1's min ('000000'..'000099') keeps it
+    assert len(t.pruned_files("s", "000099", "000100")) == 3  # f1 max==lo, f2 min==hi, f3 statless
+
+    # all-pruned range (above every zone map): only the stat-less file
+    surv3 = t.pruned_files("s", "000900", "000999")
+    assert len(surv3) == 1
+    # read_pruned with zero survivors still yields the schema, zero rows
+    t2 = SnapshotTable(str(tmp_path / "snap2"))
+    t2.commit_append(mk(0, 10), n_files=1, stats_cols=["s"])
+    empty = t2.read_pruned(spark, "s", "zzz", "zzzz")
+    assert empty.columns == ["k", "s"] and empty.count() == 0
+
+    # append preserves the parent's stats entries (pruning still works on
+    # files committed two versions ago)
+    assert len(t.pruned_files("s", "000000", "000010", version=3)) == 2
