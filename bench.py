@@ -180,6 +180,9 @@ BENCH_QUERIES = [
     # zone-map pruned range scan: manifest min/max skipping leaves 2 of 7
     # files; warm repeats measure the pruned read (table session-cached).
     "snapshot_pruned_scan",
+    # copy-on-write MERGE: first call pays the yearly build + the merge
+    # (1 file rewritten of 7); warm repeats measure the merged-state read.
+    "snapshot_merge_upsert",
 ]
 
 

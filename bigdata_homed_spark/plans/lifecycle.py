@@ -1045,3 +1045,99 @@ def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(pruned)).cast("bigint").alias("n_files_scanned"),
         F.lit(len(t.files())).cast("bigint").alias("n_files_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Copy-on-write MERGE over the snapshot table (Delta MERGE INTO): the
+# fixture's yearly layout means the merge batch — even-key 1997 price
+# restatements plus brand-new synthetic keys — hits exactly ONE of the
+# seven data files (and only PART of it, so the rewrite path runs), so
+# the manifest after the merge carries 6 files UNCHANGED (no IO), 1
+# rewritten without its matched rows, and 1 fresh file with the upserts.
+# The n_files_carried/n_files_total columns come from manifest-path
+# intersection, so the oracle's literals (6 of 8) verify the copy-on-write
+# MINIMALITY, while n_rows/sum verify the merged state.  At 100 TB this is
+# the point of clustered layout + zone maps: a merge touches the files its
+# keys live in, not the table.
+_SNAPMERGE_CACHE: dict[str, str] = {}
+
+
+def _snapmerge_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPMERGE_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapmg_"), "orders_mg")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        for y in range(1995, 2002):
+            t.commit_append(
+                orders.where(F.year("o_orderdate") == y),
+                n_files=1,
+                stats_cols=["o_orderdate"],
+            )
+        restated = orders.where(
+            (F.year("o_orderdate") == 1997) & (F.col("o_orderkey") % 2 == 0)
+        ).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(50.0)).alias("o_totalprice"),
+            "o_orderdate",
+        )
+        inserts = orders.where(F.year("o_orderdate") == 2001).select(
+            (F.col("o_orderkey") + F.lit(1000000000000)).alias("o_orderkey"),
+            (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+            F.col("o_orderdate"),
+        )
+        t.commit_merge(
+            restated.unionByName(inserts),
+            key="o_orderkey",
+            n_new_files=1,
+            stats_cols=["o_orderdate"],
+        )
+        _SNAPMERGE_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_merge_upsert",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN year(o_orderdate) = 1997 AND o_orderkey % 2 = 0
+                  THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS p
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 1000000000000, o_totalprice * 0.5
+      FROM orders WHERE year(o_orderdate) = 2001
+    )
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(p as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(6 as bigint) AS n_files_carried,
+           cast(8 as bigint) AS n_files_total
+    FROM merged
+    """,
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snapmerge_table(spark, sf_dir)
+    vs = t.versions()
+    pre, post = vs[-2], vs[-1]
+    carried = len(set(t.files(pre)) & set(t.files(post)))
+    return (
+        t.read(spark, post)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .select(
+            "n_rows",
+            "sum_total",
+            F.lit(carried).cast("bigint").alias("n_files_carried"),
+            F.lit(len(t.files(post))).cast("bigint").alias("n_files_total"),
+        )
+    )

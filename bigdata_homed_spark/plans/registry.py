@@ -281,7 +281,15 @@ PRIORITY_QUERIES = [
     "snapshot_diff",              # NEW 6th-r6: CDC derivation between two
                                   # pinned snapshot versions (Delta CDF
                                   # analog — PK full-outer + value compare)
-    "dedup_user_day_first_event", # A11 (+A8/W4/U3 keep-latest family)
+    # (dedup_user_day_first_event OUT 6th-r6: slot funds
+    #  snapshot_merge_upsert below; the keep-latest family (A8/A11/W4/U3)
+    #  is anchored in-window by stream_channel_live_counts' per-batch
+    #  keep-latest and channel_report_full's row_number dedup windows, and
+    #  in the gate by latest_event_per_user; r1-r5 driver verdicts
+    #  recorded, stays green in the full gate)
+    "snapshot_merge_upsert",      # NEW 6th-r6: copy-on-write MERGE INTO —
+                                  # file-granular upsert; oracle literals
+                                  # (6-of-8 carried) verify CoW minimality
     # (day_clamped_sessions OUT r6: P4 anchored by capped_play_sessions)
     # composite report parity + custom operator
     "video_play_report",          # P6 + report family

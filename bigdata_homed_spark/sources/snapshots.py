@@ -121,7 +121,9 @@ class SnapshotTable:
         )  # bounded: one row per just-written file
         by_path = {unquote(urlparse(r["f"]).path): r for r in rows}
         for e in entries:
-            r = by_path[e["path"]]
+            r = by_path.get(e["path"])
+            if r is None:
+                continue  # zero-row file: no stats -> never pruned (safe)
             e["stats"] = {
                 c: {"min": r[f"min_{c}"], "max": r[f"max_{c}"]} for c in stats_cols
             }
@@ -160,6 +162,59 @@ class SnapshotTable:
         if not files:
             raise ValueError(f"snapshot table {self.path} has no commits")
         return spark.read.parquet(*files)
+
+    def commit_merge(
+        self,
+        updates: DataFrame,
+        key: str,
+        n_new_files: int = 1,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Copy-on-write MERGE (upsert by ``key``, the Delta ``MERGE INTO``
+        shape): files containing NO matched key are carried into the new
+        manifest unchanged (no IO); each file with at least one match is
+        rewritten without its matched rows; ``updates`` (new values for
+        matched keys + brand-new keys) lands as fresh files.  Touch cost is
+        proportional to the files actually hit — with clustered layout +
+        zone maps that is the handful of files the keys live in, not the
+        table.  ``updates`` must be unique on ``key`` (upsert semantics).
+
+        The per-hit-file rewrite loop is file-count-bounded driver work
+        (same class as a commit cadence loop), not data-volume work.
+        """
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        spark = updates.sparkSession
+        versions = self.versions()
+        if not versions:
+            return self.commit_append(updates, n_new_files, stats_cols)
+        cur_entries = self._manifest(versions[-1])["files"]
+        upd_keys = updates.select(key).distinct()
+        hits = (
+            spark.read.parquet(*[e["path"] for e in cur_entries])
+            .withColumn("__f", F.input_file_name())
+            .join(F.broadcast(upd_keys), key, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        )  # bounded: at most one row per data file
+        hit_paths = {unquote(urlparse(r["__f"]).path) for r in hits}
+        kept = [e for e in cur_entries if e["path"] not in hit_paths]
+        rewritten: list[dict] = []
+        for e in cur_entries:
+            if e["path"] not in hit_paths:
+                continue
+            survivors = spark.read.parquet(e["path"]).join(
+                F.broadcast(upd_keys), key, "left_anti"
+            )
+            if not survivors.limit(1).count():
+                continue  # fully-matched file: disappears from the manifest
+            cols = list(e.get("stats", {})) or None
+            rewritten.extend(self._write_data_files(survivors, 1, cols))
+        new = self._write_data_files(updates, n_new_files, stats_cols)
+        return self._publish(kept + rewritten + new)
 
     def pruned_files(
         self, col: str, lo: str, hi: str, version: int | None = None

@@ -739,3 +739,55 @@ def test_snapshot_zone_map_pruning(spark, tmp_path):
     # append preserves the parent's stats entries (pruning still works on
     # files committed two versions ago)
     assert len(t.pruned_files("s", "000000", "000010", version=3)) == 2
+
+
+def test_snapshot_commit_merge_copy_on_write(spark, tmp_path):
+    """commit_merge rewrites ONLY files containing matched keys: untouched
+    files carry over path-identical (stats intact), a partially-matched
+    file is rewritten without its matched rows, a fully-matched file
+    disappears, and updates (matched + new keys) land as fresh files."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    mk = lambda lo, hi: (
+        spark.range(lo, hi)
+        .selectExpr("id AS k", "cast(id * 10 as double) AS v",
+                    "lpad(cast(id as string), 6, '0') AS s")
+    )
+    t.commit_append(mk(0, 100), n_files=1, stats_cols=["s"])     # file A
+    t.commit_append(mk(100, 200), n_files=1, stats_cols=["s"])   # file B
+    t.commit_append(mk(200, 300), n_files=1, stats_cols=["s"])   # file C
+    before = t.files(3)
+
+    # updates: half of B (partial rewrite), ALL of C (file disappears),
+    # plus brand-new keys 300-309
+    upd = (
+        spark.range(100, 150).union(spark.range(200, 300)).union(spark.range(300, 310))
+        .selectExpr("id AS k", "cast(-1.0 as double) AS v",
+                    "lpad(cast(id as string), 6, '0') AS s")
+    )
+    v4 = t.commit_merge(upd, key="k", n_new_files=1, stats_cols=["s"])
+    after = t.files(v4)
+
+    # CoW minimality: A carried path-identical; B rewritten; C gone
+    assert before[0] in after
+    assert before[1] not in after and before[2] not in after
+    assert len(after) == 3  # A + rewritten-B + new
+
+    rows = {r.k: r.v for r in t.read(spark, v4).collect()}
+    assert len(rows) == 310
+    assert rows[0] == 0.0 and rows[99] == 990.0          # A untouched
+    assert rows[150] == 1500.0 and rows[100] == -1.0     # B: half kept, half upserted
+    assert rows[250] == -1.0 and rows[305] == -1.0       # C + inserts replaced
+    # pre-merge version still reads the old state (time travel intact)
+    old = {r.k: r.v for r in t.read(spark, 3).collect()}
+    assert len(old) == 300 and old[100] == 1000.0
+
+    # stats survive on carried entries and exist on rewritten/new ones ->
+    # pruning still works across the merge
+    assert len(t.pruned_files("s", "000000", "000050", version=v4)) == 1
+
+    # merge into an empty table degrades to a plain append
+    t2 = SnapshotTable(str(tmp_path / "snap2"))
+    assert t2.commit_merge(mk(0, 5), key="k") == 1
+    assert t2.read(spark).count() == 5
