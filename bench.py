@@ -183,6 +183,10 @@ BENCH_QUERIES = [
     # copy-on-write MERGE: first call pays the yearly build + the merge
     # (1 file rewritten of 7); warm repeats measure the merged-state read.
     "snapshot_merge_upsert",
+    # exactly-once streaming commits: 4 replayed micro-batches each landing
+    # as an idempotent manifest commit + a poisoned replay; streaming fixed
+    # costs dominate (like the other foreachBatch entries) — expect ~flat.
+    "stream_snapshot_commits",
 ]
 
 

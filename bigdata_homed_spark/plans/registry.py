@@ -247,7 +247,15 @@ PRIORITY_QUERIES = [
                                   # commits — atomic manifest rename, time
                                   # travel, reader-safe compaction (the
                                   # Delta/Iceberg protocol in miniature)
-    "customer_tier_pivot",        # A5
+    # (customer_tier_pivot OUT 6th-r6: slot funds stream_snapshot_commits
+    #  below; A5 conditional-agg/pivot machinery is anchored in-window by
+    #  channel_report_full's conditional grain aggregates and in the gate
+    #  by event_type_pivot + cpsp_hourly_tiers + demand_package_tiers;
+    #  r1-r5 driver verdicts recorded, stays green in the full gate)
+    "stream_snapshot_commits",    # NEW 6th-r6: exactly-once streaming sink
+                                  # via batch_id-stamped manifest commits —
+                                  # the query replays a poisoned batch 0 and
+                                  # the oracle proves it committed nothing
     "clickers_without_purchase",  # J10/U2
     # (partitioned_fact_roundtrip OUT 6th-r6: slot funds
     #  snapshot_pruned_scan below; the S7/S8 partitioned write is exercised

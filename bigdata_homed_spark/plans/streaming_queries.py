@@ -1108,3 +1108,89 @@ def stream_cdc_apply(
             F.col("value").alias("last_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming EXACTLY-ONCE sink through the snapshot table: each micro-batch
+# lands as one atomic manifest commit stamped with its batch_id, so a
+# replayed batch (foreachBatch is at-least-once; a crash can land between
+# the sink write and the checkpoint) is SKIPPED by the table itself — the
+# manifest is simultaneously the commit point and the dedup record, which
+# is exactly how Delta's txn/idempotent-writes option works.  The query
+# replays the poisoned proof inline: after the stream drains, batch 0 is
+# re-committed with a 1-row frame that would add a bogus event_type and a
+# 5th version — the oracle's n_versions=4 literal and the clean group set
+# prove the replay produced NOTHING.  Per-batch cost is one append commit
+# (files + a kilobyte manifest); version count is bounded by vacuum.
+@query(
+    "stream_snapshot_commits",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_events,
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS sum_value,
+           cast(4 as bigint) AS n_versions
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_snapshot_commits(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import SnapshotTable
+    from ..sources.tables import load_table
+
+    staged = tempfile.mkdtemp(prefix="snapstream_")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts_sec"
+    ).repartitionByRange(n_batches, "event_id").write.mode("overwrite").parquet(
+        staged
+    )
+
+    t = SnapshotTable(tempfile.mkdtemp(prefix="snapstream_tbl_"))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t.commit_append(
+            batch_df.select("event_id", "user_id", "event_type", "value", "ts_sec"),
+            n_files=1,
+            batch_id=batch_id,
+        )
+
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, ts_sec bigint"
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="snapstream_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # replay batch 0 with a POISONED frame: a working idempotency guard
+    # commits nothing; a broken one adds a bogus group AND a 5th version,
+    # failing the oracle loudly on both columns
+    poison = spark.createDataFrame(
+        [(-1, -1, "__replayed__", 1.0, 0)],
+        "event_id bigint, user_id bigint, event_type string, value double, ts_sec bigint",
+    )
+    t.commit_append(poison, n_files=1, batch_id=0)
+
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn("n_versions", F.lit(len(t.versions())).cast("bigint"))
+    )

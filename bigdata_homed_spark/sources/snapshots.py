@@ -128,11 +128,13 @@ class SnapshotTable:
                 c: {"min": r[f"min_{c}"], "max": r[f"max_{c}"]} for c in stats_cols
             }
 
-    def _publish(self, entries: list[dict]) -> int:
+    def _publish(self, entries: list[dict], batch_id: int | None = None) -> int:
         versions = self.versions()
         v = (versions[-1] + 1) if versions else 1
         manifest = {"version": v, "parent": versions[-1] if versions else None,
                     "files": entries}
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
         final = os.path.join(self.manifest_dir, f"v{v}.json")
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
@@ -140,13 +142,40 @@ class SnapshotTable:
         os.replace(tmp, final)  # THE commit point
         return v
 
+    def committed_batch_ids(self) -> set[int]:
+        """Batch ids recorded by prior idempotent commits (one JSON read
+        per surviving version — vacuum bounds this)."""
+        out = set()
+        for v in self.versions():
+            b = self._manifest(v).get("batch_id")
+            if b is not None:
+                out.add(b)
+        return out
+
     def commit_append(
-        self, df: DataFrame, n_files: int = 1, stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        n_files: int = 1,
+        stats_cols: list[str] | None = None,
+        batch_id: int | None = None,
     ) -> int:
-        """New version = parent's ENTRIES (stats preserved) + df's files."""
+        """New version = parent's ENTRIES (stats preserved) + df's files.
+
+        ``batch_id`` makes the commit IDEMPOTENT for streaming sinks: a
+        replayed ``foreachBatch`` id (at-least-once delivery, restart after
+        a crash between the sink write and the checkpoint) is skipped —
+        the current version is returned and NOTHING is written.  This is
+        the Spark-docs foreachBatch idempotency recipe enforced at the
+        table-format layer, where the manifest (the commit point) and the
+        dedup record are the same atomic object.  Single-writer assumed,
+        as everywhere in this class."""
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return self.versions()[-1]
         versions = self.versions()
         prev = list(self._manifest(versions[-1])["files"]) if versions else []
-        return self._publish(prev + self._write_data_files(df, n_files, stats_cols))
+        return self._publish(
+            prev + self._write_data_files(df, n_files, stats_cols), batch_id
+        )
 
     def commit_rewrite(
         self, df: DataFrame, n_files: int = 1, stats_cols: list[str] | None = None

@@ -791,3 +791,31 @@ def test_snapshot_commit_merge_copy_on_write(spark, tmp_path):
     t2 = SnapshotTable(str(tmp_path / "snap2"))
     assert t2.commit_merge(mk(0, 5), key="k") == 1
     assert t2.read(spark).count() == 5
+
+
+def test_snapshot_batch_id_idempotent_commits(spark, tmp_path):
+    """commit_append(batch_id=) is the exactly-once streaming sink guard:
+    a replayed id commits NOTHING (even with different data), ids dedupe
+    across later versions, and id-less commits are never deduped."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    a = spark.range(0, 10).withColumnRenamed("id", "k")
+    b = spark.range(10, 30).withColumnRenamed("id", "k")
+
+    assert t.commit_append(a, batch_id=0) == 1
+    # replay with DIFFERENT data: skipped, version unchanged, data intact
+    assert t.commit_append(b, batch_id=0) == 1
+    assert t.versions() == [1]
+    assert t.read(spark).count() == 10
+
+    assert t.commit_append(b, batch_id=1) == 2
+    # stale replay after newer commits: still skipped
+    assert t.commit_append(a, batch_id=0) == 2
+    assert t.read(spark).count() == 30
+
+    # id-less commits never dedupe
+    assert t.commit_append(a) == 3
+    assert t.commit_append(a) == 4
+    assert t.read(spark).count() == 50
+    assert t.committed_batch_ids() == {0, 1}
