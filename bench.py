@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     # as an idempotent manifest commit + a poisoned replay; streaming fixed
     # costs dominate (like the other foreachBatch entries) — expect ~flat.
     "stream_snapshot_commits",
+    # RESTORE roundtrip: good build -> corrupted rewrite -> manifest-only
+    # rollback; warm repeats measure the restored-head + bad-version reads.
+    "snapshot_restore",
 ]
 
 

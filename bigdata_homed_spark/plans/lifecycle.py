@@ -1141,3 +1141,64 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(t.files(post))).cast("bigint").alias("n_files_total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RESTORE — rollback as a forward commit (Delta RESTORE semantics): a bad
+# deploy overwrites the table with a corrupted build (here: every price
+# zeroed); restore(v1) publishes a NEW version pointing at v1's untouched
+# files, so the fix is itself auditable, time-travelable, and moves ZERO
+# data (manifest-only).  The query reads the restored head AND the bad
+# version it rolled back over: sum_total_restored equals the clean build,
+# sum_total_bad is 0, and n_versions=3 pins the never-rewrite-history
+# contract (v2 stays readable for the post-mortem).
+_SNAPRESTORE_CACHE: dict[str, str] = {}
+
+
+def _snaprestore_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPRESTORE_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snaprs_"), "orders_rs")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.commit_rewrite(orders, n_files=2)  # v1: the good build
+        t.commit_rewrite(                    # v2: the corrupted deploy
+            orders.withColumn("o_totalprice", F.lit(0.0)), n_files=2
+        )
+        t.restore(1)                         # v3: rollback, zero data moved
+        _SNAPRESTORE_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_restore",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS sum_total_restored,
+           cast(0.0 as double) AS sum_total_bad,
+           cast(3 as bigint) AS n_versions
+    FROM orders
+    """,
+)
+def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snaprestore_table(spark, sf_dir)
+    head = t.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_total_restored"),
+    )
+    bad = F.broadcast(
+        t.read(spark, 2).agg(dsum(F.col("o_totalprice"), "sum_total_bad"))
+    )
+    return head.crossJoin(bad).select(
+        "n_rows",
+        "sum_total_restored",
+        "sum_total_bad",
+        F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
+    )

@@ -256,7 +256,15 @@ PRIORITY_QUERIES = [
                                   # via batch_id-stamped manifest commits —
                                   # the query replays a poisoned batch 0 and
                                   # the oracle proves it committed nothing
-    "clickers_without_purchase",  # J10/U2
+    # (clickers_without_purchase OUT 6th-r6: slot funds snapshot_restore
+    #  below; J10/U2 anti-join machinery is anchored in-window by
+    #  incremental_dedup_report's persisted-index anti-joins and
+    #  snapshot_merge_upsert's left-anti CoW rewrite; r1-r5 driver
+    #  verdicts recorded, stays green in the full gate)
+    "snapshot_restore",           # NEW 6th-r6: RESTORE as a forward commit
+                                  # (rollback moves zero data; bad version
+                                  # stays readable; n_versions=3 pins the
+                                  # never-rewrite-history contract)
     # (partitioned_fact_roundtrip OUT 6th-r6: slot funds
     #  snapshot_pruned_scan below; the S7/S8 partitioned write is exercised
     #  in-window by business_user_array_cycle's pack→persist→unpack cycle,

@@ -245,6 +245,20 @@ class SnapshotTable:
         new = self._write_data_files(updates, n_new_files, stats_cols)
         return self._publish(kept + rewritten + new)
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` — published as a NEW version
+        whose file list is the old one's (the Delta RESTORE semantics):
+        history is never rewritten, the rollback itself is auditable and
+        time-travelable, and no data moves (manifest-only, O(files) JSON).
+        Requires the target's files to still exist (i.e. not vacuumed)."""
+        entries = self._manifest(version)["files"]
+        missing = [e["path"] for e in entries if not os.path.exists(e["path"])]
+        if missing:
+            raise ValueError(
+                f"cannot restore v{version}: {len(missing)} file(s) vacuumed away"
+            )
+        return self._publish(list(entries))
+
     def pruned_files(
         self, col: str, lo: str, hi: str, version: int | None = None
     ) -> list[str]:

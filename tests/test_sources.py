@@ -819,3 +819,33 @@ def test_snapshot_batch_id_idempotent_commits(spark, tmp_path):
     assert t.commit_append(a) == 4
     assert t.read(spark).count() == 50
     assert t.committed_batch_ids() == {0, 1}
+
+
+def test_snapshot_restore_is_forward_commit(spark, tmp_path):
+    """restore(v) publishes a NEW version pointing at v's files: no data
+    moves, the bad version stays readable for post-mortems, and restoring
+    a vacuumed-away version fails loudly instead of publishing a manifest
+    over missing files."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    good = spark.range(0, 100).withColumnRenamed("id", "k")
+    bad = spark.range(0, 3).withColumnRenamed("id", "k")
+    t.commit_rewrite(good, n_files=2)
+    t.commit_rewrite(bad, n_files=1)
+    v3 = t.restore(1)
+
+    assert v3 == 3 and t.versions() == [1, 2, 3]
+    assert t.files(3) == t.files(1)          # manifest-only, zero data moved
+    assert t.read(spark).count() == 100      # head is the good build again
+    assert t.read(spark, 2).count() == 3     # history never rewritten
+
+    # vacuum away v1/v2 (v3 still references v1's files -> they survive),
+    # then restoring the vacuumed v2 must fail loudly
+    t.vacuum(keep_last=1)
+    assert t.read(spark).count() == 100
+    try:
+        t.restore(2)
+        raise AssertionError("expected restore of vacuumed version to fail")
+    except (ValueError, FileNotFoundError):
+        pass
