@@ -86,6 +86,13 @@ INTENTIONAL_BNL = {
         "are sqrt(K) coarse seeds); the within-cluster pair join is an "
         "equi-join on cid, not a BNL"
     ),
+    "mmr_diverse_topk": (
+        '1-row query-vector broadcast for the relevance scan, then one ON-true left join per MMR round against the selected set (broadcast, <=K=5 rows) — every BNL build side is <=5 rows and the probe side is the 50-row cached candidate cut, never the corpus (the raw count re-expands the cached cut per round, pre-execution inflation as above)'
+    ),
+    "bpe_vocab_merges": (
+        "per merge round: the 1-row argmax pair broadcast (the chosen merge) and the 1-row tokens-after aggregate broadcast — all scalar-sized.  Raw counts here are inflated like channel_report_full's: the plan is analyzed pre-execution, so each round's .persist() reuse point re-expands the prior rounds' subtree; at runtime each round is one pass over the cached token frame"
+    ),
+    "snapshot_restore": "1-row bad-version aggregate broadcast (the post-mortem read)",
     "channel_report_full": (
         "9× the 1-row day-count/report-date scalar broadcast (one per grain "
         "branch).  Its raw shuffle count is also inflated in THIS table: the "
