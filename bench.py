@@ -190,6 +190,9 @@ BENCH_QUERIES = [
     # RESTORE roundtrip: good build -> corrupted rewrite -> manifest-only
     # rollback; warm repeats measure the restored-head + bad-version reads.
     "snapshot_restore",
+    # additive schema evolution: two-vintage merge-schema read with NULL
+    # backfill (table session-cached; warm repeats measure the union read).
+    "snapshot_schema_evolution",
 ]
 
 

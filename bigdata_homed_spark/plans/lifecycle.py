@@ -1202,3 +1202,68 @@ def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_total_bad",
         F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
     )
+
+
+# --------------------------------------------------------------------------
+# Additive schema evolution — the lakehouse contract that lets a pipeline
+# add a column WITHOUT rewriting history: v1 commits (o_orderkey,
+# o_totalprice); v2 appends rows that also carry a `discount` column; a
+# merge-schema read reconciles both vintages, surfacing NULL discount for
+# pre-evolution rows.  The oracle mirrors the vintage split with the same
+# modular rule, so the hash verifies both the union schema and the
+# null-backfill semantics.  Zero data movement: old files are never
+# touched (contrast ALTER TABLE + full rewrite).
+_SNAPEVO_CACHE: dict[str, str] = {}
+
+
+def _snapevo_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPEVO_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapev_"), "orders_ev")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders")
+        old = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        new = orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_totalprice") * F.lit(0.1)).alias("discount"),
+        )
+        t.commit_append(old, n_files=1)
+        t.commit_append(new, n_files=1)
+        _SNAPEVO_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS discount
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_totalprice * 0.1 AS discount
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(count(discount) as bigint) AS n_with_discount,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(cast(sum(cast(coalesce(discount, 0.0) as decimal(27,6))) as varchar) as double) AS sum_discount
+    FROM unioned
+    """,
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snapevo_table(spark, sf_dir)
+    df = t.read(spark, merge_schema=True)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("discount").cast("bigint").alias("n_with_discount"),
+        dsum(F.col("o_totalprice"), "sum_total"),
+        dsum(F.coalesce(F.col("discount"), F.lit(0.0)), "sum_discount"),
+    )

@@ -237,7 +237,16 @@ PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
     "region_revenue",             # J1/J2/J7/A2
-    "interval_join_ship_window",  # J6
+    # (interval_join_ship_window OUT 6th-r6: slot funds
+    #  snapshot_schema_evolution below; J6 range-predicate machinery is
+    #  anchored in-window by purchase_asof_heartbeat's as-of range join,
+    #  with the bucketed interval variant plan-tested and
+    #  stream_stream_view_purchase's interval join in the gate; r1-r5
+    #  driver verdicts recorded, stays green in the full gate)
+    "snapshot_schema_evolution",  # NEW 6th-r6: additive schema evolution —
+                                  # merge-schema read reconciles vintages,
+                                  # NULL backfill verified by the oracle,
+                                  # zero files rewritten
     # (rollup_region_nation OUT 6th-r6: slot funds table_snapshot_timetravel
     #  below; A6 multi-grain machinery is anchored in-window by
     #  channel_report_full's grain-union re-agg and in the gate by

@@ -185,12 +185,26 @@ class SnapshotTable:
         return self._publish(self._write_data_files(df, n_files, stats_cols))
 
     # -- reads -------------------------------------------------------------
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read a pinned version: schedules exactly the manifest's files."""
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Read a pinned version: schedules exactly the manifest's files.
+
+        ``merge_schema=True`` reconciles files written under EVOLVED
+        schemas (columns added by later commits): the union schema is
+        used and pre-evolution files surface nulls for the new columns —
+        parquet's additive schema-evolution contract, the same semantics
+        Delta's `mergeSchema` write option commits to."""
         files = self.files(version)
         if not files:
             raise ValueError(f"snapshot table {self.path} has no commits")
-        return spark.read.parquet(*files)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     def commit_merge(
         self,
