@@ -34,6 +34,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer advanced the table past the version this commit was
+    prepared against (optimistic concurrency, Delta-style): re-read, re-derive,
+    retry."""
+
+
 class SnapshotTable:
     """A parquet table whose committed state is defined by version manifests.
 
@@ -128,8 +134,19 @@ class SnapshotTable:
                 c: {"min": r[f"min_{c}"], "max": r[f"max_{c}"]} for c in stats_cols
             }
 
-    def _publish(self, entries: list[dict], batch_id: int | None = None) -> int:
+    def _publish(
+        self,
+        entries: list[dict],
+        batch_id: int | None = None,
+        expected_parent: int | None = None,
+    ) -> int:
         versions = self.versions()
+        if expected_parent is not None:
+            head = versions[-1] if versions else 0
+            if head != expected_parent:
+                raise CommitConflictError(
+                    f"prepared against v{expected_parent} but head is v{head}"
+                )
         v = (versions[-1] + 1) if versions else 1
         manifest = {"version": v, "parent": versions[-1] if versions else None,
                     "files": entries}
@@ -173,8 +190,13 @@ class SnapshotTable:
             return self.versions()[-1]
         versions = self.versions()
         prev = list(self._manifest(versions[-1])["files"]) if versions else []
+        # conflict-check against the version whose file list we extended:
+        # if another writer advanced the head while data files were being
+        # staged, appending "prev + new" would silently drop their commit
         return self._publish(
-            prev + self._write_data_files(df, n_files, stats_cols), batch_id
+            prev + self._write_data_files(df, n_files, stats_cols),
+            batch_id,
+            expected_parent=versions[-1] if versions else 0,
         )
 
     def commit_rewrite(
@@ -257,7 +279,12 @@ class SnapshotTable:
             cols = list(e.get("stats", {})) or None
             rewritten.extend(self._write_data_files(survivors, 1, cols))
         new = self._write_data_files(updates, n_new_files, stats_cols)
-        return self._publish(kept + rewritten + new)
+        # same lost-update guard as commit_append: the kept/rewritten lists
+        # were derived from versions[-1], so publishing over a moved head
+        # would drop the interleaved commit
+        return self._publish(
+            kept + rewritten + new, expected_parent=versions[-1]
+        )
 
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` — published as a NEW version

@@ -916,3 +916,44 @@ def test_snapshot_clustering_rewrite_improves_pruning(spark, tmp_path):
     a = t.read(spark).agg({"k": "sum"}).collect()[0][0]
     b = t2.read(spark).agg({"k": "sum"}).collect()[0][0]
     assert a == b == 499500
+
+
+def test_snapshot_commit_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency: a commit prepared against version N must
+    fail with CommitConflictError if another writer advanced the head in
+    the meantime — appending 'parent files + mine' over the moved head
+    would silently drop the interleaved commit (lost update)."""
+    import json
+    import os
+
+    from bigdata_homed_spark.sources.snapshots import (
+        CommitConflictError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    t.commit_append(df)
+
+    # simulate the interleaved writer: stage data + publish v2 manually
+    # between this commit's parent capture and its publish
+    entries = t._write_data_files(spark.range(10, 20).withColumnRenamed("id", "k"), 1)
+    prev = list(t._manifest(1)["files"])
+    other = prev + t._write_data_files(
+        spark.range(20, 30).withColumnRenamed("id", "k"), 1
+    )
+    t._publish(other)  # head moves to v2
+    try:
+        t._publish(prev + entries, expected_parent=1)
+        raise AssertionError("expected CommitConflictError")
+    except CommitConflictError:
+        pass
+    # the losing writer retries against the new head and succeeds
+    fresh = list(t._manifest(t.versions()[-1])["files"])
+    v3 = t._publish(fresh + entries, expected_parent=2)
+    assert v3 == 3
+    assert t.read(spark).count() == 30
+
+    # sanity: a stale manifest json never harmed prior versions
+    with open(os.path.join(t.manifest_dir, "v1.json")) as f:
+        assert json.load(f)["version"] == 1
