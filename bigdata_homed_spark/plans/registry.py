@@ -233,6 +233,18 @@ from . import linkage  # noqa: E402,F401
 #                          in-window heartbeat_run_repair (the
 #                          OnlineTimePatch repair builds on the same
 #                          stitching machinery); r1-r5 verdicts recorded
+#
+# Sixth r6 rotation (late-r6, this session): IN = the 9 new operators —
+# bpe_vocab_merges (the BPE trainer loop), mmr_diverse_topk (MMR
+# diversity re-rank), and the snapshot table-format family
+# (table_snapshot_timetravel, snapshot_diff, snapshot_pruned_scan,
+# snapshot_merge_upsert, stream_snapshot_commits, snapshot_restore,
+# snapshot_schema_evolution) — new queries go in the round they land.
+# OUT (each inline-annotated below with its anchors; all carry r1-r5
+# driver verdicts and stay green in the definitive 200/200 gate logs):
+# near_dup_components, curation_funnel, rollup_region_nation,
+# user_state_merge, partitioned_fact_roundtrip, dedup_user_day_first_event,
+# customer_tier_pivot, clickers_without_purchase, interval_join_ship_window.
 PRIORITY_QUERIES = [
     # relational core: scans, joins, aggs, windows, setops (SURVEY §2.2-2.7)
     "pricing_summary",            # P1/P2/A1
