@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     # additive schema evolution: two-vintage merge-schema read with NULL
     # backfill (table session-cached; warm repeats measure the union read).
     "snapshot_schema_evolution",
+    # incremental change-feed read: O(new files) consumption off the cached
+    # yearly table (5 of 7 files scheduled, no table rescan).
+    "snapshot_incremental_read",
 ]
 
 

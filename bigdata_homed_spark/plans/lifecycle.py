@@ -1267,3 +1267,39 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice"), "sum_total"),
         dsum(F.coalesce(F.col("discount"), F.lit(0.0)), "sum_discount"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental consumption — the downstream-job shape for append-only
+# snapshot lineage: read exactly the files COMMITTED AFTER the checkpoint
+# version, never rescanning the table (cost O(new files), the nightly-ETL
+# contract Delta's change feed serves for appends).  Reuses the yearly
+# zone-map table READ-ONLY: the increment v2→v7 is precisely the 1997-2001
+# commits, so the oracle's year filter + the 5-file literal verify both
+# the row-level result and the file-set arithmetic.  A rewrite inside the
+# range fails loudly (tested) — file subtraction is only change data when
+# the lineage is append-only; key-level diffs are snapshot_diff's job.
+@query(
+    "snapshot_incremental_read",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(5 as bigint) AS n_files_new
+    FROM orders WHERE year(o_orderdate) >= 1997
+    """,
+)
+def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snapprune_table(spark, sf_dir)
+    inc = t.incremental_files(2)  # checkpointed at v2 = years 1995-1996
+    return (
+        t.read_incremental(spark, 2)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .select(
+            "n_rows",
+            "sum_total",
+            F.lit(len(inc)).cast("bigint").alias("n_files_new"),
+        )
+    )

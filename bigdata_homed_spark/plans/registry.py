@@ -343,7 +343,15 @@ PRIORITY_QUERIES = [
                                   # union + package watch rollup
     "demand_column_user_types",   # NEW r5 promotion: DemandColumn tiers
     "column_demand_program_details",  # NEW r5 promotion: column×series grains
-    "package_program_periods",    # NEW r5 promotion: DemandProgramPackage
+    # (package_program_periods OUT 6th-r6: slot funds
+    #  snapshot_incremental_read below; the demand family keeps FOUR
+    #  in-window anchors — demand_package_report, demand_column_user_types,
+    #  column_demand_program_details, demand_period_grains — and its r5
+    #  driver verdict + the definitive 200/200+ gate logs)
+    "snapshot_incremental_read",  # NEW 6th-r6: change-feed consumption for
+                                  # append-only lineage — read exactly the
+                                  # files committed after the checkpoint
+                                  # version (O(new files), never a rescan)
     "demand_period_grains",       # r4: DemandReportPeriod re-agg (anchors
                                   # U1 union-of-grains)
     "program_lookback_snapshot",  # NEW r5 promotion: lookback snapshot

@@ -286,6 +286,34 @@ class SnapshotTable:
             kept + rewritten + new, expected_parent=versions[-1]
         )
 
+    def incremental_files(self, v_from: int, v_to: int | None = None) -> list[str]:
+        """Files ADDED between two versions — the change-feed consumption
+        shape for append-only lineage: a downstream job reads exactly the
+        new files, never rescans the table.  Requires v_from's files to
+        all survive in v_to (append-only between the two); a rewrite in
+        between means file-set subtraction is not row-level change data,
+        so fail loudly and point at snapshot_diff instead."""
+        versions = self.versions()
+        vt = v_to if v_to is not None else versions[-1]
+        old = set(self.files(v_from))
+        new = self.files(vt)
+        dropped = old - set(new)
+        if dropped:
+            raise ValueError(
+                f"v{v_from}->v{vt} is not append-only ({len(dropped)} file(s) "
+                "rewritten/removed); use a key-level diff for change data"
+            )
+        return [p for p in new if p not in old]
+
+    def read_incremental(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Read only the rows appended after ``v_from`` (cost O(new files))."""
+        files = self.incremental_files(v_from, v_to)
+        if not files:
+            return self.read(spark, v_from).limit(0)
+        return spark.read.parquet(*files)
+
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` — published as a NEW version
         whose file list is the old one's (the Delta RESTORE semantics):

@@ -957,3 +957,36 @@ def test_snapshot_commit_conflict_detection(spark, tmp_path):
     # sanity: a stale manifest json never harmed prior versions
     with open(os.path.join(t.manifest_dir, "v1.json")) as f:
         assert json.load(f)["version"] == 1
+
+
+def test_snapshot_incremental_read_append_only_contract(spark, tmp_path):
+    """incremental_files returns exactly the files added after the
+    checkpoint version; a rewrite inside the range breaks the append-only
+    precondition and must fail loudly (file subtraction is not row-level
+    change data across rewrites)."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")
+    t.commit_append(mk(0, 100), n_files=2)
+    t.commit_append(mk(100, 150), n_files=1)
+    t.commit_append(mk(150, 160), n_files=1)
+
+    inc = t.read_incremental(spark, 1)
+    assert inc.count() == 60
+    assert {r.k for r in inc.collect()} == set(range(100, 160))
+    assert len(t.incremental_files(1, 2)) == 1
+    # same-version increment: empty frame, schema intact
+    same = t.read_incremental(spark, 3, 3)
+    assert same.columns == ["k"] and same.count() == 0
+
+    # a compaction rewrite breaks append-only lineage -> loud failure
+    t.commit_rewrite(t.read(spark, 3), n_files=1)
+    try:
+        t.incremental_files(1, 4)
+        raise AssertionError("expected ValueError across a rewrite")
+    except ValueError:
+        pass
+    # but increments measured FROM the rewrite work again
+    t.commit_append(mk(160, 170), n_files=1)
+    assert t.read_incremental(spark, 4).count() == 10
