@@ -296,3 +296,84 @@ def test_bpe_vocab_merges_matches_python_trainer(spark, tmp_path):
     # but only 1 merge happens there, so tokens_after drops by LESS than a
     # naive count-based prediction whenever the best pair self-overlaps
     assert all(t > 0 for _, _, t in expected)
+
+
+def test_bpe_merge_rewrite_property(spark, tmp_path):
+    """Hypothesis: over random tiny-alphabet corpora (where long runs of
+    the best pair are common — the hard case for the island-parity
+    greedy), the declarative 3-round merge loop must equal the sequential
+    Python trainer exactly."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_homed_spark.plans.text_pipeline import (
+        BPE_MERGE_ROUNDS,
+        BPE_SEP,
+        bpe_vocab_merges,
+    )
+
+    def trainer(docs, rounds):
+        corpora = [
+            [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w] for t in docs
+        ]
+        merges = []
+        for _ in range(rounds):
+            counts = {}
+            for toks in corpora:
+                for i in range(len(toks) - 1):
+                    k = f"{len(toks[i])}:{toks[i]}{BPE_SEP}{toks[i + 1]}"
+                    counts[k] = counts.get(k, 0) + 1
+            if not counts:
+                break
+            key, n_occ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            left_len = int(key.split(":", 1)[0])
+            body = key.split(":", 1)[1]
+            left, right = body[:left_len], body[left_len + len(BPE_SEP):]
+            nxt_corpora = []
+            for toks in corpora:
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                        out.append(toks[i] + BPE_SEP + toks[i + 1])
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                nxt_corpora.append(out)
+            corpora = nxt_corpora
+            merges.append(
+                (body.replace(BPE_SEP, " "), n_occ, sum(len(t) for t in corpora))
+            )
+        return merges
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "ab", "c"]), min_size=2, max_size=24
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(docs):
+        d = tmp_path / f"case_{abs(hash(tuple(docs))) % 10**9}"
+        rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        expected = trainer(docs, BPE_MERGE_ROUNDS)
+        got = [
+            (r.pair, r.n_occ, r.tokens_after)
+            for r in bpe_vocab_merges(spark, str(d)).collect()
+        ]
+        assert got == expected, (docs, got, expected)
+
+    run()
