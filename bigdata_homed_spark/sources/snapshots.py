@@ -51,7 +51,11 @@ class SnapshotTable:
     """
 
     def __init__(self, path: str):
-        self.path = path.rstrip("/")
+        # absolute-normalized: manifest entries store absolute paths, and
+        # commit_merge/_attach_stats match them against input_file_name()
+        # (always absolute) — a relative table path would silently match
+        # nothing (dup keys on merge, stats dropped)
+        self.path = os.path.abspath(path).rstrip("/")
         self.data_dir = os.path.join(self.path, "data")
         self.manifest_dir = os.path.join(self.path, "_manifests")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -66,8 +70,23 @@ class SnapshotTable:
         return sorted(out)
 
     def _manifest(self, version: int) -> dict:
-        with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
-            return json.load(f)
+        p = os.path.join(self.manifest_dir, f"v{version}.json")
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot table {self.path} has no manifest for v{version} "
+                "(version expired by vacuum, or never committed)"
+            ) from None
+
+    def _head(self) -> int:
+        """Latest committed version, with read()'s descriptive error on an
+        empty table (not a bare IndexError)."""
+        versions = self.versions()
+        if not versions:
+            raise ValueError(f"snapshot table {self.path} has no commits")
+        return versions[-1]
 
     def files(self, version: int | None = None) -> list[str]:
         versions = self.versions()
@@ -159,10 +178,21 @@ class SnapshotTable:
         os.replace(tmp, final)  # THE commit point
         return v
 
+    @property
+    def _txn_path(self) -> str:
+        return os.path.join(self.manifest_dir, "_txn.json")
+
     def committed_batch_ids(self) -> set[int]:
-        """Batch ids recorded by prior idempotent commits (one JSON read
-        per surviving version — vacuum bounds this)."""
+        """Batch ids recorded by prior idempotent commits: the surviving
+        manifests plus the ``_txn.json`` sidecar vacuum() carries expired
+        ids into — so a delayed foreachBatch replay of a batch OLDER than
+        the vacuum retention window is still deduplicated (Delta retains
+        txn appId/version info under a separate retention for the same
+        reason)."""
         out = set()
+        if os.path.exists(self._txn_path):
+            with open(self._txn_path) as f:
+                out.update(json.load(f)["batch_ids"])
         for v in self.versions():
             b = self._manifest(v).get("batch_id")
             if b is not None:
@@ -203,8 +233,17 @@ class SnapshotTable:
         self, df: DataFrame, n_files: int = 1, stats_cols: list[str] | None = None
     ) -> int:
         """New version = df's files only (compaction / full overwrite).
-        Parent versions keep their file lists — old readers are safe."""
-        return self._publish(self._write_data_files(df, n_files, stats_cols))
+        Parent versions keep their file lists — old readers are safe.
+
+        Same lost-update guard as append/merge: ``df`` was derived from the
+        head the caller read, so publishing over a moved head (a commit
+        interleaved while the rewrite was staging) would silently drop it."""
+        versions = self.versions()
+        parent = versions[-1] if versions else 0
+        return self._publish(
+            self._write_data_files(df, n_files, stats_cols),
+            expected_parent=parent,
+        )
 
     # -- reads -------------------------------------------------------------
     def read(
@@ -293,8 +332,7 @@ class SnapshotTable:
         all survive in v_to (append-only between the two); a rewrite in
         between means file-set subtraction is not row-level change data,
         so fail loudly and point at snapshot_diff instead."""
-        versions = self.versions()
-        vt = v_to if v_to is not None else versions[-1]
+        vt = v_to if v_to is not None else self._head()
         old = set(self.files(v_from))
         new = self.files(vt)
         dropped = old - set(new)
@@ -320,13 +358,14 @@ class SnapshotTable:
         history is never rewritten, the rollback itself is auditable and
         time-travelable, and no data moves (manifest-only, O(files) JSON).
         Requires the target's files to still exist (i.e. not vacuumed)."""
-        entries = self._manifest(version)["files"]
+        head = self._head()  # captured BEFORE staging: same OCC guard as
+        entries = self._manifest(version)["files"]  # append/merge/rewrite
         missing = [e["path"] for e in entries if not os.path.exists(e["path"])]
         if missing:
             raise ValueError(
                 f"cannot restore v{version}: {len(missing)} file(s) vacuumed away"
             )
-        return self._publish(list(entries))
+        return self._publish(list(entries), expected_parent=head)
 
     def pruned_files(
         self, col: str, lo: str, hi: str, version: int | None = None
@@ -334,8 +373,7 @@ class SnapshotTable:
         """Data skipping: the version's files whose [min, max] zone map for
         ``col`` overlaps [lo, hi].  A file with no stats for ``col`` cannot
         be skipped and is always returned (correctness over pruning)."""
-        versions = self.versions()
-        v = version if version is not None else versions[-1]
+        v = version if version is not None else self._head()
         out = []
         for e in self._manifest(v)["files"]:
             st = e.get("stats", {}).get(col)
@@ -364,10 +402,14 @@ class SnapshotTable:
         """Expire all but the newest ``keep_last`` versions and delete data
         files no surviving version references.
 
-        Order matters for crash safety: expired MANIFESTS are removed
-        first, then orphaned data files — a crash between the two phases
-        leaves harmless orphans (invisible to readers, removable by the
-        next vacuum), never a manifest pointing at deleted files.  Files
+        Order matters for crash safety: expired batch_ids are folded into
+        the ``_txn.json`` sidecar FIRST (tmp+replace; so exactly-once dedup
+        survives vacuum — a delayed replay of a pre-retention batch is
+        still skipped), then expired MANIFESTS are removed, then orphaned
+        data files — a crash between phases leaves at worst duplicate ids
+        in the sidecar (a set union, idempotent) or harmless orphan files
+        (invisible to readers, removable by the next vacuum), never a
+        manifest pointing at deleted files or a forgotten batch id.  Files
         shared across versions (append lineage) survive as long as any
         surviving manifest lists them.
         """
@@ -379,6 +421,20 @@ class SnapshotTable:
         referenced = set()
         for v in survivors:
             referenced.update(self.files(v))
+        expired_batch_ids = set()
+        for v in expired:
+            b = self._manifest(v).get("batch_id")
+            if b is not None:
+                expired_batch_ids.add(b)
+        if expired_batch_ids:
+            carried = set()
+            if os.path.exists(self._txn_path):
+                with open(self._txn_path) as f:
+                    carried.update(json.load(f)["batch_ids"])
+            tmp = self._txn_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"batch_ids": sorted(carried | expired_batch_ids)}, f)
+            os.replace(tmp, self._txn_path)
         for v in expired:
             os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
         removed_files = 0

@@ -990,3 +990,113 @@ def test_snapshot_incremental_read_append_only_contract(spark, tmp_path):
     # but increments measured FROM the rewrite work again
     t.commit_append(mk(160, 170), n_files=1)
     assert t.read_incremental(spark, 4).count() == 10
+
+
+def test_snapshot_relative_path_normalized(spark, tmp_path, monkeypatch):
+    """A SnapshotTable built with a RELATIVE path must behave identically
+    to an absolute one: manifest entries are matched against
+    input_file_name() (always absolute) inside commit_merge and
+    _attach_stats, so an un-normalized relative path would silently (a)
+    drop zone-map stats at commit and (b) never remove matched rows on
+    merge — duplicate keys with no error."""
+    import os
+
+    import pytest
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    monkeypatch.chdir(tmp_path)
+    t = SnapshotTable("rel_snap")  # relative on purpose
+    assert os.path.isabs(t.path)
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    t.commit_append(df, n_files=2, stats_cols=["k"])
+    # (a) stats attached => the absolute-path match found every file
+    assert all("stats" in e for e in t._manifest(1)["files"])
+
+    upd = spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string")
+    t.commit_merge(upd, "k")
+    rows = sorted((r.k, r.v) for r in t.read(spark).collect())
+    # (b) exactly one row per key — the matched row was really removed
+    assert rows == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+    # empty-table reads fail descriptively, not with IndexError
+    t2 = SnapshotTable(str(tmp_path / "never_committed"))
+    with pytest.raises(ValueError, match="no commits"):
+        t2.pruned_files("k", "0", "9")
+    with pytest.raises(ValueError, match="no commits"):
+        t2.incremental_files(1)
+
+
+def test_snapshot_vacuum_preserves_batch_id_dedup(spark, tmp_path):
+    """Exactly-once must survive retention: vacuum() folds expired
+    manifests' batch_ids into the _txn.json sidecar, so a DELAYED replay
+    of a batch older than the retention window is still skipped (Delta
+    keeps txn appId/version info under a separate retention for exactly
+    this).  Without the sidecar, vacuum would silently re-admit the
+    replayed batch and duplicate its rows."""
+    import pytest
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")
+    for b in range(4):
+        t.commit_append(mk(b * 10, (b + 1) * 10), batch_id=b)
+    t.vacuum(keep_last=1)  # expires v1-v3 (batches 0-2)
+    assert t.committed_batch_ids() == {0, 1, 2, 3}
+
+    head = t.versions()[-1]
+    v = t.commit_append(mk(0, 10), batch_id=0)  # delayed replay of batch 0
+    assert v == head  # skipped: nothing committed
+    assert t.read(spark).count() == 40
+
+    # sidecar survives and merges across further commits + vacuums
+    t.commit_append(mk(40, 50), batch_id=4)
+    t.vacuum(keep_last=1)
+    assert t.committed_batch_ids() == {0, 1, 2, 3, 4}
+
+    # vacuumed time-travel reads fail descriptively ("expired"), not
+    # with FileNotFoundError
+    with pytest.raises(ValueError, match="expired"):
+        t.read(spark, version=1)
+
+
+def test_snapshot_rewrite_occ_guard(spark, tmp_path, monkeypatch):
+    """commit_rewrite must carry the same lost-update guard as
+    append/merge: a compaction derived from version N publishing over a
+    head that moved to N+1 would silently drop the interleaved commit.
+    Simulated by landing a second writer's append while the rewrite is
+    staging its files."""
+    import pytest
+
+    from bigdata_homed_spark.sources.snapshots import (
+        CommitConflictError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")
+    t.commit_append(mk(0, 10))
+    compacted = t.read(spark)  # derived from v1
+
+    other = SnapshotTable(t.path)
+    orig = t._write_data_files
+
+    def interleaved(df, n_files=1, stats_cols=None):
+        entries = orig(df, n_files, stats_cols)
+        other.commit_append(mk(10, 20))  # second writer lands mid-staging
+        return entries
+
+    monkeypatch.setattr(t, "_write_data_files", interleaved)
+    with pytest.raises(CommitConflictError):
+        t.commit_rewrite(compacted)
+    # the interleaved commit survived (nothing was lost)
+    assert t.read(spark).count() == 20
+
+    # retry against the new head succeeds (restore shares the guard path)
+    monkeypatch.setattr(t, "_write_data_files", orig)
+    t.commit_rewrite(t.read(spark), n_files=1)
+    assert t.read(spark).count() == 20
+    v = t.restore(t.versions()[-1] - 1)
+    assert v == t.versions()[-1] and t.read(spark).count() == 20
