@@ -1303,3 +1303,157 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(inc)).cast("bigint").alias("n_files_new"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Manifest-level PARTITION pruning — the first skipping tier a lakehouse
+# table offers (Delta/Iceberg partition values per file; the reference's
+# day-partitioned facts get this from Hive directory layout,
+# `etl/MysqlToHive.scala:52-54`).  ONE Hive-partitioned commit lands the 7
+# order years as 7 files whose manifest entries carry {"o_year": value}
+# straight from the col=value path segments; the 2-year scan drops 5 of 7
+# entries WITHOUT opening any file (partition pruning beats zone maps: no
+# stats comparison, no residual filter — the partition IS the predicate).
+# The oracle's 2-of-7 literals verify the pruning decision itself;
+# n_rows/sum verify the surviving partitions return exactly the range.
+_SNAPPART_CACHE: dict[str, str] = {}
+
+
+def _snappart_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPPART_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snappt_"), "orders_pt")
+        t = SnapshotTable(cached)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .withColumn("o_year", F.year("o_orderdate"))
+        )
+        # ONE commit: the partitioned writer fans out per year (vs the
+        # zone-map fixture's per-year ingest loop) and the footer stats
+        # attach in the same pass
+        t.commit_append(
+            orders, n_files=1, stats_cols=["o_orderdate"], partition_by=["o_year"]
+        )
+        _SNAPPART_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_partition_pruned_scan",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(2 as bigint) AS n_files_scanned,
+           cast(7 as bigint) AS n_files_total
+    FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+    """,
+)
+def snapshot_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snappart_table(spark, sf_dir)
+    want = {"o_year": [1997, 1998]}
+    entries = t.pruned_entries(partitions=want)
+    # no residual row filter: partition values ARE the predicate (exact),
+    # unlike zone maps where file granularity demands one
+    return (
+        t.read_pruned(spark, partitions=want)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .select(
+            "n_rows",
+            "sum_total",
+            F.lit(len(entries)).cast("bigint").alias("n_files_scanned"),
+            F.lit(len(t.files())).cast("bigint").alias("n_files_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# OPTIMIZE end-to-end with zone-map refresh — the layout story the pruned
+# scan depends on: a hash-scattered ingest (7 slices by order KEY) leaves
+# every file spanning the full date domain, so the 2-year range scan reads
+# ALL 7 files; one clustering commit_rewrite (range-partition + sort on
+# o_orderdate, footer stats recomputed from the new files) makes the SAME
+# rows prune to <=3 of 7 files.  Readers of the scattered version are
+# undisturbed (its manifest is immutable), which is why OPTIMIZE is safe
+# to run online.  The oracle pins the scattered count (7 = nothing
+# pruned), the strict improvement, the bound, and the row-level result
+# from the clustered pruned read.
+_SNAPCLUST_CACHE: dict[str, str] = {}
+
+
+def _snapclust_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPCLUST_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapcl_"), "orders_cl")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        # scattered ingest: each of the 7 files spans every order year
+        for m in range(7):
+            t.commit_append(
+                orders.where(F.col("o_orderkey") % 7 == m),
+                n_files=1,
+                stats_cols=["o_orderdate"],
+            )
+        # OPTIMIZE: same rows, clustered layout, stats refreshed from the
+        # new files' footers
+        t.commit_rewrite(
+            t.read(spark),
+            n_files=7,
+            stats_cols=["o_orderdate"],
+            cluster_by=["o_orderdate"],
+        )
+        _SNAPCLUST_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_clustering_rewrite",
+    oracle=f"""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(7 as bigint) AS files_scanned_scattered,
+           true AS pruning_improved,
+           true AS clustered_within_bound
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '{_PRUNE_LO}' AND TIMESTAMP '{_PRUNE_HI}'
+    """,
+)
+def snapshot_clustering_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snapclust_table(spark, sf_dir)
+    v_scattered = 7  # head before the OPTIMIZE rewrite (8 = clustered)
+    before = len(
+        t.pruned_files("o_orderdate", _PRUNE_LO, _PRUNE_HI, version=v_scattered)
+    )
+    after = len(t.pruned_files("o_orderdate", _PRUNE_LO, _PRUNE_HI))
+    df = t.read_pruned(spark, "o_orderdate", _PRUNE_LO, _PRUNE_HI).where(
+        F.col("o_orderdate").between(
+            F.lit(_PRUNE_LO).cast("timestamp"), F.lit(_PRUNE_HI).cast("timestamp")
+        )
+    )
+    # the 2-year window covers 2/7 of the date domain: disjoint range files
+    # can overlap it in at most ceil(2/7*7)+1 = 3 files
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_total"),
+    ).select(
+        "n_rows",
+        "sum_total",
+        F.lit(before).cast("bigint").alias("files_scanned_scattered"),
+        F.lit(after < before).alias("pruning_improved"),
+        F.lit(after <= 3).alias("clustered_within_bound"),
+    )

@@ -1194,3 +1194,97 @@ def stream_snapshot_commits(
         )
         .withColumn("n_versions", F.lit(len(t.versions())).cast("bigint"))
     )
+
+
+# --------------------------------------------------------------------------
+# Exactly-once across TWO sinks — the multi-table shape where Delta's txn
+# log earns its keep: each micro-batch commits the SAME batch_id to a fact
+# table (raw rows) AND a per-batch aggregate table.  foreachBatch is
+# at-least-once, and a crash can land BETWEEN the two table commits, so
+# each table keeps its own idempotency record; on replay, the table that
+# already committed skips while the other catches up — both converge with
+# no double-commit and no coordination beyond the shared batch_id.  The
+# query replays the poisoned proof against BOTH tables after the stream
+# drains: the oracle's n_versions literals (4 each) and the equality of
+# the two tables' aggregates (fact recount == stored batch partials) prove
+# neither table absorbed the replay.  Per-batch cost is two O(files)
+# manifest commits; the aggregate table's rows are batch×type grain.
+@query(
+    "stream_dual_snapshot_commits",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_fact,
+           cast(count(*) as bigint) AS n_agg,
+           cast(4 as bigint) AS n_versions_fact,
+           cast(4 as bigint) AS n_versions_agg
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dual_snapshot_commits(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import SnapshotTable
+    from ..sources.tables import load_table
+
+    staged = tempfile.mkdtemp(prefix="snapdual_")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).repartitionByRange(n_batches, "event_id").write.mode("overwrite").parquet(
+        staged
+    )
+
+    fact = SnapshotTable(tempfile.mkdtemp(prefix="snapdual_fact_"))
+    agg = SnapshotTable(tempfile.mkdtemp(prefix="snapdual_agg_"))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select("event_id", "event_type", "value")
+        fact.commit_append(rows, n_files=1, batch_id=batch_id)
+        partial = rows.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        agg.commit_append(partial, n_files=1, batch_id=batch_id)
+
+    q = (
+        spark.readStream.schema("event_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="snapdual_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # the poisoned replay, against BOTH tables: a working guard commits
+    # nothing anywhere; a broken one adds a bogus group and a 5th version
+    # on whichever table absorbed it
+    poison = spark.createDataFrame(
+        [(-1, "__replayed__", 1.0)], "event_id bigint, event_type string, value double"
+    )
+    process_batch(poison, 0)
+
+    fact_counts = (
+        fact.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_fact"))
+    )
+    agg_counts = (
+        agg.read(spark)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("bigint").alias("n_agg"))
+    )
+    return (
+        fact_counts.join(agg_counts, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_fact", F.lit(0)).alias("n_fact"),
+            F.coalesce("n_agg", F.lit(0)).alias("n_agg"),
+        )
+        .withColumn("n_versions_fact", F.lit(len(fact.versions())).cast("bigint"))
+        .withColumn("n_versions_agg", F.lit(len(agg.versions())).cast("bigint"))
+    )

@@ -18,11 +18,15 @@ small JSON file naming the version's exact data-file set — so:
   list and are undisturbed (contrast ``compact_small_files``'s rename swap,
   which this supersedes for tables that opt in).
 
-Scale: the manifest holds file PATHS only — at 100 TB that is O(files),
-kilobytes per commit, and readers schedule exactly the listed files (no
-directory listing, no eventual-consistency hazards on object stores).
-Partition-pruning stats per file (min/max) are the natural next field; the
-JSON schema carries an extensible per-file dict for that reason.
+Scale: the manifest holds file PATHS plus per-file metadata — at 100 TB
+that is O(files), kilobytes per commit, and readers schedule exactly the
+listed files (no directory listing, no eventual-consistency hazards on
+object stores).  Each entry can carry two tiers of skipping metadata:
+
+- ``"partitions"``: Hive partition values (``commit_* (partition_by=...)``)
+  — partition pruning drops entries before any file is touched;
+- ``"stats"``: per-file min/max zone maps lifted from the parquet FOOTERS
+  at commit time (metadata reads, never a second data pass).
 """
 
 from __future__ import annotations
@@ -97,61 +101,119 @@ class SnapshotTable:
 
     # -- commits -----------------------------------------------------------
     def _write_data_files(
-        self, df: DataFrame, n_files: int, stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        n_files: int,
+        stats_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> list[dict]:
-        """Materialize df as exactly n_files immutable parquet files and
-        return their manifest entries.  Files go through a staging dir so a
-        crash mid-write can never be confused with committed data.
+        """Materialize df as immutable parquet files and return their
+        manifest entries.  Files go through a staging dir so a crash
+        mid-write can never be confused with committed data.
 
-        ``stats_cols`` adds per-file min/max zone maps to the entries (one
-        grouped pass over the landed files; a production writer would lift
-        these from the parquet footers it just wrote).  Values are stored
-        as strings via Spark's cast — lexicographic order matches the
-        native order for timestamps ('yyyy-MM-dd HH:mm:ss') and strings;
-        numeric columns should be zero-padded by the caller if pruned on.
+        ``stats_cols`` adds per-file min/max zone maps to the entries,
+        lifted from the PARQUET FOOTERS the write just produced — metadata
+        reads only, no second data pass (what Delta/Iceberg writers do).
+
+        ``partition_by`` Hive-partitions the write (``col=value/`` dirs,
+        preserved under ``data/``); each entry records its partition
+        values in a ``"partitions"`` dict, which ``pruned_files`` consults
+        before zone maps — manifest-level partition pruning, the scan
+        never lists or opens non-matching partitions.  ``n_files`` then
+        means files PER partition value (usually 1).
         """
         stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
-        df.repartition(n_files).write.mode("overwrite").parquet(stage)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            # one task per partition value -> n_files files per partition
+            (df.repartition(n_files, *[F.col(c) for c in partition_by])
+               .write.mode("overwrite").partitionBy(*partition_by).parquet(stage))
+        elif cluster_by:
+            # OPTIMIZE-style clustering: range-partition + sort so each
+            # file owns a disjoint slice of the cluster key — this is what
+            # makes the footer zone maps selective (tight, non-overlapping
+            # min/max per file)
+            (df.repartitionByRange(n_files, *cluster_by)
+               .sortWithinPartitions(*cluster_by)
+               .write.mode("overwrite").parquet(stage))
+        else:
+            df.repartition(n_files).write.mode("overwrite").parquet(stage)
         entries = []
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet"):
-                continue
-            final = os.path.join(self.data_dir, f"{uuid.uuid4().hex}.parquet")
-            os.replace(os.path.join(stage, name), final)
-            entries.append({"path": final})
-        for leftover in os.listdir(stage):
-            os.remove(os.path.join(stage, leftover))
-        os.rmdir(stage)
+        for root, _dirs, names in os.walk(stage):
+            rel = os.path.relpath(root, stage)
+            parts: dict[str, str] = {}
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        parts[k] = v
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                sub = os.path.join(self.data_dir, rel) if parts else self.data_dir
+                os.makedirs(sub, exist_ok=True)
+                final = os.path.join(sub, f"{uuid.uuid4().hex}.parquet")
+                os.replace(os.path.join(root, name), final)
+                entry: dict = {"path": final}
+                if parts:
+                    entry["partitions"] = parts
+                entries.append(entry)
+        for root, dirs, names in os.walk(stage, topdown=False):
+            for name in names:
+                os.remove(os.path.join(root, name))
+            os.rmdir(root)
         if stats_cols and entries:
-            self._attach_stats(df.sparkSession, entries, stats_cols)
+            self._attach_footer_stats(entries, stats_cols)
         return entries
 
     @staticmethod
-    def _attach_stats(
-        spark: SparkSession, entries: list[dict], stats_cols: list[str]
-    ) -> None:
-        from urllib.parse import unquote, urlparse
+    def _attach_footer_stats(entries: list[dict], stats_cols: list[str]) -> None:
+        """Per-file min/max zone maps from parquet FOOTER metadata — a
+        kilobyte metadata read per file, never a data pass.  Values are
+        JSON-native where possible (int/float stay numeric so pruning can
+        compare numerically); timestamps/dates/strings are rendered in
+        Spark's cast-to-string form ('yyyy-MM-dd HH:mm:ss'), so
+        lexicographic order matches native order and existing callers'
+        literals keep working."""
+        import datetime
+        import decimal
 
-        from pyspark.sql import functions as F
+        import pyarrow.parquet as pq
 
-        aggs = []
-        for c in stats_cols:
-            aggs.append(F.min(c).cast("string").alias(f"min_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"max_{c}"))
-        rows = (
-            spark.read.parquet(*[e["path"] for e in entries])
-            .groupBy(F.input_file_name().alias("f"))
-            .agg(*aggs)
-            .collect()
-        )  # bounded: one row per just-written file
-        by_path = {unquote(urlparse(r["f"]).path): r for r in rows}
+        def render(v):
+            if isinstance(v, bytes):
+                return v.decode("utf-8", "replace")
+            if isinstance(v, datetime.datetime):
+                s = v.strftime("%Y-%m-%d %H:%M:%S")
+                return s if v.microsecond == 0 else s + f".{v.microsecond:06d}"
+            if isinstance(v, (datetime.date,)):
+                return v.isoformat()
+            if isinstance(v, decimal.Decimal):
+                return str(v)
+            return v  # int/float/str: JSON-native
+
         for e in entries:
-            r = by_path.get(e["path"])
-            if r is None:
-                continue  # zero-row file: no stats -> never pruned (safe)
-            e["stats"] = {
-                c: {"min": r[f"min_{c}"], "max": r[f"max_{c}"]} for c in stats_cols
-            }
+            md = pq.ParquetFile(e["path"]).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            stats: dict = {}
+            for c in stats_cols:
+                if c not in idx:
+                    continue  # partition column: lives in the path, not the file
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False  # footer can't vouch -> no zone map (safe)
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if ok and lo is not None:
+                    stats[c] = {"min": render(lo), "max": render(hi)}
+            if stats:
+                e["stats"] = stats
 
     def _publish(
         self,
@@ -205,6 +267,7 @@ class SnapshotTable:
         n_files: int = 1,
         stats_cols: list[str] | None = None,
         batch_id: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """New version = parent's ENTRIES (stats preserved) + df's files.
 
@@ -224,16 +287,26 @@ class SnapshotTable:
         # if another writer advanced the head while data files were being
         # staged, appending "prev + new" would silently drop their commit
         return self._publish(
-            prev + self._write_data_files(df, n_files, stats_cols),
+            prev + self._write_data_files(df, n_files, stats_cols, partition_by),
             batch_id,
             expected_parent=versions[-1] if versions else 0,
         )
 
     def commit_rewrite(
-        self, df: DataFrame, n_files: int = 1, stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        n_files: int = 1,
+        stats_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """New version = df's files only (compaction / full overwrite).
         Parent versions keep their file lists — old readers are safe.
+
+        ``cluster_by`` makes the rewrite an OPTIMIZE: files are
+        range-partitioned + sorted on the cluster key, so the refreshed
+        footer zone maps become tight and disjoint — the pruning win is
+        the whole point of the rewrite.
 
         Same lost-update guard as append/merge: ``df`` was derived from the
         head the caller read, so publishing over a moved head (a commit
@@ -241,7 +314,7 @@ class SnapshotTable:
         versions = self.versions()
         parent = versions[-1] if versions else 0
         return self._publish(
-            self._write_data_files(df, n_files, stats_cols),
+            self._write_data_files(df, n_files, stats_cols, partition_by, cluster_by),
             expected_parent=parent,
         )
 
@@ -258,14 +331,26 @@ class SnapshotTable:
         schemas (columns added by later commits): the union schema is
         used and pre-evolution files surface nulls for the new columns —
         parquet's additive schema-evolution contract, the same semantics
-        Delta's `mergeSchema` write option commits to."""
-        files = self.files(version)
-        if not files:
+        Delta's `mergeSchema` write option commits to.
+
+        Hive-partitioned versions (entries carrying ``"partitions"``) are
+        read with ``basePath`` so Spark re-derives the partition columns
+        from the ``col=value`` path segments of exactly the listed files."""
+        v = version if version is not None else self._head()
+        entries = self._manifest(v)["files"]
+        if not entries:
             raise ValueError(f"snapshot table {self.path} has no commits")
+        return self._read_entries(spark, entries, merge_schema)
+
+    def _read_entries(
+        self, spark: SparkSession, entries: list[dict], merge_schema: bool = False
+    ) -> DataFrame:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*files)
+        if any("partitions" in e for e in entries):
+            reader = reader.option("basePath", self.data_dir)
+        return reader.parquet(*[e["path"] for e in entries])
 
     def commit_merge(
         self,
@@ -295,6 +380,14 @@ class SnapshotTable:
         if not versions:
             return self.commit_append(updates, n_new_files, stats_cols)
         cur_entries = self._manifest(versions[-1])["files"]
+        if any("partitions" in e for e in cur_entries):
+            raise NotImplementedError(
+                "commit_merge on a Hive-partitioned snapshot table is not "
+                "supported yet: rewritten survivor files would move the "
+                "partition column from the path into the data files, and a "
+                "mixed layout makes basePath partition discovery ambiguous. "
+                "Use a non-partitioned (zone-mapped) layout for merge tables."
+            )
         upd_keys = updates.select(key).distinct()
         hits = (
             spark.read.parquet(*[e["path"] for e in cur_entries])
@@ -367,35 +460,81 @@ class SnapshotTable:
             )
         return self._publish(list(entries), expected_parent=head)
 
-    def pruned_files(
-        self, col: str, lo: str, hi: str, version: int | None = None
-    ) -> list[str]:
-        """Data skipping: the version's files whose [min, max] zone map for
-        ``col`` overlaps [lo, hi].  A file with no stats for ``col`` cannot
-        be skipped and is always returned (correctness over pruning)."""
+    def pruned_entries(
+        self,
+        col: str | None = None,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+        partitions: dict | None = None,
+    ) -> list[dict]:
+        """Manifest-level data skipping, two tiers (Delta/Iceberg scan
+        planning in miniature):
+
+        1. **partition pruning** — ``partitions`` maps partition column ->
+           value (or list of values); entries whose recorded partition
+           value doesn't match are dropped without touching any file.
+           Entries with no recorded value for the column can't be skipped.
+        2. **zone maps** — the surviving files whose [min, max] stats for
+           ``col`` overlap [lo, hi].  Numeric stats compare numerically,
+           everything else lexicographically (timestamps/strings render in
+           native order).  A file with no stats for ``col`` cannot be
+           skipped and is always returned (correctness over pruning).
+        """
         v = version if version is not None else self._head()
         out = []
         for e in self._manifest(v)["files"]:
-            st = e.get("stats", {}).get(col)
-            if st is None or not (st["max"] < lo or st["min"] > hi):
-                out.append(e["path"])
+            if partitions:
+                skip = False
+                pv = e.get("partitions", {})
+                for pcol, want in partitions.items():
+                    got = pv.get(pcol)
+                    if got is None:
+                        continue  # unrecorded: can't skip
+                    allowed = want if isinstance(want, (list, set, tuple)) else [want]
+                    if got not in {str(w) for w in allowed}:
+                        skip = True
+                        break
+                if skip:
+                    continue
+            if col is not None:
+                st = e.get("stats", {}).get(col)
+                if st is not None:
+                    mn, mx = st["min"], st["max"]
+                    if isinstance(mn, (int, float)) and not isinstance(mn, bool):
+                        if mx < lo or mn > hi:
+                            continue
+                    elif str(mx) < str(lo) or str(mn) > str(hi):
+                        continue
+            out.append(e)
         return out
+
+    def pruned_files(
+        self,
+        col: str | None = None,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+        partitions: dict | None = None,
+    ) -> list[str]:
+        return [e["path"] for e in self.pruned_entries(col, lo, hi, version, partitions)]
 
     def read_pruned(
         self,
         spark: SparkSession,
-        col: str,
-        lo: str,
-        hi: str,
+        col: str | None = None,
+        lo=None,
+        hi=None,
         version: int | None = None,
+        partitions: dict | None = None,
     ) -> DataFrame:
-        """Read only the zone-map-surviving files.  The caller still
+        """Read only the pruning-surviving files.  The caller still
         applies the row-level predicate — pruning is file-granular, like
         parquet row-group skipping one level up."""
-        files = self.pruned_files(col, lo, hi, version)
-        if not files:
+        entries = self.pruned_entries(col, lo, hi, version, partitions)
+        if not entries:
             return self.read(spark, version).limit(0)
-        return spark.read.parquet(*files)
+        return self._read_entries(spark, entries)
 
     # -- retention -----------------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> dict:
@@ -438,9 +577,14 @@ class SnapshotTable:
         for v in expired:
             os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
         removed_files = 0
-        for name in os.listdir(self.data_dir):
-            p = os.path.join(self.data_dir, name)
-            if p not in referenced:
-                os.remove(p)
-                removed_files += 1
+        for root, _dirs, names in os.walk(self.data_dir):
+            for name in names:
+                p = os.path.join(root, name)
+                if p not in referenced:
+                    os.remove(p)
+                    removed_files += 1
+        # drop now-empty partition dirs (bottom-up; data_dir itself stays)
+        for root, _dirs, _names in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir and not os.listdir(root):
+                os.rmdir(root)
         return {"expired_versions": expired, "removed_files": removed_files}

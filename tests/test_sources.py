@@ -1083,8 +1083,8 @@ def test_snapshot_rewrite_occ_guard(spark, tmp_path, monkeypatch):
     other = SnapshotTable(t.path)
     orig = t._write_data_files
 
-    def interleaved(df, n_files=1, stats_cols=None):
-        entries = orig(df, n_files, stats_cols)
+    def interleaved(df, *args, **kwargs):
+        entries = orig(df, *args, **kwargs)
         other.commit_append(mk(10, 20))  # second writer lands mid-staging
         return entries
 
@@ -1100,3 +1100,110 @@ def test_snapshot_rewrite_occ_guard(spark, tmp_path, monkeypatch):
     assert t.read(spark).count() == 20
     v = t.restore(t.versions()[-1] - 1)
     assert v == t.versions()[-1] and t.read(spark).count() == 20
+
+
+def test_snapshot_partitioned_commit_and_pruning(spark, tmp_path):
+    """Hive-partitioned snapshot commits: partition values are recorded
+    per manifest entry (from the col=value path segments), partition
+    pruning drops non-matching entries without opening any file, the
+    partitioned read re-derives the partition column via basePath, and
+    zone maps (footer-derived) still compose on top for a second tier of
+    skipping."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t.commit_append(df, stats_cols=["k"], partition_by=["bucket"])
+
+    entries = t._manifest(1)["files"]
+    assert len(entries) == 3  # one file per partition value
+    assert {e["partitions"]["bucket"] for e in entries} == {"0", "1", "2"}
+    # footer zone maps attach to the data column, not the path column
+    assert all("k" in e.get("stats", {}) for e in entries)
+    assert all("bucket" not in e.get("stats", {}) for e in entries)
+
+    # partition pruning: no file IO needed to drop 2 of 3 entries
+    pruned = t.pruned_entries(partitions={"bucket": 1})
+    assert len(pruned) == 1 and pruned[0]["partitions"]["bucket"] == "1"
+    got = t.read_pruned(spark, partitions={"bucket": 1})
+    assert got.count() == 100
+    assert {r.bucket for r in got.select("bucket").distinct().collect()} == {1}
+
+    # two-tier: partition + zone map (k < 100 only in part of bucket 1)
+    both = t.pruned_entries(col="k", lo=0, hi=98, partitions={"bucket": [1, 2]})
+    assert len(both) == 2  # buckets 1,2 survive partitions; zone maps keep both
+    # full read round-trips with the partition column restored
+    full = t.read(spark)
+    assert full.count() == 300 and "bucket" in full.columns
+    assert full.where("k = 7").collect()[0].bucket == 1
+
+    # vacuum handles the partition subdirs (no os.remove-on-dir crash)
+    t.commit_rewrite(full.where("bucket < 2"), partition_by=["bucket"])
+    res = t.vacuum(keep_last=1)
+    assert res["removed_files"] == 3  # v1's three files orphaned
+    assert t.read(spark).count() == 200
+
+
+def test_snapshot_footer_stats_numeric_compare(spark, tmp_path):
+    """Footer-derived zone maps keep native numeric types, so pruning on
+    an int column compares numerically (9 < 10 prunes correctly where the
+    old string stats would have needed zero-padding)."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")
+    t.commit_append(mk(0, 10), stats_cols=["k"])     # min 0, max 9
+    t.commit_append(mk(10, 1000), stats_cols=["k"])  # min 10, max 999
+    st = t._manifest(2)["files"][0]["stats"]["k"]
+    assert isinstance(st["min"], int)
+    # lexicographic would keep file 1 ("9" > "100"); numeric prunes it
+    assert len(t.pruned_files(col="k", lo=100, hi=200)) == 1
+    assert t.read_pruned(spark, col="k", lo=100, hi=200).count() == 990
+
+
+def test_snapshot_dual_sink_partial_crash_convergence(spark, tmp_path):
+    """The multi-table exactly-once failure mode: a crash lands BETWEEN
+    the fact-table commit and the aggregate-table commit of the same
+    batch.  On restart, foreachBatch replays the batch; the fact table's
+    batch_id record makes its commit a no-op while the aggregate table
+    catches up — both converge to exactly-once with no double-commit and
+    no cross-table coordination."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    fact = SnapshotTable(str(tmp_path / "fact"))
+    agg = SnapshotTable(str(tmp_path / "agg"))
+
+    def commit_both(df, batch_id, crash_between=False):
+        fact.commit_append(df, batch_id=batch_id)
+        if crash_between:
+            return  # simulated crash: agg never sees the batch
+        agg.commit_append(
+            df.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+            batch_id=batch_id,
+        )
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("t")
+    )
+    commit_both(mk(0, 10), 0)
+    commit_both(mk(10, 30), 1, crash_between=True)  # crash mid-batch
+    assert len(fact.versions()) == 2 and len(agg.versions()) == 1
+
+    commit_both(mk(10, 30), 1)  # restart replays batch 1 to BOTH
+    # fact skipped (no 3rd version, no duplicate rows); agg caught up
+    assert len(fact.versions()) == 2 and len(agg.versions()) == 2
+    assert fact.read(spark).count() == 30
+    total_agg = agg.read(spark).agg(F.sum("n")).collect()[0][0]
+    assert total_agg == 30
+
+    # a second full replay is a no-op everywhere
+    commit_both(mk(10, 30), 1)
+    assert len(fact.versions()) == 2 and len(agg.versions()) == 2
