@@ -206,6 +206,17 @@ BENCH_QUERIES = [
     # incremental change-feed read: O(new files) consumption off the cached
     # yearly table (5 of 7 files scheduled, no table rescan).
     "snapshot_incremental_read",
+    # round-7 widening: Hive-partition manifest pruning (ONE partitioned
+    # commit fans out 7 year files; the scan plans 2 of 7 from partition
+    # values alone), the OPTIMIZE clustering rewrite (scattered ingest ->
+    # range-clustered rewrite with footer zone-map refresh; first call pays
+    # both layouts, warm repeats measure the pruned clustered read), and
+    # the dual-table exactly-once stream (two manifest commits per batch +
+    # a poisoned replay against BOTH tables; streaming fixed costs
+    # dominate, expect ~flat across SFs like the other foreachBatch rows).
+    "snapshot_partition_pruned_scan",
+    "snapshot_clustering_rewrite",
+    "stream_dual_snapshot_commits",
 ]
 
 

@@ -83,6 +83,55 @@ def kafka_transform(raw: DataFrame) -> DataFrame:
     )
 
 
+KAFKA_PROVIDER_CLASS = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector jar is on the JVM
+    classpath — the feature probe `read_line_stream` selects providers
+    with.  A cluster that ships the jar (any production Spark distro)
+    gets the real Kafka source with zero code change; this sandbox
+    (no jar, no broker) gets the parquet replay contract."""
+    try:
+        spark._jvm.java.lang.Class.forName(KAFKA_PROVIDER_CLASS)
+        return True
+    except Exception:
+        return False
+
+
+def read_line_stream(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    brokers: str | None = None,
+    topics: str | None = None,
+    _kafka_probe=None,
+) -> DataFrame:
+    """Source-agnostic line stream with provider selection (S6):
+
+    - ``brokers`` given + connector jar present → the real Kafka source
+      (`read_kafka_stream`), same downstream jobs unchanged;
+    - ``brokers`` given + jar ABSENT → loud, actionable failure (never a
+      silent fallback: the caller asked for Kafka);
+    - no ``brokers`` → the deterministic parquet replay
+      (`read_events_stream`), the sandbox/test contract.
+
+    ``_kafka_probe`` injects the availability check for tests (the
+    jar-present branch is pinned without shipping a jar)."""
+    probe = _kafka_probe if _kafka_probe is not None else kafka_available
+    if brokers:
+        if not probe(spark):
+            raise RuntimeError(
+                f"Kafka source requested (brokers={brokers!r}) but the "
+                f"connector jar is not on the classpath ({KAFKA_PROVIDER_CLASS}); "
+                "submit with --packages org.apache.spark:spark-sql-kafka-0-10_2.13 "
+                "or omit brokers to use the file-replay source"
+            )
+        return read_kafka_stream(spark, brokers, topics or "events")
+    if sf_dir is None:
+        raise ValueError("either brokers or sf_dir is required")
+    return read_events_stream(spark, sf_dir)
+
+
 def read_kafka_stream(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
     """Kafka line stream (S6).  Requires the spark-sql-kafka connector jar;
     `tests/test_streaming.py::test_kafka_pipeline_contract` pins the option

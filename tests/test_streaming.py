@@ -424,3 +424,47 @@ def test_channel_live_split_independent(spark, sf_dir):
             u, p = by_key[(d, h, tr, reg, term)]
             assert users == u
             assert abs(p - pt) < 1e-6
+
+
+def test_kafka_provider_selection_both_ways(spark, sf_dir):
+    """The feature-probe selection logic, pinned both ways without a jar:
+    (a) jar absent (this container, real probe): asking for brokers fails
+    LOUDLY naming the missing artifact — never a silent fallback; (b) jar
+    present (mocked probe): the same call routes into the real
+    readStream.format("kafka") pipeline, proving a cluster that ships the
+    connector runs the identical job against a broker with zero code
+    change; (c) no brokers: the deterministic replay source, same
+    downstream schema."""
+    import pytest
+
+    from bigdata_homed_spark.streaming.jobs import (
+        KAFKA_PROVIDER_CLASS,
+        kafka_available,
+        read_line_stream,
+    )
+
+    # (a) the real probe in this sandbox: jar absent, loud failure
+    assert kafka_available(spark) is False
+    with pytest.raises(RuntimeError, match="connector jar"):
+        read_line_stream(spark, brokers="broker:9092", topics="runlog")
+
+    # (b) probe mocked to jar-present: selection routes to the kafka
+    # branch — it must get past our code and fail only at Spark's
+    # provider lookup (or analyze fine if a jar ever appears)
+    try:
+        df = read_line_stream(
+            spark, brokers="broker:9092", topics="runlog",
+            _kafka_probe=lambda s: True,
+        )
+        df.explain()  # jar actually present: analysis must succeed
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        assert "connector jar" not in msg, "selection failed before the source"
+        assert "kafka" in msg.lower(), f"failed before provider lookup: {msg}"
+
+    # (c) replay path: same event_time/ts_sec contract as the batch catalog
+    replay = read_line_stream(spark, sf_dir=sf_dir)
+    assert {"event_time", "ts_sec"} <= set(replay.columns)
+    assert replay.isStreaming
+    # and the probe class name is the real provider (typo guard)
+    assert KAFKA_PROVIDER_CLASS.endswith("KafkaSourceProvider")
