@@ -2193,3 +2193,99 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Canonical-representative selection — the FINAL stage of the dedup
+# pipeline: near-dup clusters are only half the job; the pipeline must then
+# KEEP exactly one document per cluster and drop the rest.  Keeper policy:
+# highest lexical richness (distinct-token count — integer, so
+# cross-engine exact), doc_id ascending as the deterministic tiebreak —
+# the "keep the best, not the first" rule real curation stacks use
+# (quality-ranked dedup, e.g. FineWeb's cluster-representative step).
+# Plan: the components labels (O(log n) min-label rounds, shared machinery)
+# join the per-doc richness scan on doc_id, then ONE row_number window per
+# component — no new shuffle class; at 100 TB the window partitions by
+# component_id, which the label join already clustered.
+# Oracle: an independent recursive-CTE transitive closure + the same
+# richness argmax.
+@query(
+    "dedup_canonical_keep",
+    oracle=f"""
+    WITH RECURSIVE docsh AS (
+      SELECT doc_id, {SHINGLES3} AS sh
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    ),
+    sigs AS (SELECT doc_id, sh, {_minhash_sql()} AS sig FROM docsh),
+    bands AS (
+      SELECT doc_id, sh, b.band_idx,
+             md5(cast(sig[b.band_idx*{BAND_ROWS}+1] as varchar) || '_' ||
+                 cast(sig[b.band_idx*{BAND_ROWS}+2] as varchar)) AS band_key
+      FROM sigs, (SELECT unnest(generate_series(0, {NUM_BANDS - 1})) AS band_idx) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    near AS (
+      SELECT c.d1, c.d2
+      FROM cands c JOIN docsh x ON x.doc_id = c.d1 JOIN docsh y ON y.doc_id = c.d2
+      WHERE cast(len(list_intersect(x.sh, y.sh)) as double)
+            / cast(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) as double) >= 0.5
+    ),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM near UNION SELECT d2, d1 FROM near),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    lab AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component_id
+      FROM reach GROUP BY src
+    ),
+    lab2 AS (
+      SELECT doc_id, component_id,
+             cast(count(*) OVER (PARTITION BY component_id) as bigint) AS comp_size
+      FROM lab
+    ),
+    rich AS (
+      SELECT doc_id, cast(len(list_distinct({TOKS})) as bigint) AS n_distinct_toks
+      FROM documents
+    ),
+    ranked AS (
+      SELECT l.doc_id, l.component_id, l.comp_size, r.n_distinct_toks,
+             row_number() OVER (PARTITION BY l.component_id
+                                ORDER BY r.n_distinct_toks DESC, l.doc_id ASC) AS rn
+      FROM lab2 l JOIN rich r ON l.doc_id = r.doc_id
+    )
+    SELECT component_id, comp_size, doc_id AS keep_doc_id, n_distinct_toks,
+           cast(comp_size - 1 as bigint) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    comp = near_dup_components(spark, sf_dir)  # doc_id, component_id, comp_size
+    rich = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(tokens("text"))).cast("bigint").alias(
+            "n_distinct_toks"
+        ),
+    )
+    scored = comp.join(rich, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_distinct_toks").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            "comp_size",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_distinct_toks",
+            (F.col("comp_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
