@@ -1628,6 +1628,18 @@ def _bpe_round_cte(r: int) -> str:
     """,
 )
 def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, _ = _bpe_train(spark, sf_dir)
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The R-round merge loop shared by the trainer (`bpe_vocab_merges`,
+    which reports the merge table) and the applier
+    (`bpe_apply_segmentation`, which reports the segmented corpus).
+    Returns (per-round stat frames, final rewritten token frame)."""
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1697,10 +1709,7 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tokens_after",
             )
         )
-    out = rows[0]
-    for extra in rows[1:]:
-        out = out.unionByName(extra)
-    return out.orderBy("merge_rank")
+    return rows, cur
 
 
 # --------------------------------------------------------------------------
@@ -2288,4 +2297,60 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_toks",
             (F.col("comp_size") - 1).cast("bigint").alias("n_dropped"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE APPLY — the inference side of the trainer above: segment every
+# document with the R trained merges and report per-doc token accounting
+# (before, after, how many merged symbols) — the "token counting with the
+# real tokenizer" number a pretraining data pipeline budgets corpora by,
+# not the whitespace proxy.  Shares the trainer's island-parity rewrite
+# machinery (`_bpe_train`), so apply-equals-train semantics are guaranteed
+# by construction and the greedy left-to-right contract is already
+# property-tested against a sequential tokenizer.  Plan: the R rewrite
+# rounds (doc-partitioned windows, embarrassingly parallel) + ONE per-doc
+# hash agg; docs whose text yields zero tokens surface with zeros.
+@query(
+    "bpe_apply_segmentation",
+    oracle=f"""
+    WITH tok0 AS (
+      SELECT doc_id, cast(i as bigint) AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    ),
+    {",".join(_bpe_round_cte(r).strip() for r in range(1, BPE_MERGE_ROUNDS + 1))},
+    agg3 AS (
+      SELECT doc_id, cast(count(*) as bigint) AS tokens_after,
+             cast(sum(CASE WHEN tok LIKE '%' || chr(31) || '%' THEN 1 ELSE 0 END) as bigint)
+               AS n_merged_tokens
+      FROM tok{BPE_MERGE_ROUNDS} GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           cast(len({TOKS}) as bigint) AS tokens_before,
+           cast(coalesce(a.tokens_after, 0) as bigint) AS tokens_after,
+           cast(coalesce(a.n_merged_tokens, 0) as bigint) AS n_merged_tokens
+    FROM documents d LEFT JOIN agg3 a ON d.doc_id = a.doc_id
+    """,
+)
+def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    _, segmented = _bpe_train(spark, sf_dir)
+    per_doc = segmented.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tokens_after"),
+        F.sum(F.col("tok").contains(BPE_SEP).cast("int"))
+        .cast("bigint")
+        .alias("n_merged_tokens"),
+    )
+    before = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("tokens_before")
+    )
+    return before.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "tokens_before",
+        F.coalesce("tokens_after", F.lit(0)).cast("bigint").alias("tokens_after"),
+        F.coalesce("n_merged_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("n_merged_tokens"),
     )
