@@ -217,6 +217,12 @@ BENCH_QUERIES = [
     "snapshot_partition_pruned_scan",
     "snapshot_clustering_rewrite",
     "stream_dual_snapshot_commits",
+    # Late-r7 additions (81st+): dedup pipeline's canonical-representative
+    # final stage (one groupBy over the components output) and the BPE
+    # tokenizer APPLY pass (token-linear greedy segmentation with the
+    # trained merge ranks broadcast).
+    "dedup_canonical_keep",
+    "bpe_apply_segmentation",
 ]
 
 
