@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     # trained merge ranks broadcast).
     "dedup_canonical_keep",
     "bpe_apply_segmentation",
+    # Merge-on-read deletion vectors (delete + merge with zero file
+    # rewrites; cost = fixture commits + one DV anti-join read).
+    "snapshot_merge_on_read",
 ]
 
 

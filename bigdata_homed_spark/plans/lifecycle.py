@@ -1144,6 +1144,120 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Merge-on-read with DELETION VECTORS (Iceberg v2 positional deletes /
+# Delta DVs) — the write-amplification counterpart to snapshot_merge_upsert's
+# copy-on-write: a DELETE and a MERGE run against the same yearly-layout
+# orders table, and NEITHER rewrites a data file.  Dead rows are recorded
+# as (file, row-position) pairs in two DV parquet files the manifest lists;
+# readers subtract them with a broadcast anti-join on the scan's
+# _metadata.file_path/row_index columns.  n_files_carried = 7 of 7 parent
+# files surviving BOTH verbs untouched (vs the CoW query's 6-of-8 after one
+# merge) and n_delete_files = 2 are manifest arithmetic, so the oracle's
+# literals verify the zero-rewrite claim while n_rows/sum_total verify the
+# merged state.  At 100 TB this is the Delta/Iceberg answer to frequent
+# small deletes/upserts on huge clustered files: write O(deleted rows),
+# not O(hit-file bytes), and let OPTIMIZE fold the DVs in off-peak.
+_SNAPMOR_CACHE: dict[str, str] = {}
+
+
+def _snapmor_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPMOR_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapmor_"), "orders_mor")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        for y in range(1995, 2002):
+            t.commit_append(
+                orders.where(F.year("o_orderdate") == y),
+                n_files=1,
+                stats_cols=["o_orderdate"],
+            )
+        # merge-on-read DELETE: a third of 1995 dies, zero files rewritten
+        t.commit_delete(
+            spark,
+            (F.year("o_orderdate") == 1995) & (F.col("o_orderkey") % 3 == 0),
+        )
+        # merge-on-read MERGE: same restate+insert batch as the CoW query
+        restated = orders.where(
+            (F.year("o_orderdate") == 1997) & (F.col("o_orderkey") % 2 == 0)
+        ).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(50.0)).alias("o_totalprice"),
+            "o_orderdate",
+        )
+        inserts = orders.where(F.year("o_orderdate") == 2001).select(
+            (F.col("o_orderkey") + F.lit(1000000000000)).alias("o_orderkey"),
+            (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+            F.col("o_orderdate"),
+        )
+        t.commit_merge_on_read(
+            restated.unionByName(inserts),
+            key="o_orderkey",
+            n_new_files=1,
+            stats_cols=["o_orderdate"],
+        )
+        _SNAPMOR_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_merge_on_read",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate
+      FROM orders
+      WHERE NOT (year(o_orderdate) = 1995 AND o_orderkey % 3 = 0)
+    ), merged AS (
+      SELECT o_orderkey,
+             CASE WHEN year(o_orderdate) = 1997 AND o_orderkey % 2 = 0
+                  THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS p
+      FROM live
+      UNION ALL
+      SELECT o_orderkey + 1000000000000, o_totalprice * 0.5
+      FROM orders WHERE year(o_orderdate) = 2001
+    )
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(p as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(7 as bigint) AS n_files_carried,
+           cast(8 as bigint) AS n_files_total,
+           cast(2 as bigint) AS n_delete_files
+    FROM merged
+    """,
+)
+def snapshot_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    t = _snapmor_table(spark, sf_dir)
+    head = t.versions()[-1]
+    pre_merge = 7  # the yearly-append lineage head, before delete+merge
+    carried = len(set(t.files(pre_merge)) & set(t.files(head)))
+    with open(os.path.join(t.manifest_dir, f"v{head}.json")) as f:
+        n_dvs = len(_json.load(f).get("delete_files", []))
+    return (
+        t.read(spark, head)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .select(
+            "n_rows",
+            "sum_total",
+            F.lit(carried).cast("bigint").alias("n_files_carried"),
+            F.lit(len(t.files(head))).cast("bigint").alias("n_files_total"),
+            F.lit(n_dvs).cast("bigint").alias("n_delete_files"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # RESTORE — rollback as a forward commit (Delta RESTORE semantics): a bad
 # deploy overwrites the table with a corrupted build (here: every price
 # zeroed); restore(v1) publishes a NEW version pointing at v1's untouched

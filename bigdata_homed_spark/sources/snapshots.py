@@ -27,6 +27,16 @@ object stores).  Each entry can carry two tiers of skipping metadata:
   — partition pruning drops entries before any file is touched;
 - ``"stats"``: per-file min/max zone maps lifted from the parquet FOOTERS
   at commit time (metadata reads, never a second data pass).
+
+**Merge-on-read deletion vectors** (Iceberg v2 positional deletes / Delta
+deletion vectors): ``commit_delete`` and ``commit_merge_on_read`` never
+rewrite a data file — they record the (file, row position) pairs of dead
+rows in small DV parquet files listed in the manifest's ``delete_files``,
+and readers subtract them with a broadcast anti-join on Spark's
+``_metadata.file_path``/``_metadata.row_index`` scan columns.  Write
+amplification drops from O(hit-file bytes) to O(deleted rows); the next
+``commit_rewrite`` (OPTIMIZE) folds the DVs back in and publishes a clean
+file set.  Positions are stable because data files are immutable.
 """
 
 from __future__ import annotations
@@ -61,6 +71,7 @@ class SnapshotTable:
         # nothing (dup keys on merge, stats dropped)
         self.path = os.path.abspath(path).rstrip("/")
         self.data_dir = os.path.join(self.path, "data")
+        self.delete_dir = os.path.join(self.path, "_deletes")
         self.manifest_dir = os.path.join(self.path, "_manifests")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -220,6 +231,7 @@ class SnapshotTable:
         entries: list[dict],
         batch_id: int | None = None,
         expected_parent: int | None = None,
+        delete_files: list[str] | None = None,
     ) -> int:
         versions = self.versions()
         if expected_parent is not None:
@@ -231,6 +243,8 @@ class SnapshotTable:
         v = (versions[-1] + 1) if versions else 1
         manifest = {"version": v, "parent": versions[-1] if versions else None,
                     "files": entries}
+        if delete_files:
+            manifest["delete_files"] = delete_files
         if batch_id is not None:
             manifest["batch_id"] = batch_id
         final = os.path.join(self.manifest_dir, f"v{v}.json")
@@ -282,14 +296,18 @@ class SnapshotTable:
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.versions()[-1]
         versions = self.versions()
-        prev = list(self._manifest(versions[-1])["files"]) if versions else []
+        parent = self._manifest(versions[-1]) if versions else {}
+        prev = list(parent.get("files", []))
         # conflict-check against the version whose file list we extended:
         # if another writer advanced the head while data files were being
-        # staged, appending "prev + new" would silently drop their commit
+        # staged, appending "prev + new" would silently drop their commit.
+        # Parent deletion vectors are carried forward untouched — they
+        # reference immutable files that all survive an append.
         return self._publish(
             prev + self._write_data_files(df, n_files, stats_cols, partition_by),
             batch_id,
             expected_parent=versions[-1] if versions else 0,
+            delete_files=parent.get("delete_files"),
         )
 
     def commit_rewrite(
@@ -335,22 +353,172 @@ class SnapshotTable:
 
         Hive-partitioned versions (entries carrying ``"partitions"``) are
         read with ``basePath`` so Spark re-derives the partition columns
-        from the ``col=value`` path segments of exactly the listed files."""
+        from the ``col=value`` path segments of exactly the listed files.
+
+        Versions carrying ``delete_files`` (merge-on-read commits) subtract
+        the dead positions with a broadcast anti-join — see
+        ``_apply_delete_vectors``."""
         v = version if version is not None else self._head()
-        entries = self._manifest(v)["files"]
+        m = self._manifest(v)
+        entries = m["files"]
         if not entries:
             raise ValueError(f"snapshot table {self.path} has no commits")
-        return self._read_entries(spark, entries, merge_schema)
+        return self._read_entries(spark, entries, merge_schema, m.get("delete_files"))
 
     def _read_entries(
-        self, spark: SparkSession, entries: list[dict], merge_schema: bool = False
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        merge_schema: bool = False,
+        delete_files: list[str] | None = None,
     ) -> DataFrame:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         if any("partitions" in e for e in entries):
             reader = reader.option("basePath", self.data_dir)
-        return reader.parquet(*[e["path"] for e in entries])
+        df = reader.parquet(*[e["path"] for e in entries])
+        if delete_files:
+            df = self._apply_delete_vectors(spark, df, delete_files)
+        return df
+
+    @staticmethod
+    def _apply_delete_vectors(
+        spark: SparkSession, df: DataFrame, delete_files: list[str]
+    ) -> DataFrame:
+        """Subtract DV positions: anti-join on the parquet scan's
+        ``_metadata.file_path``/``row_index`` columns (stable — data files
+        are immutable).  The DV side is broadcast: it is bounded by rows
+        deleted since the last compaction, which OPTIMIZE keeps small by
+        design (Delta's DV story makes the same size argument); the big
+        side never shuffles.  At 100 TB the native equivalent pushes a
+        per-file bitmap into the scan — this is the same IO shape, one
+        broadcast hash probe per row instead of a bitmap test."""
+        from pyspark.sql import functions as F
+
+        dv = spark.read.parquet(*delete_files).select(
+            F.col("__file").alias("__dv_file"), F.col("__pos").alias("__dv_pos")
+        )
+        tagged = df.withColumns(
+            {
+                "__dv_file": F.col("_metadata.file_path"),
+                "__dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        return tagged.join(
+            F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
+        ).drop("__dv_file", "__dv_pos")
+
+    def _scan_with_pos(self, spark: SparkSession, manifest: dict) -> DataFrame:
+        """The head's LIVE rows with ``__file``/``__pos`` columns attached —
+        the input every merge-on-read verb derives its new DV from.
+        Already-dead positions are subtracted first so they are never
+        re-recorded."""
+        from pyspark.sql import functions as F
+
+        entries = manifest["files"]
+        reader = spark.read
+        if any("partitions" in e for e in entries):
+            reader = reader.option("basePath", self.data_dir)
+        df = reader.parquet(*[e["path"] for e in entries]).withColumns(
+            {
+                "__file": F.col("_metadata.file_path"),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+        old = manifest.get("delete_files")
+        if old:
+            dv = spark.read.parquet(*old).select(
+                F.col("__file"), F.col("__pos")
+            )
+            df = df.join(F.broadcast(dv), ["__file", "__pos"], "left_anti")
+        return df
+
+    def _write_delete_files(self, doomed: DataFrame) -> list[str]:
+        """Materialize a (``__file``, ``__pos``) DataFrame as immutable DV
+        parquet under ``_deletes/``.  coalesce(1) is deliberate: a DV is
+        O(rows deleted this commit), kilobytes-to-megabytes, and one file
+        per commit keeps the manifest small."""
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
+        doomed.select("__file", "__pos").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        os.makedirs(self.delete_dir, exist_ok=True)
+        out = []
+        for name in sorted(os.listdir(stage)):
+            if name.endswith(".parquet"):
+                final = os.path.join(self.delete_dir, f"{uuid.uuid4().hex}.parquet")
+                os.replace(os.path.join(stage, name), final)
+                out.append(final)
+        for name in os.listdir(stage):
+            os.remove(os.path.join(stage, name))
+        os.rmdir(stage)
+        return out
+
+    def commit_delete(self, spark: SparkSession, condition) -> int:
+        """Merge-on-read DELETE: rows matching ``condition`` (a SQL string
+        or Column over the table's schema) are recorded in a new deletion
+        vector; NO data file is rewritten or dropped from the manifest.
+        Cost is one scan + O(deleted rows) written — contrast the
+        copy-on-write alternative's full rewrite of every hit file.  A
+        no-match delete is a no-op (returns the current head, writes
+        nothing).  The next ``commit_rewrite`` folds DVs into a clean file
+        set."""
+        versions = self.versions()
+        head = self._head()
+        m = self._manifest(head)
+        doomed = (
+            self._scan_with_pos(spark, m)
+            .where(condition)
+            .select("__file", "__pos")
+        )
+        if not doomed.limit(1).count():
+            return head
+        new_dvs = self._write_delete_files(doomed)
+        return self._publish(
+            list(m["files"]),
+            expected_parent=head,
+            delete_files=list(m.get("delete_files", [])) + new_dvs,
+        )
+
+    def commit_merge_on_read(
+        self,
+        updates: DataFrame,
+        key: str,
+        n_new_files: int = 1,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """MERGE with merge-on-read semantics: matched keys' old rows are
+        killed by a deletion vector (no file rewrite), and ``updates``
+        (new values for matched keys + brand-new keys) lands as fresh
+        files.  Write cost is O(updates) + O(matched rows) regardless of
+        how many bytes the hit files hold — the write-amplification win
+        over ``commit_merge`` (copy-on-write), paid back later as a
+        per-read DV anti-join until OPTIMIZE compacts.  ``updates`` must
+        be unique on ``key``."""
+        from pyspark.sql import functions as F
+
+        spark = updates.sparkSession
+        versions = self.versions()
+        if not versions:
+            return self.commit_append(updates, n_new_files, stats_cols)
+        head = versions[-1]
+        m = self._manifest(head)
+        upd_keys = updates.select(key).distinct()
+        doomed = (
+            self._scan_with_pos(spark, m)
+            .join(F.broadcast(upd_keys), key, "left_semi")
+            .select("__file", "__pos")
+        )
+        dvs = list(m.get("delete_files", []))
+        if doomed.limit(1).count():
+            dvs += self._write_delete_files(doomed)
+        new = self._write_data_files(updates, n_new_files, stats_cols)
+        return self._publish(
+            list(m["files"]) + new,
+            expected_parent=head,
+            delete_files=dvs or None,
+        )
 
     def commit_merge(
         self,
@@ -379,7 +547,15 @@ class SnapshotTable:
         versions = self.versions()
         if not versions:
             return self.commit_append(updates, n_new_files, stats_cols)
-        cur_entries = self._manifest(versions[-1])["files"]
+        cur = self._manifest(versions[-1])
+        cur_entries = cur["files"]
+        if cur.get("delete_files"):
+            raise NotImplementedError(
+                "copy-on-write commit_merge on a table carrying deletion "
+                "vectors would need per-file DV subtraction in the survivor "
+                "rewrite; either keep using commit_merge_on_read, or compact "
+                "first (commit_rewrite(read(spark)) folds the DVs in)."
+            )
         if any("partitions" in e for e in cur_entries):
             raise NotImplementedError(
                 "commit_merge on a Hive-partitioned snapshot table is not "
@@ -434,6 +610,14 @@ class SnapshotTable:
                 f"v{v_from}->v{vt} is not append-only ({len(dropped)} file(s) "
                 "rewritten/removed); use a key-level diff for change data"
             )
+        dv_old = set(self._manifest(v_from).get("delete_files", []))
+        dv_new = set(self._manifest(vt).get("delete_files", []))
+        if dv_old != dv_new:
+            raise ValueError(
+                f"v{v_from}->v{vt} is not append-only (deletion vectors "
+                "changed: rows were deleted/merged in place); use a "
+                "key-level diff for change data"
+            )
         return [p for p in new if p not in old]
 
     def read_incremental(
@@ -452,13 +636,21 @@ class SnapshotTable:
         time-travelable, and no data moves (manifest-only, O(files) JSON).
         Requires the target's files to still exist (i.e. not vacuumed)."""
         head = self._head()  # captured BEFORE staging: same OCC guard as
-        entries = self._manifest(version)["files"]  # append/merge/rewrite
-        missing = [e["path"] for e in entries if not os.path.exists(e["path"])]
+        m = self._manifest(version)  # append/merge/rewrite
+        entries = m["files"]
+        dvs = m.get("delete_files", [])
+        missing = [
+            p
+            for p in [e["path"] for e in entries] + list(dvs)
+            if not os.path.exists(p)
+        ]
         if missing:
             raise ValueError(
                 f"cannot restore v{version}: {len(missing)} file(s) vacuumed away"
             )
-        return self._publish(list(entries), expected_parent=head)
+        return self._publish(
+            list(entries), expected_parent=head, delete_files=list(dvs) or None
+        )
 
     def pruned_entries(
         self,
@@ -534,7 +726,10 @@ class SnapshotTable:
         entries = self.pruned_entries(col, lo, hi, version, partitions)
         if not entries:
             return self.read(spark, version).limit(0)
-        return self._read_entries(spark, entries)
+        v = version if version is not None else self._head()
+        return self._read_entries(
+            spark, entries, delete_files=self._manifest(v).get("delete_files")
+        )
 
     # -- retention -----------------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> dict:
@@ -560,6 +755,7 @@ class SnapshotTable:
         referenced = set()
         for v in survivors:
             referenced.update(self.files(v))
+            referenced.update(self._manifest(v).get("delete_files", []))
         expired_batch_ids = set()
         for v in expired:
             b = self._manifest(v).get("batch_id")
@@ -577,12 +773,16 @@ class SnapshotTable:
         for v in expired:
             os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
         removed_files = 0
-        for root, _dirs, names in os.walk(self.data_dir):
-            for name in names:
-                p = os.path.join(root, name)
-                if p not in referenced:
-                    os.remove(p)
-                    removed_files += 1
+        sweep_dirs = [self.data_dir]
+        if os.path.isdir(self.delete_dir):
+            sweep_dirs.append(self.delete_dir)
+        for d in sweep_dirs:
+            for root, _dirs, names in os.walk(d):
+                for name in names:
+                    p = os.path.join(root, name)
+                    if p not in referenced:
+                        os.remove(p)
+                        removed_files += 1
         # drop now-empty partition dirs (bottom-up; data_dir itself stays)
         for root, _dirs, _names in os.walk(self.data_dir, topdown=False):
             if root != self.data_dir and not os.listdir(root):

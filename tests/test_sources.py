@@ -1207,3 +1207,102 @@ def test_snapshot_dual_sink_partial_crash_convergence(spark, tmp_path):
     # a second full replay is a no-op everywhere
     commit_both(mk(10, 30), 1)
     assert len(fact.versions()) == 2 and len(agg.versions()) == 2
+
+
+def test_snapshot_deletion_vector_delete(spark, tmp_path):
+    """Merge-on-read DELETE: the matching rows disappear from reads, but
+    every data file survives untouched in the manifest (write cost is the
+    DV, not a rewrite); a no-match delete is a version-free no-op; time
+    travel to the pre-delete version still sees every row."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "dv"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.commit_append(df.where("k < 50"), n_files=2)
+    t.commit_append(df.where("k >= 50"), n_files=2)
+
+    v3 = t.commit_delete(spark, "k % 10 = 0")
+    assert v3 == 3
+    assert t.read(spark).count() == 90
+    assert t.read(spark).where("k % 10 = 0").count() == 0
+    assert t.files(3) == t.files(2)  # zero rewrite amplification
+    assert t.read(spark, 2).count() == 100  # time travel unaffected
+    # no-op delete: no new version, nothing written
+    assert t.commit_delete(spark, "k = 424242") == 3
+    # a second delete stacks its DV on the first
+    v4 = t.commit_delete(spark, "k = 1")
+    assert v4 == 4 and t.read(spark).count() == 89
+
+
+def test_snapshot_merge_on_read_vs_copy_on_write(spark, tmp_path):
+    """commit_merge_on_read carries EVERY parent data file (DV kills the
+    matched rows) and produces the same table state a copy-on-write merge
+    would; commit_rewrite afterwards folds the DVs into a clean manifest;
+    incremental_files refuses to treat the DV commit as append-only; CoW
+    commit_merge refuses to run over a DV'd table."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "mor"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.commit_append(df, n_files=4)
+    upd = spark.createDataFrame(
+        [(1, -1), (2, -1), (3, -1), (1000, 7)], "k long, v long"
+    )
+    v2 = t.commit_merge_on_read(upd, "k")
+    assert v2 == 2
+    assert set(t.files(1)) <= set(t.files(2))  # all parent files carried
+    got = {r["k"]: r["v"] for r in t.read(spark).where("k <= 3 or k = 1000").collect()}
+    assert got == {0: 0, 1: -1, 2: -1, 3: -1, 1000: 7}
+    assert t.read(spark).count() == 101
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.incremental_files(1, 2)
+    with pytest.raises(NotImplementedError, match="merge_on_read"):
+        t.commit_merge(upd, "k")
+    v3 = t.commit_rewrite(t.read(spark), n_files=2)
+    m = json.load(open(os.path.join(t.manifest_dir, f"v{v3}.json")))
+    assert "delete_files" not in m  # OPTIMIZE purged the DVs
+    assert t.read(spark).count() == 101
+
+
+def test_snapshot_dv_restore_append_and_vacuum(spark, tmp_path):
+    """DVs ride through the rest of the lifecycle: an append on a DV'd
+    table carries the vectors (old rows stay dead, new rows appear);
+    restore() to a DV'd version re-pins its vectors; vacuum keeps DV files
+    any surviving manifest references and sweeps the rest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "dvlife"))
+    df = spark.range(50).select(F.col("id").alias("k"))
+    t.commit_append(df, n_files=2)                        # v1: 50
+    t.commit_delete(spark, "k < 10")                      # v2: 40
+    t.commit_append(
+        spark.range(100, 110).select(F.col("id").alias("k"))
+    )                                                     # v3: 50
+    assert t.read(spark).count() == 50
+    assert t.read(spark).where("k < 10").count() == 0     # append kept DVs
+
+    t.commit_rewrite(t.read(spark), n_files=1)            # v4: clean
+    v5 = t.restore(2)                                     # re-pin v2 + its DVs
+    assert t.read(spark, v5).count() == 40
+
+    res = t.vacuum(keep_last=1)                           # only v5 survives
+    assert t.read(spark).count() == 40
+    # v5 references v2's DV, so _deletes is non-empty after the sweep
+    assert any(os.scandir(t.delete_dir))
+    assert res["removed_files"] > 0                       # v4's clean file went
