@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     # Merge-on-read deletion vectors (delete + merge with zero file
     # rewrites; cost = fixture commits + one DV anti-join read).
     "snapshot_merge_on_read",
+    # Streaming CDC upsert INTO the snapshot table (foreachBatch +
+    # batch-id-idempotent merge-on-read; streaming fixed costs dominate).
+    "stream_mor_upsert",
 ]
 
 

@@ -1288,3 +1288,116 @@ def stream_dual_snapshot_commits(
         .withColumn("n_versions_fact", F.lit(len(fact.versions())).cast("bigint"))
         .withColumn("n_versions_agg", F.lit(len(agg.versions())).cast("bigint"))
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC UPSERT into a lakehouse table with merge-on-read — the
+# Delta `foreachBatch + MERGE` recipe with all three production properties
+# at once: (1) EXACTLY-ONCE: each merge is stamped with its batch_id and a
+# replayed id is skipped whole (no DV, no files — the poisoned replay after
+# the drain proves it via the n_versions=4 literal); (2) NO REWRITE
+# AMPLIFICATION: matched keys die by deletion vector, so every batch writes
+# O(changed rows) and each version carries ALL prior data files
+# (n_files_total=4 — one per batch — is the zero-rewrite pin); (3)
+# SPLIT-INDEPENDENT state: the upsert is conditional — the batch's
+# keep-latest challengers are merged against the CURRENT table rows for
+# those keys and only the (ts, event_id)-max row survives — so the final
+# table equals the GLOBAL keep-latest per user no matter how the stream was
+# batched, which is what makes a batching-blind SQL oracle possible.  Per
+# batch: one manifest-scheduled read semi-joined to the batch's keys
+# (broadcast), one window over batch-sized rows, one merge commit.
+@query(
+    "stream_mor_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts)//1000000 DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT cast(count(*) as bigint) AS n_users,
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double)
+             AS sum_last_value,
+           cast(4 as bigint) AS n_versions,
+           cast(4 as bigint) AS n_files_total
+    FROM latest WHERE rn = 1
+    """,
+)
+def stream_mor_upsert(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import SnapshotTable
+    from ..sources.tables import load_table
+
+    staged = tempfile.mkdtemp(prefix="morups_")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts_sec"
+    ).repartitionByRange(n_batches, "event_id").write.mode("overwrite").parquet(
+        staged
+    )
+
+    t = SnapshotTable(tempfile.mkdtemp(prefix="morups_tbl_"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_sec").desc(), F.col("event_id").desc()
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        challengers = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if t.versions():
+            # conditional upsert: current rows for the touched keys defend
+            # their seat; only the (ts_sec, event_id)-max row per user wins
+            incumbents = t.read(spark).join(
+                F.broadcast(challengers.select("user_id").distinct()),
+                "user_id",
+                "left_semi",
+            )
+            challengers = (
+                incumbents.unionByName(challengers)
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        t.commit_merge_on_read(challengers, key="user_id", batch_id=batch_id)
+
+    q = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, value double, ts_sec bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="morups_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # poisoned replay of batch 0: a working guard merges NOTHING — a broken
+    # one would plant an absurd-timestamp row on user -1, add a 5th version
+    # and a 5th file, failing the oracle on three columns at once
+    poison = spark.createDataFrame(
+        [(-1, -1, 1.0e9, 10**12)],
+        "event_id bigint, user_id bigint, value double, ts_sec bigint",
+    )
+    process_batch(poison, 0)
+
+    return t.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_last_value"),
+        F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
+        F.lit(len(t.files())).cast("bigint").alias("n_files_total"),
+    )

@@ -487,6 +487,7 @@ class SnapshotTable:
         key: str,
         n_new_files: int = 1,
         stats_cols: list[str] | None = None,
+        batch_id: int | None = None,
     ) -> int:
         """MERGE with merge-on-read semantics: matched keys' old rows are
         killed by a deletion vector (no file rewrite), and ``updates``
@@ -495,13 +496,22 @@ class SnapshotTable:
         how many bytes the hit files hold — the write-amplification win
         over ``commit_merge`` (copy-on-write), paid back later as a
         per-read DV anti-join until OPTIMIZE compacts.  ``updates`` must
-        be unique on ``key``."""
+        be unique on ``key``.
+
+        ``batch_id`` gives the merge the same foreachBatch idempotency
+        contract as ``commit_append``: a replayed id is skipped whole —
+        no DV, no data files, head returned unchanged — which is what
+        makes a streaming CDC-upsert sink exactly-once."""
         from pyspark.sql import functions as F
 
         spark = updates.sparkSession
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return self.versions()[-1]
         versions = self.versions()
         if not versions:
-            return self.commit_append(updates, n_new_files, stats_cols)
+            return self.commit_append(
+                updates, n_new_files, stats_cols, batch_id=batch_id
+            )
         head = versions[-1]
         m = self._manifest(head)
         upd_keys = updates.select(key).distinct()
@@ -516,8 +526,51 @@ class SnapshotTable:
         new = self._write_data_files(updates, n_new_files, stats_cols)
         return self._publish(
             list(m["files"]) + new,
+            batch_id=batch_id,
             expected_parent=head,
             delete_files=dvs or None,
+        )
+
+    # -- DV housekeeping ----------------------------------------------------
+    def dv_fraction(self, version: int | None = None) -> float:
+        """Dead-row fraction of a version: DV positions / data rows, both
+        counted from parquet FOOTER metadata (num_rows — kilobyte reads,
+        no data pass).  The operational signal for scheduling OPTIMIZE:
+        every read pays the anti-join over exactly these positions."""
+        import pyarrow.parquet as pq
+
+        v = version if version is not None else self._head()
+        m = self._manifest(v)
+        dvs = m.get("delete_files", [])
+        if not dvs:
+            return 0.0
+        dead = sum(pq.ParquetFile(p).metadata.num_rows for p in dvs)
+        total = sum(
+            pq.ParquetFile(e["path"]).metadata.num_rows for e in m["files"]
+        )
+        return dead / total if total else 0.0
+
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        threshold: float = 0.1,
+        n_files: int = 1,
+        stats_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> int | None:
+        """Auto-OPTIMIZE: if the head's dead-row fraction has reached
+        ``threshold``, fold the deletion vectors in with a clean
+        ``commit_rewrite`` and return the new version; otherwise no-op
+        (returns None).  This is the background loop Delta/Iceberg
+        deployments run so the DV anti-join cost stays bounded: merge
+        writes stay O(changed rows), and reads never carry more than
+        ~threshold dead positions."""
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError("threshold must be in (0, 1]")
+        if self.dv_fraction() < threshold:
+            return None
+        return self.commit_rewrite(
+            self.read(spark), n_files, stats_cols, cluster_by=cluster_by
         )
 
     def commit_merge(

@@ -1306,3 +1306,61 @@ def test_snapshot_dv_restore_append_and_vacuum(spark, tmp_path):
     # v5 references v2's DV, so _deletes is non-empty after the sweep
     assert any(os.scandir(t.delete_dir))
     assert res["removed_files"] > 0                       # v4's clean file went
+
+
+def test_snapshot_dv_fraction_and_auto_compact(spark, tmp_path):
+    """dv_fraction counts dead rows from parquet FOOTERS only; the
+    maybe_compact housekeeping verb no-ops below threshold and folds the
+    DVs into a clean rewrite at/above it — the bounded-read-cost loop the
+    DV design depends on."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "frac"))
+    t.commit_append(spark.range(100).select(F.col("id").alias("k")), n_files=2)
+    assert t.dv_fraction() == 0.0
+    assert t.maybe_compact(spark, threshold=0.05) is None  # clean: no-op
+
+    t.commit_delete(spark, "k < 5")  # 5% dead
+    assert abs(t.dv_fraction() - 0.05) < 1e-9
+    assert t.maybe_compact(spark, threshold=0.10) is None  # below: no-op
+    assert t.versions()[-1] == 2
+
+    t.commit_delete(spark, "k >= 90")  # 15% dead total
+    v = t.maybe_compact(spark, threshold=0.10)
+    assert v == 4
+    m = json.load(open(os.path.join(t.manifest_dir, f"v{v}.json")))
+    assert "delete_files" not in m
+    assert t.dv_fraction() == 0.0
+    assert t.read(spark).count() == 85
+
+    with pytest.raises(ValueError):
+        t.maybe_compact(spark, threshold=0.0)
+
+
+def test_snapshot_merge_on_read_batch_id_idempotent(spark, tmp_path):
+    """A replayed batch_id skips the WHOLE merge-on-read commit — no new
+    version, no DV, no data file — including the first-commit append path."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "moridem"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    assert t.commit_merge_on_read(df, "k", batch_id=0) == 1  # append path
+    upd = spark.createDataFrame([(1, 99), (100, 99)], "k long, v long")
+    assert t.commit_merge_on_read(upd, "k", batch_id=1) == 2
+    files_before = t.files()
+    # replays of both ids: version and file set unchanged, state unchanged
+    assert t.commit_merge_on_read(upd, "k", batch_id=1) == 2
+    assert t.commit_merge_on_read(df, "k", batch_id=0) == 2
+    assert t.files() == files_before
+    assert t.read(spark).count() == 11
+    assert t.read(spark).where("k = 1 and v = 99").count() == 1
