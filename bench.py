@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     # Streaming CDC upsert INTO the snapshot table (foreachBatch +
     # batch-id-idempotent merge-on-read; streaming fixed costs dominate).
     "stream_mor_upsert",
+    # Write-audit-publish: staged ingest + audit gate + atomic promote
+    # (cost = fixture commits; the audited write happens once).
+    "snapshot_wap_publish",
 ]
 
 

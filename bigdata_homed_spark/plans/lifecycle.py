@@ -1258,6 +1258,94 @@ def snapshot_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# WRITE-AUDIT-PUBLISH (the Iceberg WAP pattern): an ingest lands as a
+# STAGED commit no reader resolves; an audit job queries the would-be
+# state; publish is one atomic manifest rename, abort deletes the files
+# with nothing ever visible.  The fixture ingests 1998 twice: first a
+# POISONED batch (every 7th price negated) that the audit rule
+# (min(o_totalprice) >= 0) rejects -> abort; then the clean batch ->
+# publish.  The oracle pins the business state (1995-1998, no negatives
+# ever visible) AND the protocol: n_versions=2 proves the abort left no
+# version behind, n_staged_left=0 proves both staged manifests resolved.
+# At 100 TB the expensive write happens ONCE and quality gating is a
+# metadata decision — no quarantine copy, no double write.
+_SNAPWAP_CACHE: dict[str, str] = {}
+
+
+def _snapwap_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPWAP_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapwap_"), "orders_wap")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        t.commit_append(
+            orders.where(F.year("o_orderdate").between(1995, 1997)), n_files=2
+        )
+        y1998 = orders.where(F.year("o_orderdate") == 1998)
+        # ingest attempt 1: poisoned (every 7th key's price negated)
+        poisoned = y1998.select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, -F.col("o_totalprice")
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderdate",
+        )
+        sid = t.stage_commit(poisoned, n_files=1)
+        bad = t.read_staged(spark, sid).where(F.col("o_totalprice") < 0).limit(1)
+        assert bad.count() > 0  # the audit rule fires
+        t.abort_staged(sid)
+        # ingest attempt 2: clean
+        sid = t.stage_commit(y1998, n_files=1)
+        ok = (
+            t.read_staged(spark, sid).where(F.col("o_totalprice") < 0).limit(1)
+        )
+        assert ok.count() == 0
+        t.publish_staged(sid)
+        _SNAPWAP_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_wap_publish",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double)
+             AS sum_total,
+           cast(0 as bigint) AS n_negative_visible,
+           cast(2 as bigint) AS n_versions,
+           cast(0 as bigint) AS n_staged_left
+    FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1998
+    """,
+)
+def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snapwap_table(spark, sf_dir)
+    return (
+        t.read(spark)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+            F.sum((F.col("o_totalprice") < 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_negative_visible"),
+        )
+        .select(
+            "n_rows",
+            "sum_total",
+            "n_negative_visible",
+            F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
+            F.lit(len(t.staged_ids())).cast("bigint").alias("n_staged_left"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # RESTORE — rollback as a forward commit (Delta RESTORE semantics): a bad
 # deploy overwrites the table with a corrupted build (here: every price
 # zeroed); restore(v1) publishes a NEW version pointing at v1's untouched

@@ -531,6 +531,108 @@ class SnapshotTable:
             delete_files=dvs or None,
         )
 
+    # -- write-audit-publish -------------------------------------------------
+    @property
+    def staged_dir(self) -> str:
+        return os.path.join(self.path, "_staged")
+
+    def staged_ids(self) -> list[str]:
+        if not os.path.isdir(self.staged_dir):
+            return []
+        return sorted(
+            n[:-5] for n in os.listdir(self.staged_dir) if n.endswith(".json")
+        )
+
+    def _staged_manifest(self, staging_id: str) -> dict:
+        p = os.path.join(self.staged_dir, f"{staging_id}.json")
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot table {self.path} has no staged commit "
+                f"{staging_id!r} (published, aborted, or never staged)"
+            ) from None
+
+    def stage_commit(
+        self,
+        df: DataFrame,
+        n_files: int = 1,
+        stats_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        mode: str = "append",
+    ) -> str:
+        """Write-audit-publish, step 1 (the Iceberg WAP pattern): land the
+        data files and a STAGED manifest that no reader resolves — the
+        table's committed head is untouched.  An audit job reads the
+        would-be state with ``read_staged`` and then either
+        ``publish_staged`` (one atomic manifest rename, same OCC guard as
+        every other verb) or ``abort_staged`` (files deleted, nothing ever
+        became visible).  This is how a 100 TB ingest gets a data-quality
+        gate WITHOUT a quarantine copy: the expensive write happens once,
+        visibility is a metadata decision."""
+        if mode not in ("append", "rewrite"):
+            raise ValueError("mode must be 'append' or 'rewrite'")
+        versions = self.versions()
+        base = versions[-1] if versions else 0
+        entries = self._write_data_files(
+            df, n_files, stats_cols, partition_by, cluster_by
+        )
+        staging_id = f"s{uuid.uuid4().hex}"
+        os.makedirs(self.staged_dir, exist_ok=True)
+        staged = {
+            "staging_id": staging_id,
+            "mode": mode,
+            "base_version": base,
+            "entries": entries,
+        }
+        final = os.path.join(self.staged_dir, f"{staging_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(staged, f)
+        os.replace(tmp, final)
+        return staging_id
+
+    def read_staged(self, spark: SparkSession, staging_id: str) -> DataFrame:
+        """The table state the staged commit WOULD publish — what the
+        audit job queries.  Append mode: base head's live rows (DVs
+        applied) plus the staged files; rewrite mode: staged files only."""
+        s = self._staged_manifest(staging_id)
+        staged_df = self._read_entries(spark, s["entries"])
+        if s["mode"] == "rewrite" or s["base_version"] == 0:
+            return staged_df
+        return self.read(spark, s["base_version"]).unionByName(staged_df)
+
+    def publish_staged(self, staging_id: str) -> int:
+        """WAP step 3a: promote the audited staged commit in one atomic
+        manifest publish.  OCC: refuses if the head moved past the staged
+        base (the audit vetted a state that no longer exists)."""
+        s = self._staged_manifest(staging_id)
+        base = s["base_version"]
+        if s["mode"] == "append" and base:
+            parent = self._manifest(base)
+            entries = list(parent["files"]) + s["entries"]
+            dvs = parent.get("delete_files")
+        else:
+            entries = s["entries"]
+            dvs = None
+        v = self._publish(entries, expected_parent=base, delete_files=dvs)
+        os.remove(os.path.join(self.staged_dir, f"{staging_id}.json"))
+        return v
+
+    def abort_staged(self, staging_id: str) -> int:
+        """WAP step 3b: the audit failed — delete the staged files and
+        manifest.  Nothing was ever visible; returns files removed."""
+        s = self._staged_manifest(staging_id)
+        removed = 0
+        for e in s["entries"]:
+            if os.path.exists(e["path"]):
+                os.remove(e["path"])
+                removed += 1
+        os.remove(os.path.join(self.staged_dir, f"{staging_id}.json"))
+        return removed
+
     # -- DV housekeeping ----------------------------------------------------
     def dv_fraction(self, version: int | None = None) -> float:
         """Dead-row fraction of a version: DV positions / data rows, both
@@ -809,6 +911,8 @@ class SnapshotTable:
         for v in survivors:
             referenced.update(self.files(v))
             referenced.update(self._manifest(v).get("delete_files", []))
+        for sid in self.staged_ids():  # staged-but-unaudited data survives
+            referenced.update(e["path"] for e in self._staged_manifest(sid)["entries"])
         expired_batch_ids = set()
         for v in expired:
             b = self._manifest(v).get("batch_id")

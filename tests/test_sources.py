@@ -1364,3 +1364,76 @@ def test_snapshot_merge_on_read_batch_id_idempotent(spark, tmp_path):
     assert t.files() == files_before
     assert t.read(spark).count() == 11
     assert t.read(spark).where("k = 1 and v = 99").count() == 1
+
+
+def test_snapshot_write_audit_publish(spark, tmp_path):
+    """WAP protocol: a staged commit is invisible to readers (head
+    unchanged, read() unaffected); read_staged shows the would-be state;
+    abort removes files and leaves NO version; publish is atomic and
+    OCC-guarded against a head that moved after staging; vacuum never
+    sweeps staged-but-unaudited files."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import (
+        CommitConflictError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "wap"))
+    t.commit_append(spark.range(100).select(F.col("id").alias("k")))
+    sid = t.stage_commit(
+        spark.range(100, 150).select(F.col("id").alias("k"))
+    )
+    # invisible until published
+    assert t.versions() == [1]
+    assert t.read(spark).count() == 100
+    assert t.read_staged(spark, sid).count() == 150
+    # vacuum does not eat staged files (they are referenced by no version
+    # manifest — only the staged manifest protects them)
+    t.commit_append(spark.range(150, 160).select(F.col("id").alias("k")))
+    t.vacuum(keep_last=2)
+    assert t.read_staged(spark, sid).count() == 150
+    # the head moved after staging -> OCC refuses the publish
+    with pytest.raises(CommitConflictError):
+        t.publish_staged(sid)
+    removed = t.abort_staged(sid)
+    assert removed > 0 and t.staged_ids() == []
+    with pytest.raises(ValueError, match="no staged commit"):
+        t.read_staged(spark, sid)
+
+    # happy path: stage -> audit -> publish
+    sid2 = t.stage_commit(spark.range(200, 210).select(F.col("id").alias("k")))
+    assert t.read_staged(spark, sid2).count() == 120
+    v = t.publish_staged(sid2)
+    assert t.read(spark, v).count() == 120
+    assert t.staged_ids() == []
+
+    # rewrite-mode staging replaces instead of appending
+    sid3 = t.stage_commit(
+        spark.range(5).select(F.col("id").alias("k")), mode="rewrite"
+    )
+    assert t.read_staged(spark, sid3).count() == 5
+    assert t.read(spark).count() == 120  # still invisible
+    t.publish_staged(sid3)
+    assert t.read(spark).count() == 5
+
+
+def test_snapshot_diff_across_dv_commit(spark, tmp_path):
+    """A key-level diff between a pre-DV and post-DV version sees the
+    deletion-vector kills as removed keys — DV commits are row-level
+    change data, invisible to file arithmetic but fully visible to
+    DV-applied reads."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "dvdiff"))
+    t.commit_append(
+        spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    )
+    t.commit_delete(spark, "k < 3")
+    old = t.read(spark, 1).select("k")
+    new = t.read(spark, 2).select("k")
+    removed = sorted(r["k"] for r in old.join(new, "k", "left_anti").collect())
+    assert removed == [0, 1, 2]
