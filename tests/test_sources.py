@@ -1437,3 +1437,75 @@ def test_snapshot_diff_across_dv_commit(spark, tmp_path):
     new = t.read(spark, 2).select("k")
     removed = sorted(r["k"] for r in old.join(new, "k", "left_anti").collect())
     assert removed == [0, 1, 2]
+
+
+def test_snapshot_dv_model_based(spark, tmp_path):
+    """Model check for the merge-on-read verbs: arbitrary interleavings of
+    append / DV-delete / MoR-merge / OPTIMIZE must leave read() equal to a
+    plain-dict model, with the zero-rewrite invariant (append/delete/merge
+    never drop a manifest data file) checked at every step.  Catches
+    DV-carry/ordering bugs the single-path tests can't."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    kv = st.tuples(st.integers(0, 15), st.integers(0, 9))
+    op = st.one_of(
+        st.tuples(st.just("append"), st.lists(kv, min_size=1, max_size=5)),
+        st.tuples(st.just("delete"), st.integers(0, 9)),
+        st.tuples(st.just("merge"), st.lists(kv, min_size=1, max_size=5)),
+        st.tuples(st.just("optimize"), st.just(None)),
+    )
+
+    case_n = [0]
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=5))
+    def run(ops):
+        case_n[0] += 1
+        t = SnapshotTable(os.path.join(str(tmp_path), f"dvm_{case_n[0]}"))
+        model: dict[int, int] = {}
+        appended = 0  # keys are made unique per append via an offset
+        for kind, arg in ops:
+            if kind == "append":
+                # appends are NOT upserts: give each append its own key
+                # space (disjoint from the 0..15 merge/delete keys and
+                # from every other append), deduped within the batch
+                appended += 1
+                rows = list({k + appended * 100: v for k, v in arg}.items())
+                t.commit_append(
+                    spark.createDataFrame(rows, "k long, v long"), n_files=1
+                )
+                model.update(dict(rows))
+            elif kind == "delete":
+                if not t.versions():
+                    continue
+                files_before = set(t.files())
+                t.commit_delete(spark, f"v < {arg}")
+                model = {k: v for k, v in model.items() if v >= arg}
+                assert set(t.files()) == files_before  # zero rewrite
+            elif kind == "merge":
+                dedup = dict(arg)  # updates must be unique on key
+                files_before = set(t.files())
+                t.commit_merge_on_read(
+                    spark.createDataFrame(list(dedup.items()), "k long, v long"),
+                    key="k",
+                )
+                model.update(dedup)
+                assert files_before <= set(t.files())  # all parents carried
+            else:
+                if t.versions():
+                    t.commit_rewrite(t.read(spark), n_files=1)
+        if model:
+            got = {r.k: r.v for r in t.read(spark).collect()}
+            assert got == model, (ops, got, model)
+
+    run()
