@@ -92,6 +92,11 @@ INTENTIONAL_BNL = {
     "bpe_vocab_merges": (
         "per merge round: the 1-row argmax pair broadcast (the chosen merge) and the 1-row tokens-after aggregate broadcast — all scalar-sized.  Raw counts here are inflated like channel_report_full's: the plan is analyzed pre-execution, so each round's .persist() reuse point re-expands the prior rounds' subtree; at runtime each round is one pass over the cached token frame"
     ),
+    "bpe_apply_segmentation": (
+        "same machinery as bpe_vocab_merges (shared _bpe_train): one 1-row "
+        "argmax/scalar broadcast per rewrite round — the 7 BNLs are the 7 "
+        "rounds' chosen-merge scalars, never a data-sized side"
+    ),
     "snapshot_restore": "1-row bad-version aggregate broadcast (the post-mortem read)",
     "channel_report_full": (
         "9× the 1-row day-count/report-date scalar broadcast (one per grain "
