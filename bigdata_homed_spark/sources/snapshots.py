@@ -652,6 +652,70 @@ class SnapshotTable:
         )
         return dead / total if total else 0.0
 
+    def commit_compact_small(
+        self,
+        spark: SparkSession,
+        threshold_bytes: int,
+        n_files: int = 1,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Bin-packing OPTIMIZE (the Delta/Iceberg small-file compaction
+        semantics): rewrite ONLY the files under ``threshold_bytes`` into
+        ``n_files`` packed files; files already big enough are carried
+        path-identical (zero IO).  Touch cost ∝ small-file bytes, not the
+        table — the incremental counterpart to ``commit_rewrite``'s full
+        rewrite.  Deletion vectors are handled in both directions: the
+        rewritten small rows are materialized DV-applied (their dead rows
+        vanish for good), and the vectors are TRIMMED to positions in
+        carried files (data files are uuid-named, so basename identity is
+        exact).  No-op (head returned) when nothing is under threshold."""
+        from pyspark.sql import functions as F
+
+        head = self._head()
+        m = self._manifest(head)
+        entries = m["files"]
+        if any("partitions" in e for e in entries):
+            raise NotImplementedError(
+                "commit_compact_small on a Hive-partitioned snapshot table "
+                "is not supported: repacked files would move the partition "
+                "column into the data and make basePath discovery ambiguous"
+            )
+        small = [e for e in entries if os.path.getsize(e["path"]) < threshold_bytes]
+        if not small:
+            return head
+        small_paths = {e["path"] for e in small}
+        kept = [e for e in entries if e["path"] not in small_paths]
+        dvs = m.get("delete_files", [])
+        if len(small) == 1:
+            # repacking a lone small file is churn UNLESS it has dead rows
+            # to fold in — check the DVs for positions in it (DVs are small)
+            name = os.path.basename(small[0]["path"])
+            folds_deads = bool(dvs) and bool(
+                spark.read.parquet(*dvs)
+                .where(F.element_at(F.split(F.col("__file"), "/"), -1) == name)
+                .limit(1)
+                .count()
+            )
+            if not folds_deads:
+                return head
+        packed = self._read_entries(spark, small, delete_files=dvs or None)
+        new = self._write_data_files(packed, n_files, stats_cols)
+        new_dvs: list[str] = []
+        if dvs and kept:
+            kept_names = [os.path.basename(e["path"]) for e in kept]
+            surviving = (
+                spark.read.parquet(*dvs)
+                .where(
+                    F.element_at(F.split(F.col("__file"), "/"), -1).isin(kept_names)
+                )
+                .select("__file", "__pos")
+            )
+            if surviving.limit(1).count():
+                new_dvs = self._write_delete_files(surviving)
+        return self._publish(
+            kept + new, expected_parent=head, delete_files=new_dvs or None
+        )
+
     def maybe_compact(
         self,
         spark: SparkSession,

@@ -1509,3 +1509,44 @@ def test_snapshot_dv_model_based(spark, tmp_path):
             assert got == model, (ops, got, model)
 
     run()
+
+
+def test_snapshot_compact_small_binpack_with_dvs(spark, tmp_path):
+    """Bin-packing OPTIMIZE: only sub-threshold files are rewritten (the
+    big file is carried path-identical), DV'd rows in the rewritten set
+    vanish for good, and the deletion vectors are trimmed to positions in
+    carried files — table state identical before/after."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "binpack"))
+    big = spark.range(50000).select(F.col("id").alias("k"))
+    t.commit_append(big, n_files=1)                      # v1: one big file
+    for lo in (100000, 100010, 100020):                  # v2-v4: 3 tiny files
+        t.commit_append(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k"))
+        )
+    # DV spanning the big file AND a small file
+    t.commit_delete(spark, "k < 5 or k in (100000, 100001)")  # v5
+    before = sorted(r["k"] for r in t.read(spark).collect())
+    big_path = t.files(1)[0]
+    threshold = 64 * 1024
+    import os
+
+    assert os.path.getsize(big_path) >= threshold
+
+    v = t.commit_compact_small(spark, threshold_bytes=threshold, n_files=1)
+    assert v == 6
+    files = t.files(v)
+    assert big_path in files                   # big file carried, zero IO
+    assert len(files) == 2                     # 3 tiny -> 1 packed
+    after = sorted(r["k"] for r in t.read(spark).collect())
+    assert after == before                     # state identical
+    # the trimmed DV still kills the big file's rows, and ONLY those
+    assert t.read(spark).where("k < 5").count() == 0
+    frac = t.dv_fraction()
+    assert 0 < frac < 0.001                    # only the 5 big-file kills remain
+
+    # idempotent-ish: nothing under threshold anymore -> no-op
+    assert t.commit_compact_small(spark, threshold_bytes=threshold) in (v,)
