@@ -298,6 +298,7 @@ class SnapshotTable:
         versions = self.versions()
         parent = self._manifest(versions[-1]) if versions else {}
         prev = list(parent.get("files", []))
+        self._check_layout(prev, partition_by)
         # conflict-check against the version whose file list we extended:
         # if another writer advanced the head while data files were being
         # staged, appending "prev + new" would silently drop their commit.
@@ -309,6 +310,29 @@ class SnapshotTable:
             expected_parent=versions[-1] if versions else 0,
             delete_files=parent.get("delete_files"),
         )
+
+    @staticmethod
+    def _check_layout(
+        parent_entries: list[dict], partition_by: list[str] | None
+    ) -> None:
+        """Appending a Hive-partitioned batch onto a flat parent (or vice
+        versa, or with different partition keys) produces a mixed layout
+        that basePath discovery resolves by silently DROPPING rows — fail
+        loudly instead (measured: a flat v1 + partitioned v2 read back
+        only one commit's rows)."""
+        if not parent_entries:
+            return
+        parent_keys = {
+            tuple(sorted(e.get("partitions", {}))) for e in parent_entries
+        }
+        new_keys = tuple(sorted(partition_by)) if partition_by else ()
+        if parent_keys != {new_keys}:
+            raise ValueError(
+                f"layout mismatch: parent partition keys {parent_keys} vs "
+                f"append's {new_keys or '(unpartitioned)'} — a mixed layout "
+                "silently loses rows at read; use commit_rewrite to change "
+                "the table's partitioning"
+            )
 
     def commit_rewrite(
         self,
@@ -514,6 +538,9 @@ class SnapshotTable:
             )
         head = versions[-1]
         m = self._manifest(head)
+        # the updates land as FLAT new files — on a Hive-partitioned parent
+        # that would make a mixed layout (silent row loss at read)
+        self._check_layout(m["files"], None)
         upd_keys = updates.select(key).distinct()
         doomed = (
             self._scan_with_pos(spark, m)
@@ -612,6 +639,13 @@ class SnapshotTable:
         base = s["base_version"]
         if s["mode"] == "append" and base:
             parent = self._manifest(base)
+            staged_keys = {
+                tuple(sorted(e.get("partitions", {}))) for e in s["entries"]
+            }
+            self._check_layout(
+                parent["files"],
+                list(next(iter(staged_keys))) if staged_keys != {()} else None,
+            )
             entries = list(parent["files"]) + s["entries"]
             dvs = parent.get("delete_files")
         else:

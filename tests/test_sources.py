@@ -1550,3 +1550,39 @@ def test_snapshot_compact_small_binpack_with_dvs(spark, tmp_path):
 
     # idempotent-ish: nothing under threshold anymore -> no-op
     assert t.commit_compact_small(spark, threshold_bytes=threshold) in (v,)
+
+
+def test_snapshot_layout_mismatch_guard(spark, tmp_path):
+    """Mixing a Hive-partitioned commit with a flat parent (either
+    direction, or different keys) silently LOSES rows at read (measured) —
+    every appending verb must refuse instead; commit_rewrite legitimately
+    changes the layout."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p"))
+
+    t = SnapshotTable(str(tmp_path / "flat"))
+    t.commit_append(df)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        t.commit_append(df, partition_by=["p"])
+    sid = t.stage_commit(df, partition_by=["p"])
+    with pytest.raises(ValueError, match="layout mismatch"):
+        t.publish_staged(sid)
+    t.abort_staged(sid)
+
+    tp = SnapshotTable(str(tmp_path / "part"))
+    tp.commit_append(df, partition_by=["p"])
+    with pytest.raises(ValueError, match="layout mismatch"):
+        tp.commit_append(df)
+    upd = spark.createDataFrame([(1, 0)], "k long, p long")
+    with pytest.raises(ValueError, match="layout mismatch"):
+        tp.commit_merge_on_read(upd, "k")
+    # same keys: fine
+    tp.commit_append(df.select((F.col("k") + 100).alias("k"), "p"), partition_by=["p"])
+    assert tp.read(spark).count() == 20
+    # rewrite may change the layout
+    v = tp.commit_rewrite(tp.read(spark))
+    assert tp.read(spark, v).count() == 20
