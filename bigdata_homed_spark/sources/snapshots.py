@@ -818,13 +818,31 @@ class SnapshotTable:
                 "Use a non-partitioned (zone-mapped) layout for merge tables."
             )
         upd_keys = updates.select(key).distinct()
+        # zone-map routing: files whose [min,max] stats for the key can't
+        # overlap the update batch's key range can't contain a match — the
+        # hit-detection scan reads only the overlap-surviving files (at
+        # 100 TB with clustered layout, that's the handful the keys live
+        # in).  pruned_entries is a safe superset: stat-less files are
+        # always scanned.
+        lo_hi = updates.agg(F.min(key), F.max(key)).first()
+        scan_entries = (
+            self.pruned_entries(
+                col=key, lo=lo_hi[0], hi=lo_hi[1], version=versions[-1]
+            )
+            if lo_hi[0] is not None
+            else []  # empty/all-null-key batch: nothing can match
+        )
         hits = (
-            spark.read.parquet(*[e["path"] for e in cur_entries])
-            .withColumn("__f", F.input_file_name())
-            .join(F.broadcast(upd_keys), key, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()
+            (
+                spark.read.parquet(*[e["path"] for e in scan_entries])
+                .withColumn("__f", F.input_file_name())
+                .join(F.broadcast(upd_keys), key, "left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            )
+            if scan_entries
+            else []
         )  # bounded: at most one row per data file
         hit_paths = {unquote(urlparse(r["__f"]).path) for r in hits}
         kept = [e for e in cur_entries if e["path"] not in hit_paths]
