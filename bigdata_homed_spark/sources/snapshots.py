@@ -433,14 +433,21 @@ class SnapshotTable:
             F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
         ).drop("__dv_file", "__dv_pos")
 
-    def _scan_with_pos(self, spark: SparkSession, manifest: dict) -> DataFrame:
+    def _scan_with_pos(
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        entries: list[dict] | None = None,
+    ) -> DataFrame:
         """The head's LIVE rows with ``__file``/``__pos`` columns attached —
         the input every merge-on-read verb derives its new DV from.
         Already-dead positions are subtracted first so they are never
-        re-recorded."""
+        re-recorded.  ``entries`` restricts the scan (zone-map routing);
+        the manifest's DVs still apply (anti-join over a subset is safe)."""
         from pyspark.sql import functions as F
 
-        entries = manifest["files"]
+        if entries is None:
+            entries = manifest["files"]
         reader = spark.read
         if any("partitions" in e for e in entries):
             reader = reader.option("basePath", self.data_dir)
@@ -542,13 +549,23 @@ class SnapshotTable:
         # that would make a mixed layout (silent row loss at read)
         self._check_layout(m["files"], None)
         upd_keys = updates.select(key).distinct()
+        # zone-map routing, same as commit_merge: only files whose key
+        # stats overlap the batch's [min,max] can hold a matched row
+        lo_hi = updates.agg(F.min(key), F.max(key)).first()
+        scan = (
+            self.pruned_entries(col=key, lo=lo_hi[0], hi=lo_hi[1], version=head)
+            if lo_hi[0] is not None
+            else []
+        )
         doomed = (
-            self._scan_with_pos(spark, m)
+            self._scan_with_pos(spark, m, entries=scan)
             .join(F.broadcast(upd_keys), key, "left_semi")
             .select("__file", "__pos")
+            if scan
+            else None
         )
         dvs = list(m.get("delete_files", []))
-        if doomed.limit(1).count():
+        if doomed is not None and doomed.limit(1).count():
             dvs += self._write_delete_files(doomed)
         new = self._write_data_files(updates, n_new_files, stats_cols)
         return self._publish(
