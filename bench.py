@@ -232,6 +232,9 @@ BENCH_QUERIES = [
     # Write-audit-publish: staged ingest + audit gate + atomic promote
     # (cost = fixture commits; the audited write happens once).
     "snapshot_wap_publish",
+    # Date-partitioned streaming snapshot sink (Hive-partitioned
+    # batch-id commits; streaming fixed costs dominate).
+    "stream_partitioned_snapshot_sink",
 ]
 
 

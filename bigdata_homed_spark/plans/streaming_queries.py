@@ -1401,3 +1401,90 @@ def stream_mor_upsert(
         F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
         F.lit(len(t.files())).cast("bigint").alias("n_files_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Date-partitioned streaming snapshot sink — the canonical production
+# lakehouse ingestion shape: each micro-batch's per-(day, type) partial
+# counts land as ONE atomic, batch-id-stamped, HIVE-PARTITIONED commit
+# (`partition_by=["day"]` — day=N/ directories under data/, partition
+# values recorded per manifest entry), so day-scoped consumers schedule
+# exactly one partition's files via manifest partition pruning (tier 1,
+# before any file IO — the S2/S8 day-partitioned-fact story with streaming
+# freshness).  Appends keep the layout (the mixed-layout guard enforces
+# same partition keys every batch); the poisoned replay proves the
+# batch-id guard holds for partitioned commits too (n_versions=4, clean
+# type set).  Downstream re-aggregation of batch partials is exact
+# because counts are map-combinable.
+@query(
+    "stream_partitioned_snapshot_sink",
+    oracle="""
+    SELECT epoch_us(ts)//1000000//86400 AS day,
+           event_type,
+           cast(count(*) as bigint) AS n_events,
+           cast(4 as bigint) AS n_versions
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_partitioned_snapshot_sink(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import SnapshotTable
+    from ..sources.tables import load_table
+
+    staged = tempfile.mkdtemp(prefix="snappart_")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts_sec"
+    ).repartitionByRange(n_batches, "event_id").write.mode("overwrite").parquet(
+        staged
+    )
+
+    t = SnapshotTable(tempfile.mkdtemp(prefix="snappart_tbl_"))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.withColumn(
+                "day", (F.col("ts_sec") / F.lit(86400)).cast("bigint")
+            )
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        t.commit_append(
+            partial, n_files=1, partition_by=["day"], batch_id=batch_id
+        )
+
+    q = (
+        spark.readStream.schema("event_id bigint, event_type string, ts_sec bigint")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="snappart_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # poisoned replay of batch 0 (absurd day + bogus type): a working
+    # batch-id guard commits nothing for partitioned appends too
+    poison = spark.createDataFrame(
+        [(-1, "__replayed__", 10**12)],
+        "event_id bigint, event_type string, ts_sec bigint",
+    )
+    process_batch(poison, 0)
+
+    return (
+        t.read(spark)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").cast("bigint").alias("n_events"))
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "event_type",
+            "n_events",
+            F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
+        )
+    )
