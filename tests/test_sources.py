@@ -1624,3 +1624,47 @@ def test_snapshot_merge_zone_map_routing(spark, tmp_path):
     t.commit_merge(upd2, key="k", stats_cols=["k"])
     assert t.read(spark).where("k = 300 and v = -3").count() == 1
     assert t.read(spark).count() == 1001
+
+
+def test_snapshot_dv_verbs_occ_guard(spark, tmp_path, monkeypatch):
+    """commit_delete and commit_merge_on_read carry the same lost-update
+    guard as every publishing verb: a DV derived from version N must not
+    publish over a head another writer moved to N+1 (the DV's positions
+    were computed against N's live-row view)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import (
+        CommitConflictError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "dvocc"))
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    t.commit_append(mk(0, 10))
+
+    other = SnapshotTable(t.path)
+    orig = t._write_delete_files
+
+    def interleaved(doomed):
+        out = orig(doomed)
+        other.commit_append(mk(10, 20))  # second writer lands mid-staging
+        return out
+
+    monkeypatch.setattr(t, "_write_delete_files", interleaved)
+    with pytest.raises(CommitConflictError):
+        t.commit_delete(spark, "k < 3")
+    assert t.read(spark).count() == 20  # nothing lost, delete not applied
+
+    with pytest.raises(CommitConflictError):
+        t.commit_merge_on_read(
+            spark.createDataFrame([(1, 99)], "k long, v long"), "k"
+        )
+    assert t.read(spark).count() == 30  # the interleaved appends survived
+
+    # retries against the settled head succeed
+    monkeypatch.setattr(t, "_write_delete_files", orig)
+    t.commit_delete(spark, "k < 3")
+    assert t.read(spark).count() == 27
