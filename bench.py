@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     # Date-partitioned streaming snapshot sink (Hive-partitioned
     # batch-id commits; streaming fixed costs dominate).
     "stream_partitioned_snapshot_sink",
+    # Merge-on-read UPDATE (DV + reinsert in one atomic commit).
+    "snapshot_update_inplace",
 ]
 
 

@@ -1258,6 +1258,84 @@ def snapshot_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Merge-on-read UPDATE — the Delta `UPDATE ... SET` statement over the
+# same yearly-layout orders table: every 1996 price is restated in place
+# (+25.0) in ONE atomic commit, with the old rows killed by a deletion
+# vector and the updated rows landing as one fresh file — NO data file
+# rewritten (n_files_carried=7 of 7), write cost O(matched rows).  The
+# oracle replays the UPDATE as a CASE projection; the protocol literals
+# pin zero rewrite amplification and the single-DV commit.
+_SNAPUPD_CACHE: dict[str, str] = {}
+
+
+def _snapupd_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPUPD_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapupd_"), "orders_upd")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        for y in range(1995, 2002):
+            t.commit_append(
+                orders.where(F.year("o_orderdate") == y),
+                n_files=1,
+                stats_cols=["o_orderdate"],
+            )
+        t.commit_update(
+            spark,
+            F.year("o_orderdate") == 1996,
+            {"o_totalprice": F.col("o_totalprice") + F.lit(25.0)},
+            stats_cols=["o_orderdate"],
+        )
+        _SNAPUPD_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_update_inplace",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(
+             CASE WHEN year(o_orderdate) = 1996
+                  THEN o_totalprice + 25.0 ELSE o_totalprice END
+             as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(7 as bigint) AS n_files_carried,
+           cast(8 as bigint) AS n_files_total,
+           cast(1 as bigint) AS n_delete_files
+    FROM orders
+    """,
+)
+def snapshot_update_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    t = _snapupd_table(spark, sf_dir)
+    head = t.versions()[-1]
+    carried = len(set(t.files(7)) & set(t.files(head)))
+    with open(os.path.join(t.manifest_dir, f"v{head}.json")) as f:
+        n_dvs = len(_json.load(f).get("delete_files", []))
+    return (
+        t.read(spark, head)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .select(
+            "n_rows",
+            "sum_total",
+            F.lit(carried).cast("bigint").alias("n_files_carried"),
+            F.lit(len(t.files(head))).cast("bigint").alias("n_files_total"),
+            F.lit(n_dvs).cast("bigint").alias("n_delete_files"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # WRITE-AUDIT-PUBLISH (the Iceberg WAP pattern): an ingest lands as a
 # STAGED commit no reader resolves; an audit job queries the would-be
 # state; publish is one atomic manifest rename, abort deletes the files

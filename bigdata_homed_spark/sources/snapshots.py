@@ -512,6 +512,33 @@ class SnapshotTable:
             delete_files=list(m.get("delete_files", [])) + new_dvs,
         )
 
+    def commit_update(
+        self,
+        spark: SparkSession,
+        condition,
+        assignments: dict,
+        n_new_files: int = 1,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Merge-on-read UPDATE (the Delta ``UPDATE ... SET`` statement):
+        live rows matching ``condition`` are killed by a deletion vector
+        and re-inserted with ``assignments`` (column -> Column expression)
+        applied — one atomic commit, no file rewritten, write cost
+        O(matched rows).  A no-match update is a version-free no-op."""
+        head = self._head()
+        m = self._manifest(head)
+        self._check_layout(m["files"], None)
+        live = self._scan_with_pos(spark, m).where(condition)
+        if not live.limit(1).count():
+            return head
+        doomed = live.select("__file", "__pos")
+        updated = live.drop("__file", "__pos").withColumns(dict(assignments))
+        dvs = list(m.get("delete_files", [])) + self._write_delete_files(doomed)
+        new = self._write_data_files(updated, n_new_files, stats_cols)
+        return self._publish(
+            list(m["files"]) + new, expected_parent=head, delete_files=dvs
+        )
+
     def commit_merge_on_read(
         self,
         updates: DataFrame,

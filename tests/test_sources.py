@@ -1668,3 +1668,28 @@ def test_snapshot_dv_verbs_occ_guard(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(t, "_write_delete_files", orig)
     t.commit_delete(spark, "k < 3")
     assert t.read(spark).count() == 27
+
+
+def test_snapshot_update_inplace_verb(spark, tmp_path):
+    """commit_update: matched rows restated in ONE atomic commit via DV +
+    reinsert; unmatched rows untouched, all parent files carried, no-match
+    update is a version-free no-op, time travel sees the pre-update rows."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "upd"))
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t.commit_append(df, n_files=2)
+    v = t.commit_update(spark, "k < 10", {"v": F.col("v") + 1000.0})
+    assert v == 2
+    assert set(t.files(1)) <= set(t.files(2))
+    got = {r["k"]: r["v"] for r in t.read(spark).where("k in (0, 9, 10)").collect()}
+    assert got == {0: 1000.0, 9: 1009.0, 10: 10.0}
+    assert t.read(spark).count() == 100
+    assert t.read(spark, 1).where("v >= 1000").count() == 0  # time travel
+    assert t.commit_update(spark, "k = 424242", {"v": F.lit(0.0)}) == 2  # no-op
+    # stacked update over the DV'd head composes
+    t.commit_update(spark, "k = 0", {"v": F.lit(-1.0)})
+    assert t.read(spark).where("k = 0").collect()[0]["v"] == -1.0
+    assert t.read(spark).count() == 100
