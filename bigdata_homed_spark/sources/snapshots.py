@@ -602,6 +602,29 @@ class SnapshotTable:
             delete_files=dvs or None,
         )
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """The table's commit lineage as a DataFrame (Delta DESCRIBE
+        HISTORY / Iceberg ``table.snapshots`` parity): one row per
+        surviving version with its parent, file/DV counts, and streaming
+        batch_id.  Driver-side manifest reads — O(versions) kilobytes."""
+        rows = []
+        for v in self.versions():
+            m = self._manifest(v)
+            rows.append(
+                (
+                    v,
+                    m.get("parent"),
+                    len(m["files"]),
+                    len(m.get("delete_files", [])),
+                    m.get("batch_id"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, parent int, n_files int, n_delete_files int, "
+            "batch_id long",
+        )
+
     # -- write-audit-publish -------------------------------------------------
     @property
     def staged_dir(self) -> str:

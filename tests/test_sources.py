@@ -1693,3 +1693,27 @@ def test_snapshot_update_inplace_verb(spark, tmp_path):
     t.commit_update(spark, "k = 0", {"v": F.lit(-1.0)})
     assert t.read(spark).where("k = 0").collect()[0]["v"] == -1.0
     assert t.read(spark).count() == 100
+
+
+def test_snapshot_history_metadata_table(spark, tmp_path):
+    """history() exposes the commit lineage as a DataFrame — version,
+    parent, file/DV counts, batch_id — reflecting every verb's footprint
+    and shrinking with vacuum."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "hist"))
+    t.commit_append(
+        spark.range(10).select(F.col("id").alias("k")), batch_id=7
+    )
+    t.commit_delete(spark, "k < 2")
+    t.commit_rewrite(t.read(spark))
+    h = {r["version"]: r for r in t.history(spark).collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[1]["parent"] is None and h[1]["batch_id"] == 7
+    assert h[2]["parent"] == 1 and h[2]["n_delete_files"] == 1
+    assert h[2]["n_files"] == h[1]["n_files"]          # DV commit: same files
+    assert h[3]["n_delete_files"] == 0                 # OPTIMIZE folded DVs
+    t.vacuum(keep_last=1)
+    assert [r["version"] for r in t.history(spark).collect()] == [3]
