@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "stream_partitioned_snapshot_sink",
     # Merge-on-read UPDATE (DV + reinsert in one atomic commit).
     "snapshot_update_inplace",
+    # DLT weighted priority sampling (map-only + per-source top-k).
+    "priority_sample_per_source",
 ]
 
 

@@ -823,3 +823,77 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 k_anonymity_audit.__doc__ = k_anonymity_audit.__doc__.format(k=_KANON_K)
+
+
+# --------------------------------------------------------------------------
+# Weighted priority sampling (Duffield-Lund-Thorup, JACM'07) — the
+# corpus-mixing primitive: draw a fixed-size per-source sample where
+# selection probability is monotone in a quality weight, REPRODUCIBLY.
+# Priority q_i = w_i / u_i with u_i a deterministic uniform from the
+# portable 60-bit md5 hash (functions/hashing.py); take the top-k
+# priorities per source.  Chosen over Efraimidis-Spirakis u^(1/w) keys
+# deliberately: u^(1/w) needs pow/ln, whose last-ulp differs across libm
+# implementations and would break bit-exact oracle parity — w/u is ONE
+# IEEE-correctly-rounded division, identical in every engine.  At 100 TB
+# this is a map-only projection + per-source top-k (TakeOrdered within
+# window partitions): no shuffle beyond the (source) key, no RNG state,
+# re-runs and backfills pick the identical sample.
+_PS_K = 5
+_PS_SEED = "ps"
+
+
+@query(
+    "priority_sample_per_source",
+    oracle=f"""
+    WITH pri AS (
+      SELECT source, doc_id, n_chars,
+             cast(n_chars as double)
+               / cast({hash64_sql("cast(doc_id as varchar)", _PS_SEED)} + 1 as double)
+               AS priority,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY cast(n_chars as double)
+                 / cast({hash64_sql("cast(doc_id as varchar)", _PS_SEED)} + 1 as double)
+                 DESC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, cast(rk as bigint) AS rk, doc_id,
+           cast(n_chars as bigint) AS n_chars
+    FROM pri WHERE rk <= {_PS_K}
+    """,
+)
+def priority_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample: top-{k} priorities (w/u) per source,
+    weight = n_chars.  Deterministic: same corpus -> same sample, any
+    cluster size, any run."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hash64(F.col("doc_id").cast("string"), _PS_SEED) + F.lit(1)).cast(
+        "double"
+    )
+    pri = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    return (
+        pri.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _PS_K)
+        .select(
+            "source",
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+priority_sample_per_source.__doc__ = priority_sample_per_source.__doc__.format(
+    k=_PS_K
+)
