@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "snapshot_update_inplace",
     # DLT weighted priority sampling (map-only + per-source top-k).
     "priority_sample_per_source",
+    # Linear-interpolation gap fill (grid explode + 2 window passes).
+    "timeseries_gap_interpolation",
 ]
 
 

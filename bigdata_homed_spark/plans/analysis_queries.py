@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64_sql
 from .core_relational import dsum
 from .homed_behavior import EV_SEC, events_sec
 from .registry import query
@@ -1012,4 +1013,135 @@ def activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             / F.nullif(F.count("first_view_sec"), F.lit(0))
         ).alias("avg_latency_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill with LINEAR INTERPOLATION (the TimescaleDB
+# `interpolate` / Flink windowed-fill operator) — the missing half of the
+# repo's time-grid story: the as-of join forward-FILLS, this one fits the
+# straight line between the bracketing observations.  Series = per
+# (event_type, day) decimal-exact daily value sums, deterministically
+# DECIMATED (portable-hash parity of the (type, day) key — SF-independent,
+# unlike count parity, which a replication-derived SF turns all-even) so
+# real interior gaps exist at every SF;
+# grid = each type's full [min_day, max_day] span via sequence+explode.
+# prev/next anchors come from IGNORE-NULLS window fills (one sort per
+# type partition, no self-join); exterior points (before first / after
+# last observation) stay null and are dropped.  All arithmetic is IEEE
+# add/sub/mul/div on decimal-derived doubles — bit-identical in DuckDB,
+# no libm.  At 100 TB: one (type) shuffle, two window passes, grid fan-out
+# is O(types × days), never O(rows).
+@query(
+    "timeseries_gap_interpolation",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    obs0 AS (
+      SELECT event_type, sec // 86400 AS day,
+             cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) AS v
+      FROM ev GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT event_type, day, v FROM obs0
+      WHERE {hash64_sql("event_type || '_' || cast(day as varchar)", "tsgap")} % 2 = 1
+    ),
+    span AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT s.event_type, g.day
+      FROM span s, LATERAL (SELECT unnest(generate_series(s.d0, s.d1)) AS day) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.day, o.v FROM grid g
+      LEFT JOIN obs o ON o.event_type = g.event_type AND o.day = g.day
+    ),
+    anch AS (
+      SELECT event_type, day, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM joined
+    )
+    SELECT event_type, cast(day as bigint) AS day,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) * (cast(day - pt as double)
+                                        / cast(nt - pt as double)) END, 6)
+             AS v_filled,
+           CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS kind
+    FROM anch
+    WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+    """,
+)
+def timeseries_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash64
+
+    obs = (
+        events_sec(spark, sf_dir)
+        .groupBy("event_type", (F.col("sec") / F.lit(86400)).cast("bigint").alias("day"))
+        .agg(dsum(F.col("value"), "v"))
+        .where(  # deterministic SF-independent decimation -> real gaps
+            hash64(
+                F.concat(F.col("event_type"), F.lit("_"), F.col("day").cast("string")),
+                "tsgap",
+            )
+            % 2
+            == 1
+        )
+        .select("event_type", "day", "v")
+    )
+    grid = (
+        obs.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    joined = grid.join(obs, ["event_type", "day"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    anch = joined.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nt"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("day") - F.col("pt")).cast("double")
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return anch.where(
+        F.col("v").isNotNull()
+        | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+    ).select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(lerp), 6
+        ).alias("v_filled"),
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .otherwise(F.lit("interp"))
+        .alias("kind"),
     )
