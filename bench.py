@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     "priority_sample_per_source",
     # Linear-interpolation gap fill (grid explode + 2 window passes).
     "timeseries_gap_interpolation",
+    # Ordered 3-step funnel (type-pruned min-aggs chained on user grain).
+    "ordered_event_funnel",
 ]
 
 

@@ -1145,3 +1145,99 @@ def timeseries_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("interp"))
         .alias("kind"),
     )
+
+
+# --------------------------------------------------------------------------
+# ORDERED event funnel — the sequential-conversion operator every product
+# analytics store ships (Amplitude/Mixpanel funnels; distinct from
+# recommend_slot_funnel's unordered pv/uv join): step k counts only users
+# whose step-k event happens AT/AFTER their earliest step-(k-1) completion
+# (view -> click -> purchase).  Relational formulation: three narrow
+# per-user min-aggregations chained by (user, >=) joins — each step's
+# input is one event-type slice, each join is on the already-reduced
+# per-user frame (at 100 TB: 3 type-pruned scans + 2 joins on user-grain
+# rows, no window over the raw fact).  Integer epoch-seconds and bigint
+# counts end-to-end; the two conversion ratios and the mean delay are
+# single IEEE divisions (libm-free oracle).
+@query(
+    "ordered_event_funnel",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    s1 AS (SELECT user_id, min(sec) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.sec) AS t2
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.sec >= s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.sec) AS t3
+           FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.sec >= s2.t2
+           GROUP BY e.user_id),
+    d AS (SELECT s3.user_id, s3.t3 - s1.t1 AS delay
+          FROM s3 JOIN s1 ON s3.user_id = s1.user_id)
+    SELECT cast((SELECT count(*) FROM s1) as bigint) AS n_view,
+           cast((SELECT count(*) FROM s2) as bigint) AS n_click_after,
+           cast((SELECT count(*) FROM s3) as bigint) AS n_purchase_after,
+           round(cast((SELECT count(*) FROM s2) as double)
+                 / cast((SELECT count(*) FROM s1) as double), 6) AS conv_click,
+           round(cast((SELECT count(*) FROM s3) as double)
+                 / cast((SELECT count(*) FROM s2) as double), 6) AS conv_purchase,
+           round(cast((SELECT sum(delay) FROM d) as double)
+                 / cast((SELECT count(*) FROM d) as double), 6)
+             AS avg_sec_to_convert
+    """,
+)
+def ordered_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir)
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("sec") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("sec") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t3"))
+    )
+    d = s3.join(s1, "user_id").select((F.col("t3") - F.col("t1")).alias("delay"))
+    # three 1-row aggregates crossjoined plan-side (the whitelisted scalar
+    # BNL pattern, cf. part_share_of_total) — no driver collects
+    c1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_after"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_after"))
+    cd = d.agg(
+        F.sum("delay").alias("sum_delay"), F.count(F.lit(1)).alias("n_delay")
+    )
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .crossJoin(cd)
+        .select(
+            "n_view",
+            "n_click_after",
+            "n_purchase_after",
+            F.round(
+                F.col("n_click_after").cast("double")
+                / F.col("n_view").cast("double"),
+                6,
+            ).alias("conv_click"),
+            F.round(
+                F.col("n_purchase_after").cast("double")
+                / F.col("n_click_after").cast("double"),
+                6,
+            ).alias("conv_purchase"),
+            F.round(
+                F.col("sum_delay").cast("double") / F.col("n_delay").cast("double"),
+                6,
+            ).alias("avg_sec_to_convert"),
+        )
+    )
