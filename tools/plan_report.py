@@ -98,6 +98,12 @@ INTENTIONAL_BNL = {
         "rounds' chosen-merge scalars, never a data-sized side"
     ),
     "snapshot_restore": "1-row bad-version aggregate broadcast (the post-mortem read)",
+    "ordered_event_funnel": (
+        "the scalar-readout crossjoins: three 1-row stage-count aggregates "
+        "and the 1-row delay aggregate combined into the single output row "
+        "— every BNL side is exactly one row (the part_share_of_total "
+        "pattern); the funnel chain itself is equi-joins (the 5 BHJs)"
+    ),
     "channel_report_full": (
         "9× the 1-row day-count/report-date scalar broadcast (one per grain "
         "branch).  Its raw shuffle count is also inflated in THIS table: the "
