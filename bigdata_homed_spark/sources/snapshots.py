@@ -145,10 +145,17 @@ class SnapshotTable:
             # OPTIMIZE-style clustering: range-partition + sort so each
             # file owns a disjoint slice of the cluster key — this is what
             # makes the footer zone maps selective (tight, non-overlapping
-            # min/max per file)
-            (df.repartitionByRange(n_files, *cluster_by)
-               .sortWithinPartitions(*cluster_by)
-               .write.mode("overwrite").parquet(stage))
+            # min/max per file).  Buckets come from EXACT percentile cut
+            # points, not repartitionByRange's reservoir sampling: the
+            # sampler's seed derives from the RDD id, so in a long-lived
+            # session the boundaries (and therefore which files a pruning
+            # probe touches) would vary with everything run before —
+            # measured as a once-in-many-runs pruning-bound flake.  The
+            # exact pass costs one aggregate over data the rewrite is
+            # about to read anyway, and the boundaries are a pure function
+            # of the data.
+            clustered = self._cluster_exact(df, n_files, cluster_by)
+            clustered.write.mode("overwrite").parquet(stage)
         else:
             df.repartition(n_files).write.mode("overwrite").parquet(stage)
         entries = []
@@ -178,6 +185,41 @@ class SnapshotTable:
         if stats_cols and entries:
             self._attach_footer_stats(entries, stats_cols)
         return entries
+
+    @staticmethod
+    def _cluster_exact(
+        df: DataFrame, n_files: int, cluster_by: list[str]
+    ) -> DataFrame:
+        """Deterministic range clustering: exact percentile cut points on
+        the lead cluster key -> a 0..n-1 bucket column -> range-partition
+        on (bucket, keys) + in-partition sort.  Range partitioning over the
+        tiny bucket domain is seed-insensitive (every value is sampled),
+        so the file layout is a pure function of the data."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if n_files <= 1:
+            return df.repartition(1).sortWithinPartitions(*cluster_by)
+        lead = cluster_by[0]
+        dt = df.schema[lead].dataType
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            key_sql = f"cast(cast(`{lead}` as timestamp) as double)"
+        else:
+            key_sql = f"cast(`{lead}` as double)"
+        key = F.expr(key_sql)
+        qs = ",".join(str(i / n_files) for i in range(1, n_files))
+        cuts = df.select(
+            F.expr(f"percentile({key_sql}, array({qs}))").alias("c")
+        ).first()["c"]
+        bucket = F.lit(0)
+        for c in cuts or []:
+            bucket = bucket + F.when(key > F.lit(float(c)), 1).otherwise(0)
+        return (
+            df.withColumn("__cbucket", bucket)
+            .repartitionByRange(n_files, "__cbucket", *cluster_by)
+            .sortWithinPartitions(*cluster_by)
+            .drop("__cbucket")
+        )
 
     @staticmethod
     def _attach_footer_stats(entries: list[dict], stats_cols: list[str]) -> None:
