@@ -155,14 +155,23 @@ class SnapshotTable:
             # about to read anyway, and the boundaries are a pure function
             # of the data.
             clustered = self._cluster_exact(df, n_files, cluster_by)
-            clustered.write.mode("overwrite").parquet(stage)
+            if "__cbucket" in clustered.columns:
+                # one file per bucket via partitionBy (the bucket dirs are
+                # stripped below — __cbucket is layout-only, not schema)
+                clustered.write.mode("overwrite").partitionBy(
+                    "__cbucket"
+                ).parquet(stage)
+            else:
+                clustered.write.mode("overwrite").parquet(stage)
         else:
             df.repartition(n_files).write.mode("overwrite").parquet(stage)
         entries = []
         for root, _dirs, names in os.walk(stage):
             rel = os.path.relpath(root, stage)
             parts: dict[str, str] = {}
-            if rel != ".":
+            if rel != "." and partition_by:
+                # only user-requested partition values are recorded; the
+                # clustering bucket dirs (__cbucket=N) are layout-only
                 for seg in rel.split(os.sep):
                     if "=" in seg:
                         k, _, v = seg.partition("=")
@@ -191,10 +200,13 @@ class SnapshotTable:
         df: DataFrame, n_files: int, cluster_by: list[str]
     ) -> DataFrame:
         """Deterministic range clustering: exact percentile cut points on
-        the lead cluster key -> a 0..n-1 bucket column -> range-partition
-        on (bucket, keys) + in-partition sort.  Range partitioning over the
-        tiny bucket domain is seed-insensitive (every value is sampled),
-        so the file layout is a pure function of the data."""
+        the lead cluster key -> a 0..n-1 ``__cbucket`` column; the caller
+        writes with ``partitionBy("__cbucket")`` so each bucket lands as
+        exactly one file regardless of hash-partition collisions.  No
+        sampler anywhere (repartitionByRange's reservoir seed derives from
+        the RDD id, so sampled boundaries vary with session history —
+        even a tiny secondary sort column reintroduces the wobble): the
+        layout is a pure function of the data."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -216,9 +228,8 @@ class SnapshotTable:
             bucket = bucket + F.when(key > F.lit(float(c)), 1).otherwise(0)
         return (
             df.withColumn("__cbucket", bucket)
-            .repartitionByRange(n_files, "__cbucket", *cluster_by)
-            .sortWithinPartitions(*cluster_by)
-            .drop("__cbucket")
+            .repartition(n_files, "__cbucket")
+            .sortWithinPartitions("__cbucket", *cluster_by)
         )
 
     @staticmethod

@@ -1717,3 +1717,40 @@ def test_snapshot_history_metadata_table(spark, tmp_path):
     assert h[3]["n_delete_files"] == 0                 # OPTIMIZE folded DVs
     t.vacuum(keep_last=1)
     assert [r["version"] for r in t.history(spark).collect()] == [3]
+
+
+def test_cluster_exact_disjoint_and_seed_insensitive(spark, tmp_path):
+    """_cluster_exact buckets by exact percentile cut points: the lead
+    cluster key's per-file [min,max] ranges are pairwise disjoint, the
+    layout is identical no matter how many RDDs the session created
+    before (the repartitionByRange sampler seed hazard), and every row
+    survives."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(10000).select(
+        (F.col("id") * 37 % 10007).alias("k"), F.col("id").alias("v")
+    )
+
+    def layout(name):
+        t = SnapshotTable(str(tmp_path / name))
+        t.commit_rewrite(df, n_files=4, stats_cols=["k"], cluster_by=["k"])
+        total = sum(pq.ParquetFile(p).metadata.num_rows for p in t.files())
+        ranges = sorted(
+            (e["stats"]["k"]["min"], e["stats"]["k"]["max"])
+            for e in t.pruned_entries()
+        )
+        return ranges, total
+
+    first, total = layout("c1")
+    assert total == 10000
+    assert len(first) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(first, first[1:]):
+        assert hi1 < lo2  # disjoint, ordered slices per FILE
+    # churn the session's RDD/plan ids, then re-derive: identical layout
+    for i in range(23):
+        spark.range(50 + i).selectExpr("max(id)").collect()
+    assert layout("c2") == (first, total)
