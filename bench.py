@@ -243,6 +243,10 @@ BENCH_QUERIES = [
     "timeseries_gap_interpolation",
     # Ordered 3-step funnel (type-pruned min-aggs chained on user grain).
     "ordered_event_funnel",
+    # Retention cohort triangle (two aggs, shared user_id partitioning).
+    "retention_cohorts",
+    # First-order Markov transition matrix (one lead window + pair agg).
+    "event_transition_matrix",
 ]
 
 

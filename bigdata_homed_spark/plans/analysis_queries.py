@@ -1241,3 +1241,115 @@ def ordered_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_sec_to_convert"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Retention cohort matrix — the other half of product analytics next to the
+# ordered funnel: users cohorted by FIRST-ACTIVE day, then each later
+# active day counted as day-k retention for that cohort (the classic
+# triangle).  Two aggregations over the same (user, day) distinct frame —
+# first_day derivation reuses the user_id partitioning (one exchange, the
+# new_vs_returning trick), and the cohort matrix agg is map-combinable.
+# retained_pct is one IEEE division against the cohort's k=0 size.
+@query(
+    "retention_cohorts",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    daily AS (SELECT DISTINCT user_id, sec // {DAY} AS day FROM ev),
+    first_seen AS (
+      SELECT user_id, min(day) AS cohort_day FROM daily GROUP BY user_id
+    ),
+    cells AS (
+      SELECT f.cohort_day, d.day - f.cohort_day AS k,
+             count(*) AS n_active
+      FROM daily d JOIN first_seen f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    base AS (SELECT cohort_day, n_active AS n0 FROM cells WHERE k = 0)
+    SELECT c.cohort_day AS cohort_day,
+           cast(c.k as bigint) AS k,
+           cast(c.n_active as bigint) AS n_active,
+           round(cast(c.n_active as double) / cast(b.n0 as double), 6)
+             AS retained_pct
+    FROM cells c JOIN base b USING (cohort_day)
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        events_sec(spark, sf_dir)
+        .select("user_id", (F.col("sec") / F.lit(DAY)).cast("bigint").alias("day"))
+        .distinct()
+    )
+    first_seen = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cells = (
+        daily.join(first_seen, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    base = cells.where(F.col("k") == 0).select(
+        "cohort_day", F.col("n_active").alias("n0")
+    )
+    return cells.join(base, "cohort_day").select(
+        "cohort_day",
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.round(
+            F.col("n_active").cast("double") / F.col("n0").cast("double"), 6
+        ).alias("retained_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event transition matrix — first-order Markov path analysis (the Sankey /
+# "users flow" primitive): per user, events ordered by (sec, event_id);
+# each adjacent pair is one (from_type, to_type) transition; the matrix
+# normalizes counts into row-stochastic probabilities.  One lead() window
+# per user partition + one map-combinable pair agg; the per-from total
+# arrives by window sum over the TINY matrix (|types|² rows), not a second
+# pass over the fact.
+@query(
+    "event_transition_matrix",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+             ) AS next_type
+      FROM ev
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, cast(n as bigint) AS n_transitions,
+           round(cast(n as double)
+                 / cast(sum(n) OVER (PARTITION BY from_type) as double), 6)
+             AS p_transition
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    seq_w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    pairs = (
+        events_sec(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(seq_w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot_w = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot_w).cast("double"), 6
+        ).alias("p_transition"),
+    )
