@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "retention_cohorts",
     # First-order Markov transition matrix (one lead window + pair agg).
     "event_transition_matrix",
+    # RFM quintile segmentation (3 distributed-rank passes, user grain).
+    "rfm_segmentation",
 ]
 
 

@@ -1353,3 +1353,77 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(tot_w).cast("double"), 6
         ).alias("p_transition"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — recency/frequency/monetary quintiles per purchasing
+# user, the classic CRM/targeting segmentation.  Quintiles come from the
+# DISTRIBUTED global rank (operators/rank.py: range-partitioned two-pass
+# row numbering), never a partition-less ntile window that would funnel
+# every user through one task at 100 TB; quintile = 1 + (rn-1)*5 div n is
+# integer-exact.  Three ranked passes (one per metric, each fully
+# tie-broken by user_id) over the user-grain frame — at scale that is
+# three range shuffles of the SMALL aggregated frame, not the fact.
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    rfm AS (
+      SELECT user_id,
+             max(sec) AS r_sec,
+             cast(count(*) as bigint) AS f_cnt,
+             cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double)
+               AS m_val
+      FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    n AS (SELECT count(*) AS n_users FROM rfm),
+    ranked AS (
+      SELECT user_id, r_sec, f_cnt, m_val,
+             row_number() OVER (ORDER BY r_sec, user_id) AS r_rn,
+             row_number() OVER (ORDER BY f_cnt, user_id) AS f_rn,
+             row_number() OVER (ORDER BY m_val, user_id) AS m_rn
+      FROM rfm
+    )
+    SELECT user_id,
+           cast(1 + (r_rn - 1) * 5 // n_users as bigint) AS r_q,
+           cast(1 + (f_rn - 1) * 5 // n_users as bigint) AS f_q,
+           cast(1 + (m_rn - 1) * 5 // n_users as bigint) AS m_q,
+           cast((1 + (r_rn - 1) * 5 // n_users) * 100
+                + (1 + (f_rn - 1) * 5 // n_users) * 10
+                + (1 + (m_rn - 1) * 5 // n_users) as bigint) AS segment
+    FROM ranked, n
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import global_row_number
+
+    rfm = (
+        events_sec(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("sec").alias("r_sec"),
+            F.count(F.lit(1)).cast("bigint").alias("f_cnt"),
+            dsum(F.col("value"), "m_val"),
+        )
+    )
+    ranked = global_row_number(rfm, ["r_sec", "user_id"], "r_rn")
+    ranked = global_row_number(ranked, ["f_cnt", "user_id"], "f_rn")
+    ranked = global_row_number(ranked, ["m_val", "user_id"], "m_rn")
+    n_users = F.broadcast(
+        rfm.agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    out = ranked.crossJoin(n_users)
+    # integer floor division: (rn-1)*5 div n
+    qcol = lambda rn: (
+        F.lit(1) + F.floor((F.col(rn) - F.lit(1)) * F.lit(5) / F.col("n_users"))
+    ).cast("bigint")
+    return out.select(
+        "user_id",
+        qcol("r_rn").alias("r_q"),
+        qcol("f_rn").alias("f_q"),
+        qcol("m_rn").alias("m_q"),
+        (
+            qcol("r_rn") * 100 + qcol("f_rn") * 10 + qcol("m_rn")
+        ).cast("bigint").alias("segment"),
+    )
