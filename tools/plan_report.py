@@ -98,6 +98,10 @@ INTENTIONAL_BNL = {
         "rounds' chosen-merge scalars, never a data-sized side"
     ),
     "snapshot_restore": "1-row bad-version aggregate broadcast (the post-mortem read)",
+    "rfm_segmentation": (
+        "the 1-row user-count broadcast (the quintile denominator) crossed "
+        "onto the ranked user-grain frame — scalar-sized side"
+    ),
     "ordered_event_funnel": (
         "the scalar-readout crossjoins: three 1-row stage-count aggregates "
         "and the 1-row delay aggregate combined into the single output row "
