@@ -249,6 +249,16 @@ BENCH_QUERIES = [
     "event_transition_matrix",
     # RFM quintile segmentation (3 distributed-rank passes, user grain).
     "rfm_segmentation",
+    # Rolling DAU/WAU/MAU via 28x explode fan-out + one 3-distinct agg.
+    "rolling_active_users",
+    # Trailing-week z-score anomalies (integer window sums, one exchange).
+    "timeseries_zscore_outliers",
+    # Basket association rules (pair agg -> top-k cut -> broadcast joins).
+    "association_rules_parts",
+    # Degree-oriented triangle counting + local clustering coefficient.
+    "triangle_count_copurchase",
+    # Growth accounting: new/retained/resurrected/churned + quick ratio.
+    "growth_accounting",
 ]
 
 

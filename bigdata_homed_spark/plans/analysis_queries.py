@@ -1427,3 +1427,275 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             qcol("r_rn") * 100 + qcol("f_rn") * 10 + qcol("m_rn")
         ).cast("bigint").alias("segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling active users — DAU / WAU(7d) / MAU(28d) + stickiness per observed
+# day, the growth-dashboard primitive the reference's daily UV reports
+# (repots/.../NewAnalysis.scala, VisitAnalysis daily UV) stop short of.
+# The rolling DISTINCT is computed by fan-out, not a window: each distinct
+# (user, day) row explodes into the <=28 window-end days it contributes to
+# (sequence + explode, whole-stage codegen), then ONE hash aggregate takes
+# three conditional count-distincts keyed by window-end day.  That is a
+# fixed 28x linear expansion — no quadratic day-grid join, no per-day
+# subquery — and the expand/partial-agg pipeline dedups (day, user) map-side
+# before the shuffle.  The observed-days dim is tiny at every SF (3650 rows
+# for a decade), hence the broadcast semi-filter.
+@query(
+    "rolling_active_users",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    ra_daily AS (SELECT DISTINCT user_id, sec // {DAY} AS day FROM ev),
+    ra_days AS (SELECT DISTINCT day FROM ra_daily),
+    ra_span AS (
+      SELECT d.day AS wd, a.user_id, d.day - a.day AS k
+      FROM ra_days d JOIN ra_daily a ON a.day BETWEEN d.day - 27 AND d.day
+    )
+    SELECT wd AS day,
+      cast(count(DISTINCT CASE WHEN k = 0 THEN user_id END) as bigint) AS dau,
+      cast(count(DISTINCT CASE WHEN k < 7 THEN user_id END) as bigint) AS wau,
+      cast(count(DISTINCT user_id) as bigint) AS mau,
+      round(cast(count(DISTINCT CASE WHEN k = 0 THEN user_id END) as double)
+            / cast(count(DISTINCT user_id) as double), 6) AS stickiness
+    FROM ra_span GROUP BY wd
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        events_sec(spark, sf_dir)
+        .select("user_id", (F.col("sec") / F.lit(DAY)).cast("bigint").alias("day"))
+        .distinct()
+    )
+    days = daily.select("day").distinct().withColumnRenamed("day", "wd")
+    span = (
+        daily.select(
+            "user_id",
+            "day",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(27))
+            ).alias("wd"),
+        )
+        # only window-ends that are themselves observed days (matches the
+        # oracle's day-grid); days is tiny -> broadcast hash semi-join
+        .join(F.broadcast(days), "wd", "left_semi")
+        .withColumn("k", F.col("wd") - F.col("day"))
+    )
+    agg = span.groupBy(F.col("wd").alias("day")).agg(
+        F.count_distinct(
+            F.when(F.col("k") == 0, F.col("user_id"))
+        ).cast("bigint").alias("dau"),
+        F.count_distinct(
+            F.when(F.col("k") < 7, F.col("user_id"))
+        ).cast("bigint").alias("wau"),
+        F.count_distinct("user_id").cast("bigint").alias("mau"),
+    )
+    return agg.select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        F.round(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+        ).alias("stickiness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window z-score anomaly detection on the daily event-count series
+# (per event type): each day is scored against the PRECEDING week's
+# baseline (RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING on the integer day
+# key, so calendar gaps shrink the baseline instead of silently stretching
+# it).  Bit-exact across engines because the mean/std never exist as
+# accumulated floats: the window carries integer sums (n, s=sum x,
+# q=sum x^2) and the z-score is one fixed shape of IEEE divisions over
+# exact integers — z = ((n*x - s)/n) / sqrt((n*q - s^2)/(n*(n-1))).
+# Scale shape: the daily series is groupBy-compacted FIRST (the fact never
+# reaches the window), and the window partitions by event_type over a
+# series-sized frame.  At petabyte counts the integer q term would move to
+# decimal(38,0); bigint holds to ~3e9 events/cell.
+@query(
+    "timeseries_zscore_outliers",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    zs_daily AS (
+      SELECT event_type, sec // {DAY} AS day, count(*) AS x
+      FROM ev GROUP BY 1, 2
+    ),
+    zs_win AS (
+      SELECT event_type, day, x,
+        count(*) OVER w AS n,
+        sum(x) OVER w AS s,
+        sum(x * x) OVER w AS q
+      FROM zs_daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    zs_z AS (
+      SELECT event_type, day, x, n,
+        round((cast(n * x - s as double) / cast(n as double))
+              / sqrt(cast(n * q - s * s as double)
+                     / cast(n * (n - 1) as double)), 6) AS zscore
+      FROM zs_win WHERE n >= 3 AND n * q - s * s > 0
+    )
+    SELECT event_type, cast(day as bigint) AS day,
+           cast(x as bigint) AS n_events,
+           cast(n as bigint) AS n_baseline,
+           zscore,
+           cast(CASE WHEN abs(zscore) > 2 THEN 1 ELSE 0 END as bigint)
+             AS is_outlier
+    FROM zs_z
+    """,
+)
+def timeseries_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        events_sec(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            (F.col("sec") / F.lit(DAY)).cast("bigint").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-7, -1)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+    ).where(
+        (F.col("n") >= 3) & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+    )
+    z = F.round(
+        (
+            (F.col("n") * F.col("x") - F.col("s")).cast("double")
+            / F.col("n").cast("double")
+        )
+        / F.sqrt(
+            (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+        ),
+        6,
+    )
+    scored = win.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.col("x").cast("bigint").alias("n_events"),
+        F.col("n").cast("bigint").alias("n_baseline"),
+        z.alias("zscore"),
+    )
+    return scored.withColumn(
+        "is_outlier",
+        F.when(F.abs(F.col("zscore")) > 2, 1).otherwise(0).cast("bigint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Growth accounting — the four-way daily user-movement split (new /
+# retained / resurrected / churned) plus the quick ratio
+# ((new+resurrected)/churned), the standard growth-dashboard companion to
+# rolling_active_users (the Social Capital "growth accounting" framing).
+# Everything derives from ONE (user, day) distinct frame and ONE user-keyed
+# window pass (lag/lead/min share the same sort): new = first active day,
+# retained = active yesterday too, resurrected = gap > 1 day, churned =
+# attributed to the day AFTER the last day of an activity run.  Both
+# per-day frames are day-grain (tiny); the churn attachment is a
+# broadcast-able equi-join on day.  No day-grid cross join, no second pass
+# over the fact.
+@query(
+    "growth_accounting",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    ga_daily AS (SELECT DISTINCT user_id, sec // {DAY} AS day FROM ev),
+    ga_seq AS (
+      SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS first_day,
+             lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM ga_daily
+    ),
+    ga_act AS (
+      SELECT day,
+        sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS n_new,
+        sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS n_retained,
+        sum(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+                 THEN 1 ELSE 0 END) AS n_resurrected
+      FROM ga_seq GROUP BY day
+    ),
+    ga_churn AS (
+      SELECT day + 1 AS day, count(*) AS n_churned
+      FROM ga_seq
+      WHERE next_day IS NULL OR next_day > day + 1
+      GROUP BY day + 1
+    )
+    SELECT a.day AS day,
+           cast(a.n_new as bigint) AS n_new,
+           cast(a.n_retained as bigint) AS n_retained,
+           cast(a.n_resurrected as bigint) AS n_resurrected,
+           cast(coalesce(c.n_churned, 0) as bigint) AS n_churned,
+           CASE WHEN coalesce(c.n_churned, 0) > 0 THEN
+             round(cast(a.n_new + a.n_resurrected as double)
+                   / cast(c.n_churned as double), 6)
+           END AS quick_ratio
+    FROM ga_act a LEFT JOIN ga_churn c ON a.day = c.day
+    """,
+)
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        events_sec(spark, sf_dir)
+        .select("user_id", (F.col("sec") / F.lit(DAY)).cast("bigint").alias("day"))
+        .distinct()
+    )
+    part = Window.partitionBy("user_id")
+    seq_w = part.orderBy("day")
+    seq = daily.select(
+        "user_id",
+        "day",
+        F.min("day").over(part).alias("first_day"),
+        F.lag("day").over(seq_w).alias("prev_day"),
+        F.lead("day").over(seq_w).alias("next_day"),
+    )
+    act = seq.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_day") == F.col("day") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_day").isNotNull()
+                & (F.col("prev_day") < F.col("day") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        seq.where(F.col("next_day").isNull() | (F.col("next_day") > F.col("day") + 1))
+        .groupBy((F.col("day") + 1).alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    out = act.join(churn, "day", "left").withColumn(
+        "n_churned", F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint")
+    )
+    return out.withColumn(
+        "quick_ratio",
+        F.when(
+            F.col("n_churned") > 0,
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected")).cast("double")
+                / F.col("n_churned").cast("double"),
+                6,
+            ),
+        ),
+    )

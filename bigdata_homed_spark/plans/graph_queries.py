@@ -106,3 +106,266 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PR_TOP_K)
         .select(F.col("node").alias("part_key"), "pr_rank")
     )
+
+# --------------------------------------------------------------------------
+# Shared co-purchase pair builder for the basket/triangle queries below.
+# Same shape as the PageRank pair stage: one keyed shuffle packs each
+# order's distinct part set (arrays bounded by order size), then the i<j
+# expansion is whole-stage-codegen array algebra — the fact is NEVER
+# self-joined, so there is exactly one shuffle regardless of basket skew.
+def copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p1, p2, n_pair) with p1 < p2: co-occurrence counts over orders."""
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pp")
+        )
+        .select("pp.p1", "pp.p2")
+    )
+    return pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pair")
+    )
+
+
+_AR_TOP_K = 100
+
+# --------------------------------------------------------------------------
+# Market-basket association rules — the classic support/confidence/lift
+# mining pass (Agrawal et al., "Fast Algorithms for Mining Association
+# Rules", VLDB'94), here over order baskets of parts.  Absent in the
+# reference (nearest analog: the co-demand heat of
+# rank/reports/StarRank.scala), but a standard capability of an analytics
+# engine and a data-mixing signal for corpus curation (co-occurrence lift
+# ranks source pairings).  Scale shape: the pair stage is the one shuffle
+# (array expansion, never a fact self-join); item counts are a dim-sized
+# aggregate (broadcast); the top-k cut is TakeOrderedAndProject, fully
+# tie-broken; all ratios are single IEEE divisions of exact bigints, so
+# the hash matches DuckDB bit-for-bit.
+@query(
+    "association_rules_parts",
+    oracle=f"""
+    WITH ar_items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ar_n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ar_items),
+    ar_item_n AS (
+      SELECT l_partkey, count(*) AS n_item FROM ar_items GROUP BY 1
+    ),
+    ar_pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_pair
+      FROM ar_items a JOIN ar_items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    ar_top AS (
+      SELECT * FROM ar_pairs ORDER BY n_pair DESC, p1, p2 LIMIT {_AR_TOP_K}
+    )
+    SELECT t.p1 AS p1, t.p2 AS p2,
+           cast(t.n_pair as bigint) AS n_pair,
+           cast(i1.n_item as bigint) AS n_p1,
+           cast(i2.n_item as bigint) AS n_p2,
+           round(cast(t.n_pair as double) / cast(n.n_orders as double), 6)
+             AS support,
+           round(cast(t.n_pair as double) / cast(i1.n_item as double), 6)
+             AS conf_1to2,
+           round(cast(t.n_pair as double) / cast(i2.n_item as double), 6)
+             AS conf_2to1,
+           round(cast(t.n_pair * n.n_orders as double)
+                 / cast(i1.n_item * i2.n_item as double), 6) AS lift
+    FROM ar_top t
+    JOIN ar_item_n i1 ON t.p1 = i1.l_partkey
+    JOIN ar_item_n i2 ON t.p2 = i2.l_partkey
+    CROSS JOIN ar_n n
+    """,
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 co-purchased part pairs with support / confidence / lift.
+
+    The expensive side (pair counts over the fact) is cut to K rows
+    BEFORE any join; the item-frequency frame is part-dimension-sized at
+    every SF, so both enrichment joins broadcast; n_orders is a 1-row
+    scalar broadcast (whitelisted crossJoin).
+    """
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    top = (
+        copurchase_pair_counts(spark, sf_dir)
+        .orderBy(F.desc("n_pair"), "p1", "p2")
+        .limit(_AR_TOP_K)
+    )
+    item_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    i1 = item_n.select(
+        F.col("l_partkey").alias("p1"), F.col("n_item").alias("n_p1")
+    )
+    i2 = item_n.select(
+        F.col("l_partkey").alias("p2"), F.col("n_item").alias("n_p2")
+    )
+    out = (
+        top.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "p1",
+        "p2",
+        "n_pair",
+        "n_p1",
+        "n_p2",
+        F.round(
+            F.col("n_pair").cast("double") / F.col("n_orders").cast("double"), 6
+        ).alias("support"),
+        F.round(
+            F.col("n_pair").cast("double") / F.col("n_p1").cast("double"), 6
+        ).alias("conf_1to2"),
+        F.round(
+            F.col("n_pair").cast("double") / F.col("n_p2").cast("double"), 6
+        ).alias("conf_2to1"),
+        F.round(
+            (F.col("n_pair") * F.col("n_orders")).cast("double")
+            / (F.col("n_p1") * F.col("n_p2")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+_TC_MIN_W = 2
+_TC_TOP_K = 100
+
+# --------------------------------------------------------------------------
+# Triangle counting / local clustering coefficient over the co-purchase
+# graph (edges with weight >= 2 so the graph stays sparse at every SF).
+# The distributed-join formulation is the published MapReduce algorithm
+# (Cohen, "Graph Twiddling in a MapReduce World", CiSE 2009; Suri &
+# Vassilvitskii, WWW'11): orient every edge from its lower-(degree, id)
+# endpoint to the higher one, enumerate wedges as self-joined out-edges
+# of the common low vertex, and close each wedge with one equi-join back
+# to the edge set.  Degree orientation bounds per-vertex out-degree by
+# O(sqrt(E)), so the wedge join is O(E^1.5) worst case instead of
+# sum(deg^2) — the skew-proof 100 TB shape.  The oracle enumerates the
+# same triangles with the simpler id orientation (the triangle SET is
+# orientation-invariant), so both engines agree row-for-row.
+@query(
+    "triangle_count_copurchase",
+    oracle=f"""
+    WITH tc_items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tc_e AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM tc_items a JOIN tc_items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {_TC_MIN_W}
+    ),
+    tc_deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT p1 AS v FROM tc_e UNION ALL SELECT p2 AS v FROM tc_e
+      ) GROUP BY v
+    ),
+    tc_tri AS (
+      SELECT x.p1 AS a, x.p2 AS b, y.p2 AS c
+      FROM tc_e x
+      JOIN tc_e y ON x.p1 = y.p1 AND x.p2 < y.p2
+      JOIN tc_e z ON z.p1 = x.p2 AND z.p2 = y.p2
+    ),
+    tc_node_tri AS (
+      SELECT v, count(*) AS n_tri FROM (
+        SELECT a AS v FROM tc_tri
+        UNION ALL SELECT b AS v FROM tc_tri
+        UNION ALL SELECT c AS v FROM tc_tri
+      ) GROUP BY v
+    )
+    SELECT d.v AS part_key,
+           cast(d.deg as bigint) AS degree,
+           cast(d.deg * (d.deg - 1) // 2 as bigint) AS n_wedges,
+           cast(coalesce(t.n_tri, 0) as bigint) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN
+             round(cast(coalesce(t.n_tri, 0) as double)
+                   / cast(d.deg * (d.deg - 1) // 2 as double), 6)
+           END AS clustering
+    FROM tc_deg d LEFT JOIN tc_node_tri t ON d.v = t.v
+    ORDER BY n_triangles DESC, n_wedges DESC, part_key
+    LIMIT {_TC_TOP_K}
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation + local clustering coefficient.
+
+    Wedge enumeration runs on DEGREE-oriented edges (low (deg, id) ->
+    high), the standard skew bound; the closure check is one equi-join on
+    the (id-ordered) edge key.  Triangle triples are re-sorted by id
+    before the per-node explode so the output is orientation-free.  The
+    final cut is TakeOrderedAndProject with a full tiebreak.
+    """
+    e = (
+        copurchase_pair_counts(spark, sf_dir)
+        .where(F.col("n_pair") >= _TC_MIN_W)
+        .select("p1", "p2")
+    )
+    deg = (
+        e.select(F.col("p1").alias("v"))
+        .union(e.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    # degree orientation: src = lower (deg, id) endpoint
+    d1 = deg.select(F.col("v").alias("p1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("v").alias("p2"), F.col("deg").alias("deg2"))
+    ed = e.join(F.broadcast(d1), "p1").join(F.broadcast(d2), "p2")
+    fwd = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))
+    )
+    oe = ed.select(
+        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+    )
+    w1 = oe.select(F.col("src").alias("u"), F.col("dst").alias("v1"))
+    w2 = oe.select(F.col("src").alias("u"), F.col("dst").alias("v2"))
+    # unordered neighbor pair, deduped by id order; closure key is the
+    # id-ordered undirected edge (p1 < p2 in e by construction)
+    wedges = w1.join(w2, "u").where(F.col("v1") < F.col("v2"))
+    tri = wedges.join(
+        e,
+        (F.col("v1") == F.col("p1")) & (F.col("v2") == F.col("p2")),
+        "left_semi",
+    )
+    node_tri = (
+        tri.select(
+            F.explode(F.array("u", "v1", "v2")).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    out = deg.join(node_tri, "v", "left").select(
+        F.col("v").alias("part_key"),
+        F.col("deg").alias("degree"),
+        F.expr("(deg * (deg - 1)) div 2").cast("bigint").alias("n_wedges"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+    return (
+        out.withColumn(
+            "clustering",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                ),
+            ),
+        )
+        .orderBy(F.desc("n_triangles"), F.desc("n_wedges"), "part_key")
+        .limit(_TC_TOP_K)
+    )

@@ -141,3 +141,85 @@ def test_global_row_number_duplicate_keys_stay_dense(spark):
     by_rn = sorted(got, key=lambda r: r["rn"])
     assert [r["rn"] for r in by_rn] == list(range(1, 101))
     assert [(r["k"], r["uid"]) for r in by_rn] == sorted(rows)
+
+
+# --------------------------------------------------------------------------
+# round-7b additions: basket mining + triangle counting
+
+
+def test_association_rules_identities(spark, sf_dir):
+    """lift/support/confidence agree with their defining count ratios."""
+    from bigdata_homed_spark.plans.graph_queries import association_rules_parts
+    from bigdata_homed_spark.sources.tables import load_table
+
+    rows = association_rules_parts(spark, sf_dir).collect()
+    assert len(rows) > 0
+    n_orders = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    for r in rows:
+        assert r["p1"] < r["p2"]
+        assert 0 < r["n_pair"] <= min(r["n_p1"], r["n_p2"])
+        assert abs(r["support"] - round(r["n_pair"] / n_orders, 6)) < 1e-9
+        assert abs(r["conf_1to2"] - round(r["n_pair"] / r["n_p1"], 6)) < 1e-9
+        assert abs(r["conf_2to1"] - round(r["n_pair"] / r["n_p2"], 6)) < 1e-9
+        assert (
+            abs(r["lift"] - round(r["n_pair"] * n_orders / (r["n_p1"] * r["n_p2"]), 6))
+            < 1e-9
+        )
+
+
+def test_association_rules_topk_is_max_support(spark, sf_dir):
+    """The K rows returned are the global maximum-count pairs."""
+    from bigdata_homed_spark.plans.graph_queries import (
+        association_rules_parts,
+        copurchase_pair_counts,
+    )
+
+    got = association_rules_parts(spark, sf_dir).collect()
+    cut = min(r["n_pair"] for r in got)
+    above = (
+        copurchase_pair_counts(spark, sf_dir)
+        .where(F.col("n_pair") > cut)
+        .count()
+    )
+    # every pair strictly above the boundary count must be in the result
+    assert above == sum(1 for r in got if r["n_pair"] > cut)
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_dir):
+    """Per-node triangle counts equal a driver-side brute force over the
+    (small, thresholded) edge set; the global sum is divisible by 3."""
+    from itertools import combinations
+
+    from bigdata_homed_spark.plans.graph_queries import (
+        _TC_MIN_W,
+        copurchase_pair_counts,
+        triangle_count_copurchase,
+    )
+
+    edges = {
+        (r["p1"], r["p2"])
+        for r in copurchase_pair_counts(spark, sf_dir)
+        .where(F.col("n_pair") >= _TC_MIN_W)
+        .collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_n: dict[int, int] = {}
+    n_tri = 0
+    for v, nb in adj.items():
+        for a, b in combinations(sorted(nb), 2):
+            if (a, b) in edges and v < a:  # count each triangle once at min id
+                n_tri += 1
+                for x in (v, a, b):
+                    tri_n[x] = tri_n.get(x, 0) + 1
+    got = triangle_count_copurchase(spark, sf_dir).collect()
+    assert sum(tri_n.values()) == 3 * n_tri
+    for r in got:
+        assert r["n_triangles"] == tri_n.get(r["part_key"], 0), r
+        assert r["n_wedges"] == len(adj[r["part_key"]]) * (len(adj[r["part_key"]]) - 1) // 2
+        if r["degree"] >= 2:
+            assert 0.0 <= r["clustering"] <= 1.0

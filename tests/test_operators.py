@@ -557,3 +557,100 @@ def test_mmr_matches_python_reference(spark, tmp_path):
     assert not picked <= {1, 2, 3, 8}
     # duplicate tie resolved toward the smaller vec_id
     assert 8 not in picked or 3 in picked
+
+
+def test_rolling_active_users_invariants(spark, sf_dir):
+    """DAU <= WAU <= MAU per day; MAU equals a brute-force distinct over
+    the trailing 28 days; stickiness is the dau/mau ratio."""
+    from bigdata_homed_spark.plans.analysis_queries import rolling_active_users
+    from bigdata_homed_spark.plans.homed_behavior import events_sec
+
+    daily = {
+        (r["user_id"], r["day"])
+        for r in events_sec(spark, sf_dir)
+        .select("user_id", (F.col("sec") / 86400).cast("bigint").alias("day"))
+        .distinct()
+        .collect()
+    }
+    got = rolling_active_users(spark, sf_dir).collect()
+    days = {d for _, d in daily}
+    assert {r["day"] for r in got} == days
+    for r in got:
+        assert 1 <= r["dau"] <= r["wau"] <= r["mau"]
+        mau_bf = len({u for (u, d) in daily if r["day"] - 27 <= d <= r["day"]})
+        dau_bf = len({u for (u, d) in daily if d == r["day"]})
+        wau_bf = len({u for (u, d) in daily if r["day"] - 6 <= d <= r["day"]})
+        assert (r["dau"], r["wau"], r["mau"]) == (dau_bf, wau_bf, mau_bf)
+        assert abs(r["stickiness"] - round(r["dau"] / r["mau"], 6)) < 1e-9
+
+
+def test_zscore_outliers_match_numpy(spark, sf_dir):
+    """The windowed z-score equals the numpy mean/std of the trailing
+    7-day baseline (sample std, ddof=1) and the flag matches |z| > 2."""
+    import numpy as np
+
+    from bigdata_homed_spark.plans.analysis_queries import (
+        timeseries_zscore_outliers,
+    )
+    from bigdata_homed_spark.plans.homed_behavior import events_sec
+
+    counts: dict[tuple[str, int], int] = {}
+    for r in (
+        events_sec(spark, sf_dir)
+        .groupBy("event_type", (F.col("sec") / 86400).cast("bigint").alias("day"))
+        .count()
+        .collect()
+    ):
+        counts[(r["event_type"], r["day"])] = r["count"]
+    got = timeseries_zscore_outliers(spark, sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        base = [
+            counts[(r["event_type"], d)]
+            for d in range(r["day"] - 7, r["day"])
+            if (r["event_type"], d) in counts
+        ]
+        assert len(base) == r["n_baseline"] >= 3
+        mu = float(np.mean(base))
+        sd = float(np.std(base, ddof=1))
+        assert sd > 0
+        z = (r["n_events"] - mu) / sd
+        assert abs(r["zscore"] - z) < 1e-5, (r, z)
+        assert r["is_outlier"] == (1 if abs(r["zscore"]) > 2 else 0)
+
+
+def test_growth_accounting_conservation(spark, sf_dir):
+    """Movement identities: new+retained+resurrected == DAU for every
+    day; churned(d) == users active on d-1 minus those retained on d;
+    classifications match a brute-force user-day walk."""
+    from bigdata_homed_spark.plans.analysis_queries import growth_accounting
+    from bigdata_homed_spark.plans.homed_behavior import events_sec
+
+    daily: dict[int, set[int]] = {}
+    for r in (
+        events_sec(spark, sf_dir)
+        .select("user_id", (F.col("sec") / 86400).cast("bigint").alias("day"))
+        .distinct()
+        .collect()
+    ):
+        daily.setdefault(r["day"], set()).add(r["user_id"])
+    first = {}
+    for d in sorted(daily):
+        for u in daily[d]:
+            first.setdefault(u, d)
+    got = {r["day"]: r for r in growth_accounting(spark, sf_dir).collect()}
+    assert set(got) == set(daily)
+    for d, r in got.items():
+        act = daily[d]
+        prev = daily.get(d - 1, set())
+        assert r["n_new"] == sum(1 for u in act if first[u] == d)
+        assert r["n_retained"] == len(act & prev)
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == len(act)
+        assert r["n_churned"] == len(prev - act)
+        if r["n_churned"] > 0:
+            assert abs(
+                r["quick_ratio"]
+                - round((r["n_new"] + r["n_resurrected"]) / r["n_churned"], 6)
+            ) < 1e-9
+        else:
+            assert r["quick_ratio"] is None

@@ -417,3 +417,57 @@ def test_late_r5_family_plans(spark, sf_dir):
     # SCD2: all three windows ride ONE exchange (a single user_id shuffle)
     scd = plan_of(scd2_status_history(spark, sf_dir))
     assert scd.count("Exchange hashpartitioning") == 1
+
+
+def test_late_r7b_family_plans(spark, sf_dir):
+    """Round-7b additions: rolling actives / z-score / basket rules /
+    triangles — every window key-partitioned, no data-sized nested-loop
+    join, the expensive side cut before enrichment joins."""
+    from bigdata_homed_spark.plans.analysis_queries import (
+        rolling_active_users,
+        timeseries_zscore_outliers,
+    )
+    from bigdata_homed_spark.plans.graph_queries import (
+        association_rules_parts,
+        triangle_count_copurchase,
+    )
+
+    for fn in (
+        rolling_active_users,
+        timeseries_zscore_outliers,
+        association_rules_parts,
+        triangle_count_copurchase,
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        for spec in window_partition_specs(plan):
+            assert spec != "", fn.__name__
+
+    # rolling actives: the observed-days semi-filter broadcasts; the 28x
+    # fan-out is explode (GENERATE), never a day-grid nested loop
+    ra = plan_of(rolling_active_users(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in ra
+    assert "Generate explode" in ra
+    # z-score: series compaction then ONE keyed window — exactly two
+    # exchanges (groupBy day-series, window by event_type), no join at all
+    zs = plan_of(timeseries_zscore_outliers(spark, sf_dir))
+    assert "Join" not in zs
+    assert zs.count("Exchange hashpartitioning") == 2
+    # association rules: the pair frame is cut to K rows by a global
+    # TakeOrdered BEFORE the dim joins, and both dim joins broadcast;
+    # the only nested loop is the 1-row n_orders scalar readout
+    ar = plan_of(association_rules_parts(spark, sf_dir))
+    assert "TakeOrderedAndProject" in ar
+    assert ar.count("BroadcastHashJoin") >= 2
+    assert ar.count("BroadcastNestedLoopJoin") <= 1
+    # triangles: degree lookups broadcast; the wedge-closure join is an
+    # equi-join (hash/merge), never BNL
+    tc = plan_of(triangle_count_copurchase(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in tc
+    # growth accounting: min/lag/lead share ONE user_id exchange+sort; the
+    # churn attachment is an equi-join, no BNL anywhere
+    from bigdata_homed_spark.plans.analysis_queries import growth_accounting
+
+    ga = plan_of(growth_accounting(spark, sf_dir))
+    for spec in window_partition_specs(ga):
+        assert spec != ""
+    assert "BroadcastNestedLoopJoin" not in ga

@@ -98,6 +98,12 @@ INTENTIONAL_BNL = {
         "rounds' chosen-merge scalars, never a data-sized side"
     ),
     "snapshot_restore": "1-row bad-version aggregate broadcast (the post-mortem read)",
+    "association_rules_parts": (
+        "the 1-row n_orders aggregate broadcast (the support/lift "
+        "denominator) crossed onto the 100-row top-k pair cut — scalar "
+        "side, K-row probe; the pair mining itself is one keyed shuffle "
+        "and both item-frequency joins are broadcast hash"
+    ),
     "rfm_segmentation": (
         "the 1-row user-count broadcast (the quintile denominator) crossed "
         "onto the ranked user-grain frame — scalar-sized side"
