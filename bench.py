@@ -259,6 +259,9 @@ BENCH_QUERIES = [
     "triangle_count_copurchase",
     # Growth accounting: new/retained/resurrected/churned + quick ratio.
     "growth_accounting",
+    # Streaming additive IVM with retractions (4 availableNow triggers +
+    # per-batch MoR merges; wall time is trigger machinery, ~flat in SF).
+    "stream_ivm_aggregates",
 ]
 
 

@@ -1488,3 +1488,145 @@ def stream_partitioned_snapshot_sink(
             F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming INCREMENTAL VIEW MAINTENANCE with retractions — the
+# Flink-retract-stream / Materialize shape, distinct from every other
+# streaming sink here: the maintained state is an AGGREGATE view
+# (per-type count + sum), not keyed latest rows, and the changelog carries
+# DELETES that must subtract exactly what their inserts added.  Per batch:
+# signed deltas (+1/+value insert, -1/-value retract) fold into the view
+# by an additive merge against the incumbent rows for the touched keys
+# (commit_merge_on_read keyed by event_type — DV-kill + fresh partials,
+# O(touched groups) per batch), stamped with the batch_id for exactly-once.
+# Because addition commutes, the converged view is BATCHING-INDEPENDENT —
+# which is what makes the batching-blind SQL oracle possible — and sums
+# ride decimal(27,6) so a retraction cancels its insert bit-exactly.
+# Groups driven to zero stay in the TABLE as consolidation state (the
+# tombstone-is-state rule of stream_cdc_apply) and are dropped at READ:
+# the synthetic '__temp__' group is fully inserted then fully retracted
+# in-stream, so a broken zero-drop (or a lost retraction) surfaces as an
+# extra oracle row.  The poisoned replay of batch 0 after the drain pins
+# the idempotency guard via the n_versions=4 literal.
+@query(
+    "stream_ivm_aggregates",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_live,
+           cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double)
+             AS sum_live,
+           cast(4 as bigint) AS n_versions
+    FROM events WHERE event_id % 5 <> 0 GROUP BY event_type
+    """,
+)
+def stream_ivm_aggregates(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import SnapshotTable
+    from ..sources.tables import load_table
+
+    # changelog synthesis: every event is inserted; events with
+    # event_id % 5 == 0 are retracted LATER (seq pushes all deletes after
+    # all inserts under the range batching); the '__temp__' group is born
+    # and fully killed inside the stream.
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    big = F.lit(1 << 40)
+    inserts = ev.select(
+        F.col("event_id").alias("seq"),
+        "event_type",
+        "value",
+        F.lit(1).alias("sign"),
+    )
+    deletes = ev.where(F.col("event_id") % 5 == 0).select(
+        (F.col("event_id") + big).alias("seq"),
+        "event_type",
+        "value",
+        F.lit(-1).alias("sign"),
+    )
+    tmp_rows = spark.createDataFrame(
+        [(-3, "__temp__", 1.25, 1), (-2, "__temp__", 2.5, 1), (-1, "__temp__", 4.0, 1)],
+        "seq bigint, event_type string, value double, sign int",
+    )
+    tmp_dels = tmp_rows.select(
+        (F.col("seq") + big + big).alias("seq"), "event_type", "value",
+        F.lit(-1).alias("sign"),
+    )
+    staged = tempfile.mkdtemp(prefix="ivmagg_")
+    inserts.unionByName(deletes).unionByName(tmp_rows).unionByName(
+        tmp_dels
+    ).repartitionByRange(n_batches, "seq").write.mode("overwrite").parquet(staged)
+
+    t = SnapshotTable(tempfile.mkdtemp(prefix="ivmagg_tbl_"))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("event_type").agg(
+            F.sum("sign").cast("bigint").alias("d_n"),
+            F.sum(F.col("sign") * F.col("value").cast("decimal(27,6)")).alias("d_s"),
+        )
+        if t.versions():
+            incumbent = t.read(spark).join(
+                F.broadcast(delta.select("event_type")), "event_type", "left_semi"
+            )
+            delta = (
+                incumbent.select(
+                    "event_type",
+                    F.col("n_live").alias("i_n"),
+                    F.col("s_live").alias("i_s"),
+                )
+                .join(delta, "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    (
+                        F.coalesce("i_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+                    ).cast("bigint").alias("d_n"),
+                    (
+                        F.coalesce(F.col("i_s"), F.lit(0).cast("decimal(27,6)"))
+                        + F.coalesce(F.col("d_s"), F.lit(0).cast("decimal(27,6)"))
+                    ).cast("decimal(27,6)").alias("d_s"),
+                )
+            )
+        merged = delta.select(
+            "event_type",
+            F.col("d_n").alias("n_live"),
+            F.col("d_s").cast("decimal(27,6)").alias("s_live"),
+        )
+        t.commit_merge_on_read(merged, key="event_type", batch_id=batch_id)
+
+    q = (
+        spark.readStream.schema(
+            "seq bigint, event_type string, value double, sign int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ivmagg_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # poisoned replay of batch 0: a working guard folds nothing — a broken
+    # one would plant a '__replayed__' group and a 5th version
+    poison = spark.createDataFrame(
+        [(0, "__replayed__", 1.0, 1)],
+        "seq bigint, event_type string, value double, sign int",
+    )
+    process_batch(poison, 0)
+
+    # the VIEW: zero-count groups are consolidation state, dropped at read
+    return (
+        t.read(spark)
+        .where(F.col("n_live") != 0)
+        .select(
+            "event_type",
+            F.col("n_live").cast("bigint").alias("n_live"),
+            F.col("s_live").cast("double").alias("sum_live"),
+            F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
+        )
+    )

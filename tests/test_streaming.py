@@ -468,3 +468,60 @@ def test_kafka_provider_selection_both_ways(spark, sf_dir):
     assert replay.isStreaming
     # and the probe class name is the real provider (typo guard)
     assert KAFKA_PROVIDER_CLASS.endswith("KafkaSourceProvider")
+
+
+def test_ivm_fold_retraction_and_zero_group_state(spark, tmp_path):
+    """The additive IVM fold: a retraction cancels its insert bit-exactly
+    (decimal path), a fully-retracted group stays in the TABLE as a
+    zero-count consolidation row but vanishes from the read view, and a
+    replayed batch folds nothing."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "ivm"))
+
+    def fold(rows, batch_id):
+        batch = spark.createDataFrame(
+            rows, "event_type string, value double, sign int"
+        )
+        delta = batch.groupBy("event_type").agg(
+            F.sum("sign").cast("bigint").alias("d_n"),
+            F.sum(F.col("sign") * F.col("value").cast("decimal(27,6)")).alias("d_s"),
+        )
+        if t.versions():
+            inc = t.read(spark).join(
+                F.broadcast(delta.select("event_type")), "event_type", "left_semi"
+            )
+            delta = (
+                inc.select("event_type", F.col("n_live").alias("i_n"), F.col("s_live").alias("i_s"))
+                .join(delta, "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    (F.coalesce("i_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).cast("bigint").alias("d_n"),
+                    (
+                        F.coalesce(F.col("i_s"), F.lit(0).cast("decimal(27,6)"))
+                        + F.coalesce(F.col("d_s"), F.lit(0).cast("decimal(27,6)"))
+                    ).cast("decimal(27,6)").alias("d_s"),
+                )
+            )
+        merged = delta.select(
+            "event_type", F.col("d_n").alias("n_live"), F.col("d_s").cast("decimal(27,6)").alias("s_live")
+        )
+        t.commit_merge_on_read(merged, key="event_type", batch_id=batch_id)
+
+    fold([("a", 0.1, 1), ("a", 0.2, 1), ("b", 7.75, 1)], 0)
+    fold([("a", 0.1, -1), ("b", 1.0, 1)], 1)   # retract one 'a' insert
+    fold([("b", 7.75, -1), ("b", 1.0, -1)], 2)  # drive 'b' to zero
+
+    table = {r["event_type"]: r for r in t.read(spark).collect()}
+    # zero-count group kept as consolidation state ...
+    assert table["b"]["n_live"] == 0 and float(table["b"]["s_live"]) == 0.0
+    # ... and the decimal retraction cancelled the insert exactly
+    assert table["a"]["n_live"] == 1 and float(table["a"]["s_live"]) == 0.2
+
+    # replayed batch folds nothing (no extra version, no double subtract)
+    n_versions = len(t.versions())
+    fold([("a", 0.2, -1)], 1)
+    assert len(t.versions()) == n_versions
+    assert {r["event_type"]: r["n_live"] for r in t.read(spark).collect()}["a"] == 1
