@@ -262,6 +262,10 @@ BENCH_QUERIES = [
     # Streaming additive IVM with retractions (4 availableNow triggers +
     # per-batch MoR merges; wall time is trigger machinery, ~flat in SF).
     "stream_ivm_aggregates",
+    # Partition evolution: mixed-layout grouped scans + two-tier pruning.
+    "snapshot_partition_evolution",
+    # Item-item CF neighbor lists (pair agg + broadcast norms + per-item window).
+    "item_item_neighbors",
 ]
 
 

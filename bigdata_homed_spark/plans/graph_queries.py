@@ -369,3 +369,100 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.desc("n_wedges"), "part_key")
         .limit(_TC_TOP_K)
     )
+
+
+_CF_MIN_W = 2
+_CF_TOP_N = 5
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering (Sarwar et al. WWW'01 / Linden et al.
+# "Amazon.com Recommendations", IEEE IC'03): per-item top-N neighbor lists
+# by co-occurrence cosine — sim(i,j) = n_ij / sqrt(n_i * n_j) over order
+# baskets.  The recommender-serving primitive (neighbor lists are what a
+# CF ranker joins at request time), distinct from association_rules'
+# global rule mining: the cut is PER ITEM (one row_number window over the
+# symmetrized pair frame), so every catalog item keeps its shelf.  Scale:
+# pair counts from the shared array-expansion stage (one keyed shuffle,
+# no fact self-join); symmetrization doubles a weight>=2-sparsified frame;
+# item counts broadcast; the window partitions by item over the pair
+# frame.  Cosine is one IEEE division of exact bigints — bit-identical on
+# both engines, so ordering and the hash agree.
+@query(
+    "item_item_neighbors",
+    oracle=f"""
+    WITH cf_items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cf_n AS (SELECT l_partkey, count(*) AS n_item FROM cf_items GROUP BY 1),
+    cf_p0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_pair
+      FROM cf_items a JOIN cf_items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {_CF_MIN_W}
+    ),
+    cf_pairs AS (
+      SELECT p1 AS item, p2 AS neighbor, n_pair FROM cf_p0
+      UNION ALL
+      SELECT p2 AS item, p1 AS neighbor, n_pair FROM cf_p0
+    ),
+    cf_scored AS (
+      SELECT c.item, c.neighbor, c.n_pair,
+             cast(c.n_pair as double)
+               / sqrt(cast(ni.n_item * nn.n_item as double)) AS cosine
+      FROM cf_pairs c
+      JOIN cf_n ni ON c.item = ni.l_partkey
+      JOIN cf_n nn ON c.neighbor = nn.l_partkey
+    ),
+    cf_ranked AS (
+      SELECT item, neighbor, n_pair, round(cosine, 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY item ORDER BY cosine DESC, neighbor
+             ) AS rank
+      FROM cf_scored
+    )
+    SELECT item, neighbor, cast(n_pair as bigint) AS n_pair, cosine,
+           cast(rank as bigint) AS rank
+    FROM cf_ranked WHERE rank <= {_CF_TOP_N}
+    """,
+)
+def item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    item_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    p0 = copurchase_pair_counts(spark, sf_dir).where(
+        F.col("n_pair") >= _CF_MIN_W
+    )
+    pairs = p0.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "n_pair"
+    ).union(
+        p0.select(F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "n_pair")
+    )
+    ni = item_n.select(F.col("l_partkey").alias("item"), F.col("n_item").alias("n_i"))
+    nn = item_n.select(
+        F.col("l_partkey").alias("neighbor"), F.col("n_item").alias("n_n")
+    )
+    scored = (
+        pairs.join(F.broadcast(ni), "item")
+        .join(F.broadcast(nn), "neighbor")
+        .withColumn(
+            "cosine_raw",
+            F.col("n_pair").cast("double")
+            / F.sqrt((F.col("n_i") * F.col("n_n")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine_raw"), "neighbor")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _CF_TOP_N)
+        .select(
+            "item",
+            "neighbor",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round("cosine_raw", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -1737,3 +1737,111 @@ def snapshot_clustering_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(after < before).alias("pruning_improved"),
         F.lit(after <= 3).alias("clustered_within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# PARTITION EVOLUTION — Iceberg's flagship spec-change story, end-to-end:
+# a table starts flat (years <= 1998, zone-mapped on o_year), then DECLARES
+# a new partition scheme (commit_append(partition_by=["o_year"],
+# evolve=True)) and lands 1999-2001 as Hive-partitioned files — OLD FILES
+# ARE NEVER REWRITTEN.  Readers union the layout generations (grouped
+# scans); a DV delete then kills rows in BOTH generations in one commit.
+# Scan planning after evolution is the two-tier contract: a new-range scan
+# (2000-01) keeps exactly the 2 matching PARTITIONED entries (the flat
+# generation, unprunable by partition values it never recorded, dies by
+# its o_year ZONE MAPS instead); an old-range scan (1995-96) drops all 3
+# partitioned entries by manifest values and keeps the 2 flat files.  The
+# oracle pins both file counts, both ranges' live aggregates, and the
+# version count — pruning decisions, row-level DV subtraction, and the
+# no-rewrite protocol all verified in one row.
+_SNAPPART_EVO_CACHE: dict[str, str] = {}
+
+
+def _snap_partition_evo_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPPART_EVO_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapevo_"), "orders_evo")
+        t = SnapshotTable(cached)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .withColumn("o_year", F.year("o_orderdate"))
+        )
+        # v1: the pre-evolution generation — flat layout, zone-mapped
+        t.commit_append(
+            orders.where(F.col("o_year") <= 1998), n_files=2, stats_cols=["o_year"]
+        )
+        # v2: partition evolution declared — new data lands partitioned,
+        # old files keep their layout forever
+        t.commit_append(
+            orders.where(F.col("o_year") >= 1999),
+            n_files=1,
+            partition_by=["o_year"],
+            evolve=True,
+        )
+        # v3: one DV delete spanning BOTH layout generations
+        t.commit_delete(spark, F.col("o_orderkey") % 7 == 0)
+        _SNAPPART_EVO_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_partition_evolution",
+    oracle="""
+    WITH live AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT
+      cast(sum(CASE WHEN year(o_orderdate) IN (2000, 2001) THEN 1 ELSE 0 END) as bigint)
+        AS n_rows_new_gen,
+      cast(cast(sum(CASE WHEN year(o_orderdate) IN (2000, 2001)
+                         THEN cast(o_totalprice as decimal(27,6)) END) as varchar) as double)
+        AS sum_new_gen,
+      cast(sum(CASE WHEN year(o_orderdate) IN (1995, 1996) THEN 1 ELSE 0 END) as bigint)
+        AS n_rows_old_gen,
+      cast(cast(sum(CASE WHEN year(o_orderdate) IN (1995, 1996)
+                         THEN cast(o_totalprice as decimal(27,6)) END) as varchar) as double)
+        AS sum_old_gen,
+      cast(2 as bigint) AS n_files_scanned_new,
+      cast(2 as bigint) AS n_files_scanned_old,
+      cast(3 as bigint) AS n_versions
+    FROM live
+    """,
+)
+def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snap_partition_evo_table(spark, sf_dir)
+    new_want = {"o_year": [2000, 2001]}
+    old_want = {"o_year": [1995, 1996]}
+    # tier-1 partition pruning + tier-2 zone maps, the evolved-table scan:
+    new_entries = t.pruned_entries(col="o_year", lo=2000, hi=2001, partitions=new_want)
+    old_entries = t.pruned_entries(col="o_year", lo=1995, hi=1996, partitions=old_want)
+    new_agg = (
+        t.read_pruned(spark, col="o_year", lo=2000, hi=2001, partitions=new_want)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_new_gen"),
+            dsum(F.col("o_totalprice"), "sum_new_gen"),
+        )
+    )
+    old_agg = (
+        t.read_pruned(spark, col="o_year", lo=1995, hi=1996, partitions=old_want)
+        .where(F.col("o_year").isin(1995, 1996))  # residual: zone maps are file-granular
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_old_gen"),
+            dsum(F.col("o_totalprice"), "sum_old_gen"),
+        )
+    )
+    return (
+        new_agg.crossJoin(old_agg)  # two 1-row scalar readouts
+        .select(
+            "n_rows_new_gen",
+            "sum_new_gen",
+            "n_rows_old_gen",
+            "sum_old_gen",
+            F.lit(len(new_entries)).cast("bigint").alias("n_files_scanned_new"),
+            F.lit(len(old_entries)).cast("bigint").alias("n_files_scanned_old"),
+            F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
+        )
+    )

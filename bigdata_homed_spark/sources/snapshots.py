@@ -335,6 +335,7 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         batch_id: int | None = None,
         partition_by: list[str] | None = None,
+        evolve: bool = False,
     ) -> int:
         """New version = parent's ENTRIES (stats preserved) + df's files.
 
@@ -345,13 +346,24 @@ class SnapshotTable:
         the Spark-docs foreachBatch idempotency recipe enforced at the
         table-format layer, where the manifest (the commit point) and the
         dedup record are the same atomic object.  Single-writer assumed,
-        as everywhere in this class."""
+        as everywhere in this class.
+
+        ``evolve=True`` is PARTITION EVOLUTION (Iceberg spec change as a
+        deliberate DDL-like act): the new batch may use a different
+        ``partition_by`` than the table's existing files.  Old files keep
+        their old layout forever (no rewrite); readers union the layout
+        groups (see ``_read_entries``); partition pruning on the new key
+        skips new-layout entries by manifest values and old-layout entries
+        only via their zone maps (unrecorded values are never skipped —
+        correctness over pruning).  Without ``evolve``, a layout mismatch
+        still fails loudly — accidental mixing stays an error."""
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.versions()[-1]
         versions = self.versions()
         parent = self._manifest(versions[-1]) if versions else {}
         prev = list(parent.get("files", []))
-        self._check_layout(prev, partition_by)
+        if not evolve:
+            self._check_layout(prev, partition_by)
         # conflict-check against the version whose file list we extended:
         # if another writer advanced the head while data files were being
         # staged, appending "prev + new" would silently drop their commit.
@@ -368,23 +380,28 @@ class SnapshotTable:
     def _check_layout(
         parent_entries: list[dict], partition_by: list[str] | None
     ) -> None:
-        """Appending a Hive-partitioned batch onto a flat parent (or vice
-        versa, or with different partition keys) produces a mixed layout
-        that basePath discovery resolves by silently DROPPING rows — fail
-        loudly instead (measured: a flat v1 + partitioned v2 read back
-        only one commit's rows)."""
+        """Appending a layout that differs from a SINGLE-layout parent is
+        almost always an accident, so it fails loudly unless the caller
+        declares partition evolution (``commit_append(evolve=True)``).
+        Readers handle mixed layouts correctly (per-generation grouped
+        scans in ``_read_entries``/``_scan_with_pos``), so once a table has
+        legitimately evolved — its parent already holds more than one
+        layout generation — every verb is free to write in any layout and
+        the guard stands down."""
         if not parent_entries:
             return
         parent_keys = {
             tuple(sorted(e.get("partitions", {}))) for e in parent_entries
         }
+        if len(parent_keys) > 1:
+            return  # already evolved: mixed layouts are the table's contract
         new_keys = tuple(sorted(partition_by)) if partition_by else ()
         if parent_keys != {new_keys}:
             raise ValueError(
                 f"layout mismatch: parent partition keys {parent_keys} vs "
-                f"append's {new_keys or '(unpartitioned)'} — a mixed layout "
-                "silently loses rows at read; use commit_rewrite to change "
-                "the table's partitioning"
+                f"append's {new_keys or '(unpartitioned)'} — declare "
+                "partition evolution with commit_append(evolve=True), or "
+                "commit_rewrite to change the layout wholesale"
             )
 
     def commit_rewrite(
@@ -434,7 +451,7 @@ class SnapshotTable:
 
         Versions carrying ``delete_files`` (merge-on-read commits) subtract
         the dead positions with a broadcast anti-join — see
-        ``_apply_delete_vectors``."""
+        ``_read_entries``."""
         v = version if version is not None else self._head()
         m = self._manifest(v)
         entries = m["files"]
@@ -449,42 +466,50 @@ class SnapshotTable:
         merge_schema: bool = False,
         delete_files: list[str] | None = None,
     ) -> DataFrame:
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        if any("partitions" in e for e in entries):
-            reader = reader.option("basePath", self.data_dir)
-        df = reader.parquet(*[e["path"] for e in entries])
-        if delete_files:
-            df = self._apply_delete_vectors(spark, df, delete_files)
-        return df
+        """Scan an entry list.  Entries are grouped by their partition-key
+        tuple (one group per layout generation under partition evolution);
+        each group scans with its own discovery mode (basePath recovers
+        path-encoded columns for Hive-layout files; flat files carry every
+        column in-file) and the groups union BY NAME — the logical schema
+        is layout-invariant, only the physical encoding of the partition
+        column moves between path and file.  Single-layout tables take the
+        single-group fast path, byte-identical to the pre-evolution reader.
+        DV tagging happens per scan (``_metadata`` is scan-scoped) and the
+        anti-join runs once over the union."""
+        from collections import defaultdict
 
-    @staticmethod
-    def _apply_delete_vectors(
-        spark: SparkSession, df: DataFrame, delete_files: list[str]
-    ) -> DataFrame:
-        """Subtract DV positions: anti-join on the parquet scan's
-        ``_metadata.file_path``/``row_index`` columns (stable — data files
-        are immutable).  The DV side is broadcast: it is bounded by rows
-        deleted since the last compaction, which OPTIMIZE keeps small by
-        design (Delta's DV story makes the same size argument); the big
-        side never shuffles.  At 100 TB the native equivalent pushes a
-        per-file bitmap into the scan — this is the same IO shape, one
-        broadcast hash probe per row instead of a bitmap test."""
         from pyspark.sql import functions as F
 
-        dv = spark.read.parquet(*delete_files).select(
-            F.col("__file").alias("__dv_file"), F.col("__pos").alias("__dv_pos")
-        )
-        tagged = df.withColumns(
-            {
-                "__dv_file": F.col("_metadata.file_path"),
-                "__dv_pos": F.col("_metadata.row_index"),
-            }
-        )
-        return tagged.join(
-            F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
-        ).drop("__dv_file", "__dv_pos")
+        groups: dict[tuple, list[dict]] = defaultdict(list)
+        for e in entries:
+            groups[tuple(sorted(e.get("partitions", {})))].append(e)
+        dfs = []
+        for keys in sorted(groups):
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            if keys:
+                reader = reader.option("basePath", self.data_dir)
+            df = reader.parquet(*[e["path"] for e in groups[keys]])
+            if delete_files:
+                df = df.withColumns(
+                    {
+                        "__dv_file": F.col("_metadata.file_path"),
+                        "__dv_pos": F.col("_metadata.row_index"),
+                    }
+                )
+            dfs.append(df)
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df, allowMissingColumns=merge_schema)
+        if delete_files:
+            dv = spark.read.parquet(*delete_files).select(
+                F.col("__file").alias("__dv_file"), F.col("__pos").alias("__dv_pos")
+            )
+            out = out.join(
+                F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
+            ).drop("__dv_file", "__dv_pos")
+        return out
 
     def _scan_with_pos(
         self,
@@ -497,19 +522,34 @@ class SnapshotTable:
         Already-dead positions are subtracted first so they are never
         re-recorded.  ``entries`` restricts the scan (zone-map routing);
         the manifest's DVs still apply (anti-join over a subset is safe)."""
+        from collections import defaultdict
+
         from pyspark.sql import functions as F
 
         if entries is None:
             entries = manifest["files"]
-        reader = spark.read
-        if any("partitions" in e for e in entries):
-            reader = reader.option("basePath", self.data_dir)
-        df = reader.parquet(*[e["path"] for e in entries]).withColumns(
-            {
-                "__file": F.col("_metadata.file_path"),
-                "__pos": F.col("_metadata.row_index"),
-            }
-        )
+        # same layout grouping as _read_entries: a mixed-layout scan under
+        # one basePath silently drops the flat group's rows, so each
+        # partition-key generation scans with its own discovery mode
+        groups: dict[tuple, list[dict]] = defaultdict(list)
+        for e in entries:
+            groups[tuple(sorted(e.get("partitions", {})))].append(e)
+        dfs = []
+        for keys in sorted(groups):
+            reader = spark.read
+            if keys:
+                reader = reader.option("basePath", self.data_dir)
+            dfs.append(
+                reader.parquet(*[e["path"] for e in groups[keys]]).withColumns(
+                    {
+                        "__file": F.col("_metadata.file_path"),
+                        "__pos": F.col("_metadata.row_index"),
+                    }
+                )
+            )
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
         old = manifest.get("delete_files")
         if old:
             dv = spark.read.parquet(*old).select(

@@ -223,3 +223,46 @@ def test_triangle_counts_match_bruteforce(spark, sf_dir):
         assert r["n_wedges"] == len(adj[r["part_key"]]) * (len(adj[r["part_key"]]) - 1) // 2
         if r["degree"] >= 2:
             assert 0.0 <= r["clustering"] <= 1.0
+
+
+def test_item_item_neighbors_properties(spark, sf_dir):
+    """Neighbor lists: symmetric input (i in j's candidates iff j in i's),
+    per-item rank is dense from 1, cosine matches the count ratio, and
+    every listed pair really co-occurs >= the sparsification floor."""
+    import math
+
+    from bigdata_homed_spark.plans.graph_queries import (
+        _CF_MIN_W,
+        _CF_TOP_N,
+        copurchase_pair_counts,
+        item_item_neighbors,
+    )
+    from bigdata_homed_spark.sources.tables import load_table
+
+    pair_n = {
+        (r["p1"], r["p2"]): r["n_pair"]
+        for r in copurchase_pair_counts(spark, sf_dir).collect()
+    }
+    item_n = {
+        r["l_partkey"]: r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    got = item_item_neighbors(spark, sf_dir).collect()
+    assert got
+    by_item: dict[int, list] = {}
+    for r in got:
+        by_item.setdefault(r["item"], []).append(r)
+        key = (min(r["item"], r["neighbor"]), max(r["item"], r["neighbor"]))
+        assert pair_n[key] == r["n_pair"] >= _CF_MIN_W
+        expect = r["n_pair"] / math.sqrt(item_n[r["item"]] * item_n[r["neighbor"]])
+        assert abs(r["cosine"] - round(expect, 6)) < 1e-9
+    for item, rows in by_item.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= _CF_TOP_N

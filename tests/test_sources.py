@@ -1754,3 +1754,60 @@ def test_cluster_exact_disjoint_and_seed_insensitive(spark, tmp_path):
     for i in range(23):
         spark.range(50 + i).selectExpr("max(id)").collect()
     assert layout("c2") == (first, total)
+
+
+def test_snapshot_partition_evolution(spark, tmp_path):
+    """Iceberg-style partition evolution: old files keep their layout, new
+    batches declare a new one with evolve=True; reads union the layout
+    generations; DV deletes and MoR merges hit rows in BOTH layouts; time
+    travel across the evolution boundary is exact; partition pruning on
+    the new key keeps old-layout entries (skippable only by zone maps)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "evo"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 10, "b"), (3, 11, "c")], "id bigint, day bigint, v string"
+        ),
+        stats_cols=["day"],
+    )
+    # accidental mixing still fails loudly ...
+    newer = spark.createDataFrame([(4, 11, "d"), (5, 12, "e")], "id bigint, day bigint, v string")
+    with pytest.raises(ValueError, match="layout mismatch"):
+        t.commit_append(newer, partition_by=["day"])
+    # ... until evolution is declared
+    t.commit_append(newer, partition_by=["day"], evolve=True)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3, 4, 5]
+    assert t.read(spark).columns == ["id", "day", "v"]
+
+    # pruning on the evolved key: partitioned non-matching entries drop,
+    # the flat generation survives partition pruning (unrecorded value)
+    # and then dies by its zone map when the day range misses it
+    pruned = t.pruned_entries(partitions={"day": 12})
+    assert len(pruned) == 2 and any("partitions" not in e for e in pruned)
+    assert len(t.pruned_entries(col="day", lo=12, hi=12, partitions={"day": 12})) == 1
+
+    # DV + MoR merge span both layout generations
+    t.commit_delete(spark, F.col("id").isin(2, 5))
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3, 4]
+    t.commit_merge_on_read(
+        spark.createDataFrame(
+            [(1, 10, "A!"), (4, 11, "D!"), (9, 13, "new")], "id bigint, day bigint, v string"
+        ),
+        key="id",
+    )
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got == {1: "A!", 3: "c", 4: "D!", 9: "new"}
+
+    # once evolved, further single-layout appends are free (guard stands down)
+    t.commit_append(
+        spark.createDataFrame([(7, 14, "g")], "id bigint, day bigint, v string")
+    )
+    assert 7 in {r.id for r in t.read(spark).collect()}
+
+    # time travel crosses the evolution boundary exactly
+    assert sorted(r.id for r in t.read(spark, version=1).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in t.read(spark, version=2).collect()) == [1, 2, 3, 4, 5]

@@ -98,6 +98,11 @@ INTENTIONAL_BNL = {
         "rounds' chosen-merge scalars, never a data-sized side"
     ),
     "snapshot_restore": "1-row bad-version aggregate broadcast (the post-mortem read)",
+    "snapshot_partition_evolution": (
+        "the two 1-row generation aggregates (new-range and old-range "
+        "pruned scans) crossed into the single protocol-readout row — "
+        "both BNL sides are exactly one row"
+    ),
     "association_rules_parts": (
         "the 1-row n_orders aggregate broadcast (the support/lift "
         "denominator) crossed onto the 100-row top-k pair cut — scalar "
