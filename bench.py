@@ -266,6 +266,10 @@ BENCH_QUERIES = [
     "snapshot_partition_evolution",
     # Item-item CF neighbor lists (pair agg + broadcast norms + per-item window).
     "item_item_neighbors",
+    # TWAP: one lead window + exact decimal weighted sums per type.
+    "time_weighted_average",
+    # Day-over-day movers: two windows over the compacted day x type series.
+    "trending_daily_movers",
 ]
 
 

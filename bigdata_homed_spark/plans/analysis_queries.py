@@ -1699,3 +1699,145 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average value per event type (the TWAP / TimescaleDB
+# `time_weight` primitive): each observation holds until the next one
+# (last-observation-carried-forward), so its weight is the seconds until
+# the partition's next event; the final observation carries zero weight
+# (nothing to hold over — the standard left-closed convention).  One
+# lead() window per type (a single keyed exchange), then exact decimal
+# weighted sums — value×Δt rides decimal(27,6)×bigint so the division at
+# the end is the only float op, bit-identical on both engines.  The
+# unweighted mean rides along to show the skew TWAP corrects (bursts of
+# short-lived readings drag a plain mean; TWAP weights by holding time).
+@query(
+    "time_weighted_average",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    tw_seq AS (
+      SELECT event_type, value, sec,
+             lead(sec) OVER (
+               PARTITION BY event_type ORDER BY sec, event_id
+             ) - sec AS dt
+      FROM ev
+    ),
+    tw AS (
+      SELECT event_type,
+             sum(cast(value as decimal(27,6)) * dt) AS wsum,
+             sum(dt) AS wtot,
+             count(*) AS n_obs,
+             sum(cast(value as decimal(27,6))) AS vsum
+      FROM tw_seq WHERE dt IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type,
+           cast(n_obs as bigint) AS n_obs,
+           cast(wtot as bigint) AS total_sec,
+           round(cast(cast(wsum as varchar) as double)
+                 / cast(wtot as double), 6) AS twap,
+           round(cast(cast(vsum as varchar) as double)
+                 / cast(n_obs as double), 6) AS plain_mean
+    FROM tw
+    """,
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    seq = events_sec(spark, sf_dir).select(
+        "event_type",
+        "value",
+        (F.lead("sec").over(w) - F.col("sec")).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    agg = seq.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(27,6)") * F.col("dt")).alias("wsum"),
+        F.sum("dt").cast("bigint").alias("wtot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("vsum"),
+    )
+    return agg.select(
+        "event_type",
+        "n_obs",
+        F.col("wtot").alias("total_sec"),
+        F.round(
+            F.col("wsum").cast("double") / F.col("wtot").cast("double"), 6
+        ).alias("twap"),
+        F.round(
+            F.col("vsum").cast("double") / F.col("n_obs").cast("double"), 6
+        ).alias("plain_mean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Day-over-day trending movers — the "what's rising" report every
+# dashboard ships: per (day, event_type), the day's event count is ranked
+# within the day, compared to the SAME type's rank yesterday, and the
+# movers are the types whose rank improved/worsened; delta_pct is the
+# count change.  Two windows on different keys (rank within day, lag
+# within type) over the TINY day×type series — the fact is compacted
+# FIRST, so at 100 TB the window input is |days|·|types| rows.  First
+# observed day has no yesterday and is dropped (both engines alike).
+@query(
+    "trending_daily_movers",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    td_daily AS (
+      SELECT event_type, sec // {DAY} AS day, count(*) AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    td_ranked AS (
+      SELECT event_type, day, n,
+             rank() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+      FROM td_daily
+    ),
+    td_seq AS (
+      SELECT event_type, day, n, rnk,
+             lag(n)   OVER (PARTITION BY event_type ORDER BY day) AS n_prev,
+             lag(rnk) OVER (PARTITION BY event_type ORDER BY day) AS rnk_prev,
+             lag(day) OVER (PARTITION BY event_type ORDER BY day) AS day_prev
+      FROM td_ranked
+    )
+    SELECT event_type, cast(day as bigint) AS day,
+           cast(n as bigint) AS n_events,
+           cast(rnk as bigint) AS rnk,
+           cast(rnk_prev - rnk as bigint) AS rank_gain,
+           round((cast(n as double) - cast(n_prev as double))
+                 / cast(n_prev as double), 6) AS delta_pct
+    FROM td_seq WHERE day_prev = day - 1
+    """,
+)
+def trending_daily_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        events_sec(spark, sf_dir)
+        .groupBy(
+            "event_type", (F.col("sec") / F.lit(DAY)).cast("bigint").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    day_w = Window.partitionBy("day").orderBy(F.desc("n"), "event_type")
+    ranked = daily.withColumn("rnk", F.rank().over(day_w).cast("bigint"))
+    type_w = Window.partitionBy("event_type").orderBy("day")
+    seq = ranked.select(
+        "event_type",
+        "day",
+        "n",
+        "rnk",
+        F.lag("n").over(type_w).alias("n_prev"),
+        F.lag("rnk").over(type_w).alias("rnk_prev"),
+        F.lag("day").over(type_w).alias("day_prev"),
+    ).where(F.col("day_prev") == F.col("day") - 1)
+    return seq.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        "rnk",
+        (F.col("rnk_prev") - F.col("rnk")).cast("bigint").alias("rank_gain"),
+        F.round(
+            (F.col("n").cast("double") - F.col("n_prev").cast("double"))
+            / F.col("n_prev").cast("double"),
+            6,
+        ).alias("delta_pct"),
+    )

@@ -654,3 +654,64 @@ def test_growth_accounting_conservation(spark, sf_dir):
             ) < 1e-9
         else:
             assert r["quick_ratio"] is None
+
+
+def test_time_weighted_average_matches_bruteforce(spark, sf_dir):
+    """TWAP equals the numpy weighted mean with LOCF weights; the plain
+    mean rides on the same observation set (last obs per type excluded
+    from both, the zero-weight convention)."""
+    import numpy as np
+
+    from bigdata_homed_spark.plans.analysis_queries import time_weighted_average
+    from bigdata_homed_spark.plans.homed_behavior import events_sec
+
+    series: dict[str, list] = {}
+    for r in events_sec(spark, sf_dir).collect():
+        series.setdefault(r["event_type"], []).append(
+            (r["sec"], r["event_id"], r["value"])
+        )
+    got = {r["event_type"]: r for r in time_weighted_average(spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for t, obs in series.items():
+        obs.sort()
+        vals = np.array([v for _, _, v in obs[:-1]])
+        dts = np.diff([s for s, _, _ in obs]).astype(float)
+        r = got[t]
+        assert r["n_obs"] == len(obs) - 1
+        assert r["total_sec"] == int(dts.sum())
+        assert abs(r["twap"] - float((vals * dts).sum() / dts.sum())) < 1e-4
+        assert abs(r["plain_mean"] - float(vals.mean())) < 1e-4
+
+
+def test_trending_daily_movers_invariants(spark, sf_dir):
+    """Ranks are a permutation with ties sharing rank; rank_gain is the
+    yesterday-vs-today rank difference; delta_pct matches counts."""
+    from bigdata_homed_spark.plans.analysis_queries import trending_daily_movers
+    from bigdata_homed_spark.plans.homed_behavior import events_sec
+
+    counts: dict[tuple, int] = {}
+    for r in (
+        events_sec(spark, sf_dir)
+        .groupBy("event_type", (F.col("sec") / 86400).cast("bigint").alias("day"))
+        .count()
+        .collect()
+    ):
+        counts[(r["event_type"], r["day"])] = r["count"]
+
+    def brute_rank(t, d):
+        mine = (-counts[(t, d)], t)
+        return 1 + sum(
+            1
+            for (t2, d2), n2 in counts.items()
+            if d2 == d and (-n2, t2) < mine
+        )
+
+    got = trending_daily_movers(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        t, d = r["event_type"], r["day"]
+        assert r["n_events"] == counts[(t, d)]
+        assert r["rnk"] == brute_rank(t, d)
+        assert r["rank_gain"] == brute_rank(t, d - 1) - r["rnk"]
+        prev = counts[(t, d - 1)]
+        assert abs(r["delta_pct"] - round((counts[(t, d)] - prev) / prev, 6)) < 1e-9

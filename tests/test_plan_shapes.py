@@ -471,3 +471,22 @@ def test_late_r7b_family_plans(spark, sf_dir):
     for spec in window_partition_specs(ga):
         assert spec != ""
     assert "BroadcastNestedLoopJoin" not in ga
+
+
+def test_twap_and_trending_plans(spark, sf_dir):
+    """TWAP: one keyed exchange, no join; trending: windows over the
+    compacted series, every window key-partitioned."""
+    from bigdata_homed_spark.plans.analysis_queries import (
+        time_weighted_average,
+        trending_daily_movers,
+    )
+
+    tw = plan_of(time_weighted_average(spark, sf_dir))
+    assert "Join" not in tw
+    assert tw.count("Exchange hashpartitioning") == 1
+    for spec in window_partition_specs(tw):
+        assert spec != ""
+    tr = plan_of(trending_daily_movers(spark, sf_dir))
+    assert "Join" not in tr
+    for spec in window_partition_specs(tr):
+        assert spec != ""
