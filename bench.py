@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "time_weighted_average",
     # Day-over-day movers: two windows over the compacted day x type series.
     "trending_daily_movers",
+    # CCNet tercile selection: bigram-LM scores -> distributed rank -> buckets.
+    "ccnet_perplexity_buckets",
 ]
 
 

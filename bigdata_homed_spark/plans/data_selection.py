@@ -332,11 +332,9 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact decimal sum, one cast back.
 _BACKOFF_ALPHA = 0.4
 
-
-@query(
-    "bigram_lm_quality",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+# the LM-train + per-doc-score CTE chain, shared by bigram_lm_quality and
+# the CCNet bucket composition below (lmq = one row per scored doc)
+_BIGRAM_LM_CTES = f"""d AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
     uni AS (
       SELECT {hash64_sql('t')} AS th, cast(count(*) as bigint) AS c_uni
       FROM (SELECT unnest(toks) AS t FROM d WHERE lang = 'en') GROUP BY 1
@@ -370,11 +368,20 @@ _BACKOFF_ALPHA = 0.4
       LEFT JOIN uni up ON p.prevh = up.th
       LEFT JOIN uni uc ON p.curh = uc.th
       CROSS JOIN tot t
-    )
-    SELECT doc_id,
-           cast(count(*) as bigint) AS n_bigrams,
-           floor(cast(sum(lp) as double) / count(*) * 1000000) / 1000000 AS avg_logprob
-    FROM scored GROUP BY doc_id
+    ),
+    lmq AS (
+      SELECT doc_id,
+             cast(count(*) as bigint) AS n_bigrams,
+             floor(cast(sum(lp) as double) / count(*) * 1000000) / 1000000 AS avg_logprob
+      FROM scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "bigram_lm_quality",
+    oracle=f"""
+    WITH {_BIGRAM_LM_CTES}
+    SELECT doc_id, n_bigrams, avg_logprob FROM lmq
     """,
 )
 def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,4 +676,74 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.cast("bigint").alias("n_chars_used"),
         entropy.alias("entropy_nats"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity buckets (Wenzek et al. arXiv:1911.00359 §4.3): CCNet's
+# actual selection step — documents ranked by LM score and split into
+# head / middle / tail TERCILES, with downstream training mixes drawing
+# from the buckets by quota.  Composed entirely from machinery this repo
+# already verifies: the bigram-LM per-doc scores (shared _BIGRAM_LM_CTES
+# oracle text = shared bigram_lm_quality plan) and the DISTRIBUTED global
+# rank (operators/rank.py — never a partition-less window).  Tercile =
+# 1 + (rn-1)*3 div n, integer-exact; bucket 3 (highest logprob = lowest
+# perplexity) is 'head'.  Output: per bucket × lang doc counts, exact
+# decimal char mass, and the bucket's logprob extent — the table a corpus
+# mixer reads to set sampling quotas.
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH {_BIGRAM_LM_CTES},
+    ranked AS (
+      SELECT l.doc_id, l.avg_logprob,
+             row_number() OVER (ORDER BY l.avg_logprob, l.doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM lmq l
+    ),
+    bucketed AS (
+      SELECT r.doc_id, r.avg_logprob,
+             CASE 1 + (r.rn - 1) * 3 // r.n
+               WHEN 1 THEN 'tail' WHEN 2 THEN 'middle' ELSE 'head'
+             END AS bucket
+      FROM ranked r
+    )
+    SELECT b.bucket AS bucket, doc.lang AS lang,
+           cast(count(*) as bigint) AS n_docs,
+           cast(cast(sum(cast(doc.n_chars as decimal(27,6))) as varchar) as double)
+             AS sum_chars,
+           min(b.avg_logprob) AS min_logprob,
+           max(b.avg_logprob) AS max_logprob
+    FROM bucketed b JOIN documents doc ON b.doc_id = doc.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import global_row_number
+    from ..sources.tables import load_table
+    from .core_relational import dsum
+
+    scores = bigram_lm_quality(spark, sf_dir).select("doc_id", "avg_logprob")
+    ranked = global_row_number(scores, ["avg_logprob", "doc_id"], "rn")
+    n = F.broadcast(scores.agg(F.count(F.lit(1)).alias("n")))
+    bucketed = ranked.crossJoin(n).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(
+            F.lit(1) + F.floor((F.col("rn") - 1) * 3 / F.col("n")) == 1, "tail"
+        )
+        .when(F.lit(1) + F.floor((F.col("rn") - 1) * 3 / F.col("n")) == 2, "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        bucketed.join(docs, "doc_id")
+        .groupBy("bucket", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            dsum(F.col("n_chars"), "sum_chars"),
+            F.min("avg_logprob").alias("min_logprob"),
+            F.max("avg_logprob").alias("max_logprob"),
+        )
     )

@@ -212,3 +212,28 @@ def test_exact_substring_matches_coverage_bitmap(spark, tmp_path_factory, doclis
     for d, (spans, tokens_covered) in expected.items():
         assert got[d]["n_dup_spans"] == spans, (d, corpus[d])
         assert got[d]["dup_tokens"] == tokens_covered, (d, corpus[d])
+
+
+def test_ccnet_buckets_are_exact_terciles(spark, sf_dir):
+    """Bucket sizes differ by at most 1 doc, the three logprob extents are
+    ordered tail < middle < head with no overlap, and every scored doc is
+    bucketed exactly once."""
+    from bigdata_homed_spark.plans.data_selection import (
+        bigram_lm_quality,
+        ccnet_perplexity_buckets,
+    )
+
+    n_scored = bigram_lm_quality(spark, sf_dir).count()
+    rows = ccnet_perplexity_buckets(spark, sf_dir).collect()
+    by_bucket: dict[str, dict] = {}
+    for r in rows:
+        b = by_bucket.setdefault(r["bucket"], {"n": 0, "lo": [], "hi": []})
+        b["n"] += r["n_docs"]
+        b["lo"].append(r["min_logprob"])
+        b["hi"].append(r["max_logprob"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    sizes = [b["n"] for b in by_bucket.values()]
+    assert sum(sizes) == n_scored
+    assert max(sizes) - min(sizes) <= 1
+    assert max(by_bucket["tail"]["hi"]) <= min(by_bucket["middle"]["lo"])
+    assert max(by_bucket["middle"]["hi"]) <= min(by_bucket["head"]["lo"])

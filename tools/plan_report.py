@@ -65,6 +65,11 @@ INTENTIONAL_BNL = {
     "k_anonymity_audit": "1-row min/max balance-extent broadcast (the decile normalizer)",
     "embedding_pq_search": "10-row per-query ADC distance-table broadcast (the map-lookup scan; the != predicate makes it BNL)",
     "bigram_lm_quality": "1-row LM-token-total broadcast (the backoff denominator)",
+    "ccnet_perplexity_buckets": (
+        "the bigram-LM backoff scalar (inherited from bigram_lm_quality's "
+        "shared plan) plus the 1-row scored-doc-count broadcast (the "
+        "tercile denominator) — both scalar-sized"
+    ),
     "hard_negative_mining": "10 anchor vectors broadcast against candidate scan (same shape as embedding_knn)",
     "unigram_surprisal_scores": "1-row corpus-token-total broadcast (the LM normalizer)",
     "source_mixing_weights": "1-row corpus-total broadcast (mixing-weight denominator)",
