@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "trending_daily_movers",
     # CCNet tercile selection: bigram-LM scores -> distributed rank -> buckets.
     "ccnet_perplexity_buckets",
+    # Label propagation: 3 fixed LPA rounds, integer votes (2nd iterative entry).
+    "label_spread_copurchase",
 ]
 
 

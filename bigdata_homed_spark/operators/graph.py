@@ -147,3 +147,100 @@ def pagerank_oracle_ctes(
             f"  GROUP BY e.dst)"
         )
     return ",\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (semi-supervised hard LPA: Zhu & Ghahramani CMU-CALD-02,
+# Raghavan et al. 2007): seeds keep their labels; every round, every
+# non-seed node adopts the label with the LARGEST total incident edge
+# weight among currently-labeled neighbors (ties broken by label text, so
+# the whole iteration is deterministic — votes are INTEGER sums, never
+# floats).  The weak-supervision primitive of a training-data pipeline:
+# spread a small set of trusted labels (curated domains, human-rated docs)
+# over a similarity/co-occurrence graph to label the long tail.
+#
+# Scale shape: per round one equi-join (labels ⋈ edges on src, both keyed
+# by node id) + one (node, label) aggregate + one node-keyed window over
+# the vote frame — O(E·deg(labels)) work, no O(V) broadcast, same Pregel-
+# on-DataFrame shape as pagerank_ranks.  Fixed round count for the same
+# reason as PageRank: deterministic output needs a deterministic loop.
+
+
+def label_propagation(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """``edges``: (src, dst, w) DIRECTED (pass both directions for an
+    undirected graph); ``seeds``: (node, label).  Returns (node, label,
+    is_seed, vote) for every node labeled after ``rounds`` rounds — vote
+    is the winning integer weight sum (NULL for seeds)."""
+    from pyspark.sql import Window
+
+    edges = edges.localCheckpoint(eager=False)
+    seeds = seeds.localCheckpoint(eager=False)
+    seed_nodes = seeds.select("node")
+    w = Window.partitionBy("node").orderBy(F.desc("vote"), F.asc("label"))
+    labels = seeds
+    winners = None
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").cast("bigint").alias("vote"))
+        )
+        winners = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+            .join(seed_nodes, "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        labels = seeds.unionByName(winners.select("node", "label"))
+    out_seeds = seeds.select(
+        "node",
+        "label",
+        F.lit(1).cast("bigint").alias("is_seed"),
+        F.lit(None).cast("bigint").alias("vote"),
+    )
+    if winners is None:
+        return out_seeds
+    return out_seeds.unionByName(
+        winners.select(
+            "node", "label", F.lit(0).cast("bigint").alias("is_seed"), "vote"
+        )
+    )
+
+
+def label_propagation_oracle_ctes(
+    edges_cte: str, seeds_cte: str, rounds: int = 3, prefix: str = "lp_"
+) -> str:
+    """DuckDB CTE chain for the SAME deterministic recurrence.  ``edges_cte``
+    has (src, dst, w); ``seeds_cte`` has (node, label).  Emits
+    ``{prefix}l0 .. {prefix}l{rounds}`` plus per-round vote/winner CTEs;
+    the caller reads ``{prefix}l{rounds}`` (node, label) and
+    ``{prefix}w{rounds}`` for the final-round winning votes."""
+    parts = [f"{prefix}l0 AS (SELECT node, label FROM {seeds_cte})"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""{prefix}v{i} AS (
+      SELECT e.dst AS node, l.label, cast(sum(e.w) as bigint) AS vote
+      FROM {edges_cte} e JOIN {prefix}l{i - 1} l ON e.src = l.node
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""{prefix}w{i} AS (
+      SELECT node, label, vote FROM (
+        SELECT node, label, vote,
+               row_number() OVER (PARTITION BY node ORDER BY vote DESC, label) AS rn
+        FROM {prefix}v{i}
+      ) WHERE rn = 1 AND node NOT IN (SELECT node FROM {seeds_cte})
+    )"""
+        )
+        parts.append(
+            f"""{prefix}l{i} AS (
+      SELECT node, label FROM {seeds_cte}
+      UNION ALL
+      SELECT node, label FROM {prefix}w{i}
+    )"""
+        )
+    return ",\n    ".join(parts)

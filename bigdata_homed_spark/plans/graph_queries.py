@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import pagerank_oracle_ctes, pagerank_ranks
+from ..operators.graph import (
+    label_propagation_oracle_ctes,
+    pagerank_oracle_ctes,
+    pagerank_ranks,
+)
 from .registry import query
 
 _PR_ITERS = 8
@@ -465,4 +469,72 @@ def item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine_raw", 6).alias("cosine"),
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+_LP_ROUNDS = 3
+_LP_MIN_W = 2
+
+# --------------------------------------------------------------------------
+# Weak-supervision label spread over the co-purchase graph: every 5th part
+# is a SEED carrying its p_brand as a trusted label; 3 rounds of hard
+# label propagation (operators/graph.py) spread brands to unlabeled parts
+# by integer edge-weight votes.  The curation use case: a small trusted
+# label set (curated domains / human-rated docs) labels the long tail over
+# a similarity graph.  Deterministic end-to-end — integer votes, text
+# tiebreak, fixed rounds — so the ITERATIVE algorithm hash-matches DuckDB
+# (the pagerank proof pattern, second instance).
+@query(
+    "label_spread_copurchase",
+    oracle=f"""
+    WITH lp_items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    lp_e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+      FROM lp_items a JOIN lp_items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {_LP_MIN_W}
+    ),
+    lp_edges AS MATERIALIZED (
+      SELECT p1 AS src, p2 AS dst, w FROM lp_e0
+      UNION ALL
+      SELECT p2 AS src, p1 AS dst, w FROM lp_e0
+    ),
+    lp_seeds AS MATERIALIZED (
+      SELECT p_partkey AS node, p_brand AS label FROM part
+      WHERE p_partkey % 5 = 0
+    ),
+    {label_propagation_oracle_ctes("lp_edges", "lp_seeds", _LP_ROUNDS)}
+    SELECT l.node AS part_key, l.label AS label,
+           cast(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END as bigint)
+             AS is_seed,
+           w.vote AS vote
+    FROM lp_l{_LP_ROUNDS} l
+    LEFT JOIN lp_seeds s ON l.node = s.node
+    LEFT JOIN lp_w{_LP_ROUNDS} w ON l.node = w.node
+    """,
+)
+def label_spread_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+    from ..sources.tables import load_table
+
+    e0 = copurchase_pair_counts(spark, sf_dir).where(
+        F.col("n_pair") >= _LP_MIN_W
+    )
+    edges = e0.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"),
+        F.col("n_pair").alias("w"),
+    ).union(
+        e0.select(
+            F.col("p2").alias("src"), F.col("p1").alias("dst"),
+            F.col("n_pair").alias("w"),
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
+    )
+    out = label_propagation(edges, seeds, rounds=_LP_ROUNDS)
+    return out.select(
+        F.col("node").alias("part_key"), "label", "is_seed", "vote"
     )

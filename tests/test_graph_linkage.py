@@ -266,3 +266,47 @@ def test_item_item_neighbors_properties(spark, sf_dir):
         ranks = sorted(r["rank"] for r in rows)
         assert ranks == list(range(1, len(rows) + 1))
         assert len(rows) <= _CF_TOP_N
+
+
+def test_label_propagation_matches_python(spark):
+    """The distributed LPA equals a sequential reference on a toy graph:
+    seeds never change, votes are integer argmax with label tiebreak,
+    and an unreachable node stays unlabeled."""
+    from bigdata_homed_spark.operators.graph import label_propagation
+
+    # 1-2-3 chain (weights 3, 1), seed at 1 ('a') and 3 ('b');
+    # 4-5 pair seeded 'c' at 4; node 6 isolated and unlabeled
+    edges_undirected = [(1, 2, 3), (2, 3, 1), (4, 5, 2)]
+    rows = [(s, d, w) for s, d, w in edges_undirected] + [
+        (d, s, w) for s, d, w in edges_undirected
+    ]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+    seeds = spark.createDataFrame(
+        [(1, "a"), (3, "b"), (4, "c")], "node bigint, label string"
+    )
+    got = {r["node"]: r for r in label_propagation(edges, seeds, rounds=3).collect()}
+    # node 2: votes a=3 (from 1), b=1 (from 3) -> 'a'; node 5 <- 'c'
+    assert {n: r["label"] for n, r in got.items()} == {
+        1: "a", 3: "b", 4: "c", 2: "a", 5: "c",
+    }
+    assert got[2]["vote"] == 3 and got[2]["is_seed"] == 0
+    assert got[5]["vote"] == 2
+    assert got[1]["vote"] is None and got[1]["is_seed"] == 1
+    assert 6 not in got
+
+
+def test_label_propagation_tiebreak_and_round_count(spark):
+    """Equal votes resolve by label text; a node two hops from any seed
+    needs two rounds (rounds=1 leaves it unlabeled)."""
+    from bigdata_homed_spark.operators.graph import label_propagation
+
+    und = [(1, 2, 5), (3, 2, 5), (2, 4, 1)]
+    rows = [(s, d, w) for s, d, w in und] + [(d, s, w) for s, d, w in und]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+    seeds = spark.createDataFrame(
+        [(1, "zzz"), (3, "aaa")], "node bigint, label string"
+    )
+    one = {r["node"]: r["label"] for r in label_propagation(edges, seeds, 1).collect()}
+    assert one[2] == "aaa" and 4 not in one  # tie 5 vs 5 -> label order
+    two = {r["node"]: r["label"] for r in label_propagation(edges, seeds, 2).collect()}
+    assert two[4] == "aaa"  # reached via node 2's round-1 label
