@@ -1441,10 +1441,12 @@ def test_snapshot_diff_across_dv_commit(spark, tmp_path):
 
 def test_snapshot_dv_model_based(spark, tmp_path):
     """Model check for the merge-on-read verbs: arbitrary interleavings of
-    append / DV-delete / MoR-merge / OPTIMIZE must leave read() equal to a
-    plain-dict model, with the zero-rewrite invariant (append/delete/merge
-    never drop a manifest data file) checked at every step.  Catches
-    DV-carry/ordering bugs the single-path tests can't."""
+    append / DV-delete / MoR-merge / OPTIMIZE / EVOLVE-APPEND (partition
+    evolution: a Hive-partitioned append onto whatever layout exists) must
+    leave read() equal to a plain-dict model, with the zero-rewrite
+    invariant (append/delete/merge never drop a manifest data file)
+    checked at every step.  Catches DV-carry/ordering bugs and
+    mixed-layout scan bugs the single-path tests can't."""
     import os
 
     from hypothesis import HealthCheck, given, settings
@@ -1459,6 +1461,7 @@ def test_snapshot_dv_model_based(spark, tmp_path):
         st.tuples(st.just("delete"), st.integers(0, 9)),
         st.tuples(st.just("merge"), st.lists(kv, min_size=1, max_size=5)),
         st.tuples(st.just("optimize"), st.just(None)),
+        st.tuples(st.just("evolve_append"), st.lists(kv, min_size=1, max_size=5)),
     )
 
     case_n = [0]
@@ -1481,8 +1484,26 @@ def test_snapshot_dv_model_based(spark, tmp_path):
                 # from every other append), deduped within the batch
                 appended += 1
                 rows = list({k + appended * 100: v for k, v in arg}.items())
+                # evolve=True: a flat append is legal onto ANY layout when
+                # evolution is declared (the guard's own semantics are
+                # pinned by test_snapshot_partition_evolution)
                 t.commit_append(
-                    spark.createDataFrame(rows, "k long, v long"), n_files=1
+                    spark.createDataFrame(rows, "k long, v long"),
+                    n_files=1,
+                    evolve=True,
+                )
+                model.update(dict(rows))
+            elif kind == "evolve_append":
+                # partition evolution: land this append Hive-partitioned by
+                # v regardless of the table's current layout; readers must
+                # union the layout generations transparently
+                appended += 1
+                rows = list({k + appended * 100: v for k, v in arg}.items())
+                t.commit_append(
+                    spark.createDataFrame(rows, "k long, v long"),
+                    n_files=1,
+                    partition_by=["v"],
+                    evolve=True,
                 )
                 model.update(dict(rows))
             elif kind == "delete":
