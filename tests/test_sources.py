@@ -1832,3 +1832,28 @@ def test_snapshot_partition_evolution(spark, tmp_path):
     # time travel crosses the evolution boundary exactly
     assert sorted(r.id for r in t.read(spark, version=1).collect()) == [1, 2, 3]
     assert sorted(r.id for r in t.read(spark, version=2).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_schema_and_partition_evolution_compose(spark, tmp_path):
+    """A table that evolves BOTH its schema (new column) and its partition
+    layout reads back whole: the grouped scans union with
+    allowMissingColumns under merge_schema, old rows null-backfill the
+    new column, and partition values still come from the path."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "dual_evo"))
+    t.commit_append(
+        spark.createDataFrame([(1, 10), (2, 11)], "id bigint, day bigint")
+    )
+    # one commit evolves layout AND schema at once
+    t.commit_append(
+        spark.createDataFrame(
+            [(3, 11, "x"), (4, 12, "y")], "id bigint, day bigint, tag string"
+        ),
+        partition_by=["day"],
+        evolve=True,
+    )
+    got = {r["id"]: r for r in t.read(spark, merge_schema=True).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["tag"] is None and got[3]["tag"] == "x"
+    assert got[4]["day"] == 12  # path-derived in the partitioned generation
