@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "ccnet_perplexity_buckets",
     # Label propagation: 3 fixed LPA rounds, integer votes (2nd iterative entry).
     "label_spread_copurchase",
+    # TrustRank: seed-teleport PageRank, 4 rounds (3rd iterative entry).
+    "trustrank_copurchase",
 ]
 
 

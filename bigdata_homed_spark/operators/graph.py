@@ -244,3 +244,101 @@ def label_propagation_oracle_ctes(
     )"""
         )
     return ",\n    ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank / TrustRank (Gyongyi et al., VLDB'04; Haveliwala
+# WWW'02): identical fixed-point recurrence, but the teleport mass lands
+# ONLY on a trusted seed set — trust flows outward from seeds through
+# edges and decays with distance, which is how curation stacks weight
+# sources by proximity to a hand-vetted whitelist (and how "spam mass" is
+# measured: rank under uniform teleport minus rank under trusted
+# teleport).  Seeds start at PR_SCALE, everyone else at 0; each round:
+#
+#     pr'_v = [v in S] * PR_TELEPORT + (85 * sum in_shares) div 100
+#
+# The teleport injection is a FULL OUTER join of the seed frame with the
+# contribution aggregate (a seed with no ranked in-neighbors must still
+# be re-injected; an aggregation-only recurrence would drop it).  All
+# bigint, same determinism argument as pagerank_ranks.  Mass is bounded
+# by |S| * PR_SCALE / 0.15, so pr * w stays far inside bigint for any
+# dim-sized seed set.
+
+
+def trustrank_ranks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """``edges``: (src, dst, w) directed (symmetrize for undirected);
+    ``seeds``: (node,).  Returns (node, trust) for nodes with trust > 0
+    after ``iterations`` rounds."""
+    strength = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("s"))
+    edges_s = (
+        edges.join(strength, "src").select("src", "dst", "w", "s").localCheckpoint()
+    )
+    seed_tp = seeds.select(
+        "node", F.lit(PR_TELEPORT).cast("bigint").alias("tp")
+    ).localCheckpoint()
+    ranks = seeds.select("node", F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    for i in range(iterations):
+        contrib = (
+            edges_s.join(ranks, edges_s["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("(pr * w) div s").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").cast("bigint").alias("incoming"))
+            .select(F.col("dst").alias("node"), "incoming")
+        )
+        ranks = (
+            seed_tp.join(contrib, "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("tp"), F.lit(0))
+                    + F.expr(
+                        f"({PR_DAMPING_PCT} * coalesce(incoming, 0)) div 100"
+                    )
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .where(F.col("pr") > 0)
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("pr").alias("trust"))
+
+
+def trustrank_oracle_ctes(
+    edges_cte: str, seeds_cte: str, iterations: int = 4, prefix: str = "tr_"
+) -> str:
+    """DuckDB CTE chain for the SAME seeded recurrence.  ``seeds_cte``
+    has (node); caller reads ``{prefix}{iterations}`` (node, pr)."""
+    parts = [
+        f"tr_strength AS MATERIALIZED (SELECT src, cast(sum(w) as bigint) AS s "
+        f"FROM {edges_cte} GROUP BY src)",
+        f"{prefix}0 AS (SELECT node, cast({PR_SCALE} as bigint) AS pr "
+        f"FROM {seeds_cte})",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""{prefix}{i} AS (
+      SELECT node, pr FROM (
+        SELECT coalesce(s.node, c.node) AS node,
+               cast(CASE WHEN s.node IS NOT NULL THEN {PR_TELEPORT} ELSE 0 END
+                    + ({PR_DAMPING_PCT} * coalesce(c.incoming, 0)) // 100
+                    as bigint) AS pr
+        FROM {seeds_cte} s
+        FULL OUTER JOIN (
+          SELECT e.dst AS node,
+                 cast(sum((r.pr * e.w) // st.s) as bigint) AS incoming
+          FROM {edges_cte} e
+          JOIN {prefix}{i - 1} r ON r.node = e.src
+          JOIN tr_strength st ON st.src = e.src
+          GROUP BY e.dst
+        ) c ON s.node = c.node
+      ) WHERE pr > 0
+    )"""
+        )
+    return ",\n    ".join(parts)

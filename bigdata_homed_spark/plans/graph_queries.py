@@ -32,6 +32,7 @@ from ..operators.graph import (
     label_propagation_oracle_ctes,
     pagerank_oracle_ctes,
     pagerank_ranks,
+    trustrank_oracle_ctes,
 )
 from .registry import query
 
@@ -537,4 +538,79 @@ def label_spread_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = label_propagation(edges, seeds, rounds=_LP_ROUNDS)
     return out.select(
         F.col("node").alias("part_key"), "label", "is_seed", "vote"
+    )
+
+
+_TR_ROUNDS = 4
+_TR_MIN_W = 2
+_TR_TOP_K = 50
+
+# --------------------------------------------------------------------------
+# TrustRank over the co-purchase graph: every 7th part is a TRUSTED seed;
+# 4 rounds of seed-teleport PageRank flow trust outward, decaying with
+# graph distance — the source-trust weighting a corpus curation stack
+# derives from a hand-vetted domain whitelist (Gyongyi VLDB'04), and the
+# third ITERATIVE algorithm here that hash-matches DuckDB (after uniform
+# PageRank and label propagation).  Top-50 by (trust desc, node), fully
+# tie-broken; trust values are exact bigints.
+@query(
+    "trustrank_copurchase",
+    oracle=f"""
+    WITH tr_items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tr_e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+      FROM tr_items a JOIN tr_items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {_TR_MIN_W}
+    ),
+    tr_edges AS MATERIALIZED (
+      SELECT p1 AS src, p2 AS dst, w FROM tr_e0
+      UNION ALL
+      SELECT p2 AS src, p1 AS dst, w FROM tr_e0
+    ),
+    tr_seeds AS MATERIALIZED (
+      SELECT p_partkey AS node FROM part WHERE p_partkey % 7 = 0
+    ),
+    {trustrank_oracle_ctes("tr_edges", "tr_seeds", _TR_ROUNDS)}
+    SELECT t.node AS part_key, t.pr AS trust,
+           cast(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END as bigint)
+             AS is_seed
+    FROM tr_{_TR_ROUNDS} t
+    LEFT JOIN tr_seeds s ON t.node = s.node
+    ORDER BY trust DESC, part_key
+    LIMIT {_TR_TOP_K}
+    """,
+)
+def trustrank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import trustrank_ranks
+    from ..sources.tables import load_table
+
+    e0 = copurchase_pair_counts(spark, sf_dir).where(
+        F.col("n_pair") >= _TR_MIN_W
+    )
+    edges = e0.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"),
+        F.col("n_pair").alias("w"),
+    ).union(
+        e0.select(
+            F.col("p2").alias("src"), F.col("p1").alias("dst"),
+            F.col("n_pair").alias("w"),
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 7 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    ranks = trustrank_ranks(edges, seeds, iterations=_TR_ROUNDS)
+    seed_flag = seeds.withColumn("is_seed", F.lit(1).cast("bigint"))
+    return (
+        ranks.join(seed_flag, "node", "left")
+        .select(
+            F.col("node").alias("part_key"),
+            "trust",
+            F.coalesce(F.col("is_seed"), F.lit(0)).cast("bigint").alias("is_seed"),
+        )
+        .orderBy(F.desc("trust"), "part_key")
+        .limit(_TR_TOP_K)
     )

@@ -310,3 +310,45 @@ def test_label_propagation_tiebreak_and_round_count(spark):
     assert one[2] == "aaa" and 4 not in one  # tie 5 vs 5 -> label order
     two = {r["node"]: r["label"] for r in label_propagation(edges, seeds, 2).collect()}
     assert two[4] == "aaa"  # reached via node 2's round-1 label
+
+
+def test_trustrank_matches_python_recurrence(spark):
+    """The distributed seeded recurrence equals a sequential reference on
+    a toy graph, including the seed re-injection on a seed with no ranked
+    in-neighbors (the full-outer-join case) and trust decay with
+    distance."""
+    from bigdata_homed_spark.operators.graph import (
+        PR_DAMPING_PCT,
+        PR_SCALE,
+        PR_TELEPORT,
+        trustrank_ranks,
+    )
+
+    # chain 1->2->3 plus isolated-in-degree seed 9 (9->2 only outgoing)
+    rows = [(1, 2, 2), (2, 3, 1), (9, 2, 2)]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+    seeds = spark.createDataFrame([(1,), (9,)], "node bigint")
+    got = {r["node"]: r["trust"] for r in trustrank_ranks(edges, seeds, 3).collect()}
+
+    strength = {1: 2, 2: 1, 9: 2}
+    pr = {1: PR_SCALE, 9: PR_SCALE}
+    for _ in range(3):
+        inc: dict[int, int] = {}
+        for s, d, w in rows:
+            if s in pr:
+                inc[d] = inc.get(d, 0) + (pr[s] * w) // strength[s]
+        nxt = {}
+        for n in {1, 9} | set(inc):
+            v = (PR_TELEPORT if n in (1, 9) else 0) + (
+                PR_DAMPING_PCT * inc.get(n, 0)
+            ) // 100
+            if v > 0:
+                nxt[n] = v
+        pr = nxt
+    assert got == pr
+    # trust decays along the chain (2 feeds 3 through a damped division),
+    # and every seed keeps at least its teleport floor.  Note 2 > 1 is
+    # CORRECT TrustRank behavior: node 2 receives from both seeds, while
+    # seed 1 has no in-links and holds only its teleport mass.
+    assert got[2] > got[3] > 0
+    assert got[1] >= PR_TELEPORT and got[9] >= PR_TELEPORT
