@@ -620,7 +620,9 @@ class SnapshotTable:
         O(matched rows).  A no-match update is a version-free no-op."""
         head = self._head()
         m = self._manifest(head)
-        self._check_layout(m["files"], None)
+        # updated rows land as flat files even on a Hive-partitioned
+        # parent: layout generations are grouped at read (_read_entries),
+        # so the mix is safe — no guard needed here
         live = self._scan_with_pos(spark, m).where(condition)
         if not live.limit(1).count():
             return head
@@ -665,9 +667,10 @@ class SnapshotTable:
             )
         head = versions[-1]
         m = self._manifest(head)
-        # the updates land as FLAT new files — on a Hive-partitioned parent
-        # that would make a mixed layout (silent row loss at read)
-        self._check_layout(m["files"], None)
+        # the updates land as FLAT new files even on a Hive-partitioned
+        # parent — safe since reads group the layout generations
+        # (_read_entries / _scan_with_pos); the strict guard applies only
+        # to commit_append without evolve=True
         upd_keys = updates.select(key).distinct()
         # zone-map routing, same as commit_merge: only files whose key
         # stats overlap the batch's [min,max] can hold a matched row

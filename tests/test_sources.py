@@ -1598,9 +1598,14 @@ def test_snapshot_layout_mismatch_guard(spark, tmp_path):
     tp.commit_append(df, partition_by=["p"])
     with pytest.raises(ValueError, match="layout mismatch"):
         tp.commit_append(df)
-    upd = spark.createDataFrame([(1, 0)], "k long, p long")
-    with pytest.raises(ValueError, match="layout mismatch"):
-        tp.commit_merge_on_read(upd, "k")
+    # MoR merge is EXEMPT from the guard: its update files land flat on
+    # the partitioned parent and reads group the layout generations (the
+    # grouped-scan upgrade) — the merge must succeed and upsert correctly
+    upd = spark.createDataFrame([(1, 99)], "k long, p long")
+    tp.commit_merge_on_read(upd, "k")
+    got = {r["k"]: r["p"] for r in tp.read(spark).collect()}
+    assert got[1] == 99 and len(got) == 10
+    tp.commit_rewrite(tp.read(spark), partition_by=["p"])  # back to one layout
     # same keys: fine
     tp.commit_append(df.select((F.col("k") + 100).alias("k"), "p"), partition_by=["p"])
     assert tp.read(spark).count() == 20
