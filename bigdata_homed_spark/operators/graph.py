@@ -316,7 +316,7 @@ def trustrank_oracle_ctes(
     """DuckDB CTE chain for the SAME seeded recurrence.  ``seeds_cte``
     has (node); caller reads ``{prefix}{iterations}`` (node, pr)."""
     parts = [
-        f"tr_strength AS MATERIALIZED (SELECT src, cast(sum(w) as bigint) AS s "
+        f"{prefix}strength AS MATERIALIZED (SELECT src, cast(sum(w) as bigint) AS s "
         f"FROM {edges_cte} GROUP BY src)",
         f"{prefix}0 AS (SELECT node, cast({PR_SCALE} as bigint) AS pr "
         f"FROM {seeds_cte})",
@@ -335,7 +335,7 @@ def trustrank_oracle_ctes(
                  cast(sum((r.pr * e.w) // st.s) as bigint) AS incoming
           FROM {edges_cte} e
           JOIN {prefix}{i - 1} r ON r.node = e.src
-          JOIN tr_strength st ON st.src = e.src
+          JOIN {prefix}strength st ON st.src = e.src
           GROUP BY e.dst
         ) c ON s.node = c.node
       ) WHERE pr > 0

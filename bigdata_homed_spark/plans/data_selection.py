@@ -725,14 +725,15 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scores = bigram_lm_quality(spark, sf_dir).select("doc_id", "avg_logprob")
     ranked = global_row_number(scores, ["avg_logprob", "doc_id"], "rn")
-    n = F.broadcast(scores.agg(F.count(F.lit(1)).alias("n")))
+    # rn is dense 1..n over the checkpointed ranked frame, so max(rn) IS
+    # the doc count — no second pass over the expensive LM pipeline
+    n = F.broadcast(ranked.agg(F.max("rn").alias("n")))
+    idx = F.lit(1) + F.floor((F.col("rn") - 1) * 3 / F.col("n"))
     bucketed = ranked.crossJoin(n).select(
         "doc_id",
         "avg_logprob",
-        F.when(
-            F.lit(1) + F.floor((F.col("rn") - 1) * 3 / F.col("n")) == 1, "tail"
-        )
-        .when(F.lit(1) + F.floor((F.col("rn") - 1) * 3 / F.col("n")) == 2, "middle")
+        F.when(idx == 1, "tail")
+        .when(idx == 2, "middle")
         .otherwise("head")
         .alias("bucket"),
     )

@@ -285,7 +285,16 @@ class SnapshotTable:
         batch_id: int | None = None,
         expected_parent: int | None = None,
         delete_files: list[str] | None = None,
+        layout: list[str] | None = None,
+        evolved: bool | None = None,
     ) -> int:
+        """``layout`` (the table's DECLARED partition keys) and ``evolved``
+        (partition evolution was explicitly declared at some point) are
+        manifest state: passed explicitly by the verb that changes them,
+        propagated from the parent manifest otherwise.  The layout guard
+        reads these rather than inferring from the file mixture — MoR
+        verbs land flat files on partitioned parents as a matter of
+        format, which must NOT silently disarm the guard."""
         versions = self.versions()
         if expected_parent is not None:
             head = versions[-1] if versions else 0
@@ -293,9 +302,16 @@ class SnapshotTable:
                 raise CommitConflictError(
                     f"prepared against v{expected_parent} but head is v{head}"
                 )
+        parent_m = self._manifest(versions[-1]) if versions else {}
         v = (versions[-1] + 1) if versions else 1
         manifest = {"version": v, "parent": versions[-1] if versions else None,
                     "files": entries}
+        lay = layout if layout is not None else parent_m.get("layout")
+        if lay is not None:
+            manifest["layout"] = lay
+        ev = evolved if evolved is not None else parent_m.get("evolved")
+        if ev:
+            manifest["evolved"] = True
         if delete_files:
             manifest["delete_files"] = delete_files
         if batch_id is not None:
@@ -363,43 +379,57 @@ class SnapshotTable:
         parent = self._manifest(versions[-1]) if versions else {}
         prev = list(parent.get("files", []))
         if not evolve:
-            self._check_layout(prev, partition_by)
+            self._check_layout(parent, prev, partition_by)
         # conflict-check against the version whose file list we extended:
         # if another writer advanced the head while data files were being
         # staged, appending "prev + new" would silently drop their commit.
         # Parent deletion vectors are carried forward untouched — they
         # reference immutable files that all survive an append.
+        new_layout = sorted(partition_by) if partition_by else []
         return self._publish(
             prev + self._write_data_files(df, n_files, stats_cols, partition_by),
             batch_id,
             expected_parent=versions[-1] if versions else 0,
             delete_files=parent.get("delete_files"),
+            # first commit or a declared evolution sets the layout; plain
+            # appends propagate the parent's
+            layout=new_layout if (evolve or not prev) else None,
+            evolved=True if evolve else None,
         )
 
     @staticmethod
     def _check_layout(
-        parent_entries: list[dict], partition_by: list[str] | None
+        parent_manifest: dict,
+        parent_entries: list[dict],
+        partition_by: list[str] | None,
     ) -> None:
-        """Appending a layout that differs from a SINGLE-layout parent is
+        """Appending a layout that differs from the table's DECLARED one is
         almost always an accident, so it fails loudly unless the caller
         declares partition evolution (``commit_append(evolve=True)``).
-        Readers handle mixed layouts correctly (per-generation grouped
-        scans in ``_read_entries``/``_scan_with_pos``), so once a table has
-        legitimately evolved — its parent already holds more than one
-        layout generation — every verb is free to write in any layout and
-        the guard stands down."""
+        The decision reads the manifest's explicit ``layout``/``evolved``
+        fields, never the file mixture: merge-on-read verbs land flat
+        update files on partitioned parents as a matter of format, and
+        that must not silently disarm the guard for later appends.  Once
+        evolution IS declared, the guard stands down for good (readers
+        group the layout generations).  Manifests from before these fields
+        existed fall back to inferring from the entries."""
         if not parent_entries:
             return
-        parent_keys = {
-            tuple(sorted(e.get("partitions", {}))) for e in parent_entries
-        }
-        if len(parent_keys) > 1:
-            return  # already evolved: mixed layouts are the table's contract
-        new_keys = tuple(sorted(partition_by)) if partition_by else ()
-        if parent_keys != {new_keys}:
+        if parent_manifest.get("evolved"):
+            return  # declared evolution: mixed layouts are the contract
+        declared = parent_manifest.get("layout")
+        if declared is None:
+            keys = {
+                tuple(sorted(e.get("partitions", {}))) for e in parent_entries
+            }
+            if len(keys) > 1:
+                return  # legacy manifest, already mixed: nothing to defend
+            declared = list(next(iter(keys)))
+        new_keys = sorted(partition_by) if partition_by else []
+        if list(declared) != new_keys:
             raise ValueError(
-                f"layout mismatch: parent partition keys {parent_keys} vs "
-                f"append's {new_keys or '(unpartitioned)'} — declare "
+                f"layout mismatch: table layout {tuple(declared) or '(unpartitioned)'} vs "
+                f"append's {tuple(new_keys) or '(unpartitioned)'} — declare "
                 "partition evolution with commit_append(evolve=True), or "
                 "commit_rewrite to change the layout wholesale"
             )
@@ -428,6 +458,10 @@ class SnapshotTable:
         return self._publish(
             self._write_data_files(df, n_files, stats_cols, partition_by, cluster_by),
             expected_parent=parent,
+            # a full overwrite legitimately re-declares the layout and,
+            # being single-layout again, clears the evolution flag
+            layout=sorted(partition_by) if partition_by else [],
+            evolved=False,
         )
 
     # -- reads -------------------------------------------------------------
@@ -549,7 +583,11 @@ class SnapshotTable:
             )
         df = dfs[0]
         for d in dfs[1:]:
-            df = df.unionByName(d)
+            # allowMissingColumns: a schema-evolved generation may carry
+            # columns an older one lacks — null-fill (parquet's additive
+            # contract); a merge condition on the new column is then
+            # null=false on old rows, which is the correct DV semantics
+            df = df.unionByName(d, allowMissingColumns=True)
         old = manifest.get("delete_files")
         if old:
             dv = spark.read.parquet(*old).select(
@@ -806,6 +844,7 @@ class SnapshotTable:
                 tuple(sorted(e.get("partitions", {}))) for e in s["entries"]
             }
             self._check_layout(
+                parent,
                 parent["files"],
                 list(next(iter(staged_keys))) if staged_keys != {()} else None,
             )
@@ -895,7 +934,9 @@ class SnapshotTable:
             )
             if not folds_deads:
                 return head
-        packed = self._read_entries(spark, small, delete_files=dvs or None)
+        packed = self._read_entries(
+            spark, small, merge_schema=True, delete_files=dvs or None
+        )
         new = self._write_data_files(packed, n_files, stats_cols)
         new_dvs: list[str] = []
         if dvs and kept:
@@ -1083,7 +1124,13 @@ class SnapshotTable:
                 f"cannot restore v{version}: {len(missing)} file(s) vacuumed away"
             )
         return self._publish(
-            list(entries), expected_parent=head, delete_files=list(dvs) or None
+            list(entries),
+            expected_parent=head,
+            delete_files=list(dvs) or None,
+            # a restore re-declares the RESTORED version's layout state,
+            # not the abandoned head's
+            layout=m.get("layout", []),
+            evolved=bool(m.get("evolved")),
         )
 
     def pruned_entries(
@@ -1153,16 +1200,21 @@ class SnapshotTable:
         hi=None,
         version: int | None = None,
         partitions: dict | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Read only the pruning-surviving files.  The caller still
         applies the row-level predicate — pruning is file-granular, like
-        parquet row-group skipping one level up."""
+        parquet row-group skipping one level up.  ``merge_schema`` has
+        read()'s semantics (needed on schema-evolved tables)."""
         entries = self.pruned_entries(col, lo, hi, version, partitions)
         if not entries:
-            return self.read(spark, version).limit(0)
+            return self.read(spark, version, merge_schema=merge_schema).limit(0)
         v = version if version is not None else self._head()
         return self._read_entries(
-            spark, entries, delete_files=self._manifest(v).get("delete_files")
+            spark,
+            entries,
+            merge_schema,
+            delete_files=self._manifest(v).get("delete_files"),
         )
 
     # -- retention -----------------------------------------------------------

@@ -1862,3 +1862,70 @@ def test_schema_and_partition_evolution_compose(spark, tmp_path):
     assert set(got) == {1, 2, 3, 4}
     assert got[1]["tag"] is None and got[3]["tag"] == "x"
     assert got[4]["day"] == 12  # path-derived in the partitioned generation
+
+
+def test_mor_mixture_does_not_disarm_layout_guard(spark, tmp_path):
+    """A merge-on-read commit lands flat update files on a partitioned
+    parent (legal), but that FORMAT mixture must not stand the accidental-
+    append guard down: a later append that forgot partition_by still fails
+    loudly, and one that matches the declared layout still commits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "guard_mor"))
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p"))
+    t.commit_append(df, partition_by=["p"])
+    t.commit_merge_on_read(
+        spark.createDataFrame([(1, 77)], "k long, p long"), key="k"
+    )  # flat update files now coexist with the partitioned generation
+    with pytest.raises(ValueError, match="layout mismatch"):
+        t.commit_append(df)  # forgot partition_by: still an error
+    t.commit_append(
+        df.select((F.col("k") + 100).alias("k"), "p"), partition_by=["p"]
+    )  # declared layout: fine
+    got = {r["k"]: r["p"] for r in t.read(spark).collect()}
+    assert got[1] == 77 and len(got) == 20
+
+
+def test_dv_verbs_on_dual_evolved_table(spark, tmp_path):
+    """DV deletes / MoR merges / updates work on a table that evolved BOTH
+    schema and partition layout: the position scan null-fills the missing
+    column across generations, a condition on the new column is null=false
+    on old rows (correct), and read_pruned's merge_schema flag reads the
+    pruned subset whole."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "dual_dv"))
+    t.commit_append(
+        spark.createDataFrame([(1, 10), (2, 11)], "id bigint, day bigint"),
+        stats_cols=["day"],
+    )
+    t.commit_append(
+        spark.createDataFrame(
+            [(3, 11, "x"), (4, 12, "y")], "id bigint, day bigint, tag string"
+        ),
+        partition_by=["day"],
+        evolve=True,
+    )
+    # delete by id spans both generations
+    t.commit_delete(spark, F.col("id").isin(2, 4))
+    assert sorted(r["id"] for r in t.read(spark, merge_schema=True).collect()) == [1, 3]
+    # delete by the NEW column: old-generation rows are null=false, untouched
+    t.commit_delete(spark, F.col("tag") == "x")
+    assert sorted(r["id"] for r in t.read(spark, merge_schema=True).collect()) == [1]
+    # MoR merge still lands (new-schema update row)
+    t.commit_merge_on_read(
+        spark.createDataFrame([(1, 10, "z")], "id bigint, day bigint, tag string"),
+        key="id",
+    )
+    got = t.read(spark, merge_schema=True).collect()
+    assert len(got) == 1 and got[0]["tag"] == "z"
+    # pruned read with merge_schema on the evolved key
+    pr = t.read_pruned(
+        spark, col="day", lo=10, hi=10, partitions={"day": 10}, merge_schema=True
+    )
+    assert [r["id"] for r in pr.collect()] == [1]
