@@ -317,7 +317,7 @@ def main() -> None:
     # cross-round pinned-subset totals: BENCH_QUERIES is append-only, so
     # each historical round's headline set is a prefix of today's list
     pins = {}
-    for n in (28, 40, 52, 75):
+    for n in (28, 40, 52, 75, 105):
         if len(BENCH_QUERIES) >= n:
             pins[f"pin{n}"] = round(sum(timings[q] for q in BENCH_QUERIES[:n]), 2)
     detail = {
