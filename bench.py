@@ -276,6 +276,13 @@ BENCH_QUERIES = [
     "label_spread_copurchase",
     # TrustRank: seed-teleport PageRank, 4 rounds (3rd iterative entry).
     "trustrank_copurchase",
+    # round-8 widening: the two partitioned lakehouse maintenance verbs —
+    # per-partition bin-pack OPTIMIZE (DV fold + relocation under the
+    # col=value dirs) and partitioned copy-on-write MERGE (5 of 7 files
+    # carried path-identical).  Commit-protocol fixed costs dominate;
+    # expect both roughly flat across SFs like the other snapshot verbs.
+    "snapshot_partitioned_optimize",
+    "snapshot_partitioned_merge",
 ]
 
 
@@ -317,7 +324,7 @@ def main() -> None:
     # cross-round pinned-subset totals: BENCH_QUERIES is append-only, so
     # each historical round's headline set is a prefix of today's list
     pins = {}
-    for n in (28, 40, 52, 75, 105):
+    for n in (28, 40, 52, 75, 104):
         if len(BENCH_QUERIES) >= n:
             pins[f"pin{n}"] = round(sum(timings[q] for q in BENCH_QUERIES[:n]), 2)
     detail = {

@@ -1606,8 +1606,9 @@ def timeseries_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retained = active yesterday too, resurrected = gap > 1 day, churned =
 # attributed to the day AFTER the last day of an activity run.  Both
 # per-day frames are day-grain (tiny); the churn attachment is a
-# broadcast-able equi-join on day.  No day-grid cross join, no second pass
-# over the fact.
+# broadcast-able FULL-outer equi-join on day (full, not left: churn lands
+# on gap days with zero activity, which a left join would drop).  No
+# day-grid cross join, no second pass over the fact.
 @query(
     "growth_accounting",
     oracle=f"""
@@ -1634,16 +1635,17 @@ def timeseries_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE next_day IS NULL OR next_day > day + 1
       GROUP BY day + 1
     )
-    SELECT a.day AS day,
-           cast(a.n_new as bigint) AS n_new,
-           cast(a.n_retained as bigint) AS n_retained,
-           cast(a.n_resurrected as bigint) AS n_resurrected,
+    SELECT coalesce(a.day, c.day) AS day,
+           cast(coalesce(a.n_new, 0) as bigint) AS n_new,
+           cast(coalesce(a.n_retained, 0) as bigint) AS n_retained,
+           cast(coalesce(a.n_resurrected, 0) as bigint) AS n_resurrected,
            cast(coalesce(c.n_churned, 0) as bigint) AS n_churned,
            CASE WHEN coalesce(c.n_churned, 0) > 0 THEN
-             round(cast(a.n_new + a.n_resurrected as double)
+             round(cast(coalesce(a.n_new, 0) + coalesce(a.n_resurrected, 0)
+                        as double)
                    / cast(c.n_churned as double), 6)
            END AS quick_ratio
-    FROM ga_act a LEFT JOIN ga_churn c ON a.day = c.day
+    FROM ga_act a FULL JOIN ga_churn c ON a.day = c.day
     """,
 )
 def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,8 +1687,14 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("day") + 1).alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
     )
-    out = act.join(churn, "day", "left").withColumn(
-        "n_churned", F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint")
+    # FULL outer: users can churn INTO a day with zero activity (a gap
+    # day, or the day after the dataset's last active day) — a left join
+    # from the activity frame would silently drop that churn mass
+    out = act.join(churn, "day", "full").withColumns(
+        {
+            c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")
+            for c in ("n_new", "n_retained", "n_resurrected", "n_churned")
+        }
     )
     return out.withColumn(
         "quick_ratio",

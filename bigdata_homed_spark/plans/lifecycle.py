@@ -1845,3 +1845,179 @@ def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PARTITIONED OPTIMIZE — the standard nightly lakehouse maintenance job on
+# the reference's day-partitioned fact shape (`etl/LogDelayPatch.scala:43-54`
+# overwrites partition(day); Delta's `OPTIMIZE table WHERE part=...`): a
+# drip-fed ingest leaves 4 small files in each of the 7 year partitions
+# (28 total) plus a deletion vector from a retention DELETE; ONE
+# commit_compact_small bin-packs each partition's files into a single
+# packed file THAT STAYS UNDER ITS col=value DIRECTORY with its manifest
+# partitions tag — tier-1 partition pruning survives the rewrite, and the
+# DV-dead rows vanish for good.  The oracle pins the file counts before
+# (28) and after (7), the post-OPTIMIZE pruning decision (2 entries for a
+# 2-year probe), the DV-fold (no delete_files left), and the live
+# row-level aggregate.
+_SNAPPOPT_CACHE: dict[str, str] = {}
+
+
+def _snap_popt_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPPOPT_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snappo_"), "orders_po")
+        t = SnapshotTable(cached)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .withColumn("o_year", F.year("o_orderdate"))
+        )
+        # drip ingest: 4 small commits, each landing 1 file per partition
+        for m in range(4):
+            t.commit_append(
+                orders.where(F.col("o_orderkey") % 4 == m),
+                n_files=1,
+                stats_cols=["o_orderkey"],
+                partition_by=["o_year"],
+            )
+        # retention DELETE -> deletion vector (no rewrite yet)
+        t.commit_delete(spark, F.col("o_orderkey") % 10 == 3)
+        # the nightly OPTIMIZE: per-partition bin-pack, DVs folded in
+        t.commit_compact_small(spark, threshold_bytes=1 << 30, n_files=1)
+        _SNAPPOPT_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_partitioned_optimize",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(28 as bigint) AS n_files_before,
+           cast(7 as bigint) AS n_files_after,
+           cast(2 as bigint) AS n_pruned_probe,
+           true AS dvs_folded
+    FROM orders WHERE o_orderkey % 10 <> 3
+    """,
+)
+def snapshot_partitioned_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snap_popt_table(spark, sf_dir)
+    head = t.versions()[-1]
+    before = len(t.files(head - 1))  # the DV version still lists 28 files
+    after_entries = t._manifest(head)["files"]
+    probe = t.pruned_entries(partitions={"o_year": [1997, 1998]})
+    dvs_folded = not t._manifest(head).get("delete_files") and all(
+        "partitions" in e for e in after_entries
+    )
+    return (
+        t.read(spark, head)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .select(
+            "n_rows",
+            "sum_total",
+            F.lit(before).cast("bigint").alias("n_files_before"),
+            F.lit(len(after_entries)).cast("bigint").alias("n_files_after"),
+            F.lit(len(probe)).cast("bigint").alias("n_pruned_probe"),
+            F.lit(bool(dvs_folded)).alias("dvs_folded"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PARTITIONED COPY-ON-WRITE MERGE — MERGE INTO the day-partitioned fact
+# itself (the table shape the reference actually patches,
+# `etl/LogDelayPatch.scala:43-54`): updates touch two of the seven year
+# partitions, so five partition files carry PATH-IDENTICAL (zero IO), the
+# two hit files are rewritten without their matched rows and RELOCATED
+# BACK inside their own o_year=N directory, and the update rows land
+# Hive-partitioned by the table's declared layout.  Tier-1 partition
+# pruning survives: the post-merge manifest still routes a single-year
+# probe by partition values alone.  The oracle pins the carried/rewritten
+# file accounting, the layout-preservation invariant, and the row-level
+# upsert result (prices of matched keys replaced, everything else
+# untouched).
+_SNAPPMRG_CACHE: dict[str, str] = {}
+
+
+def _snap_pmerge_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPPMRG_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snappm_"), "orders_pm")
+        t = SnapshotTable(cached)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .withColumn("o_year", F.year("o_orderdate"))
+        )
+        t.commit_append(
+            orders, n_files=1, stats_cols=["o_orderkey"], partition_by=["o_year"]
+        )
+        # the late-data patch: every 13th key in 1997/1998 gets its price
+        # restated (+1000.50); updates carry the partition column
+        upd = orders.where(
+            (F.col("o_year").isin(1997, 1998)) & (F.col("o_orderkey") % 13 == 0)
+        ).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(27,6)") + F.lit(1000.50)).cast(
+                orders.schema["o_totalprice"].dataType
+            ),
+        )
+        t.commit_merge(upd, key="o_orderkey", stats_cols=["o_orderkey"])
+        _SNAPPMRG_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_partitioned_merge",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(
+             CASE WHEN year(o_orderdate) IN (1997, 1998) AND o_orderkey % 13 = 0
+                  THEN cast(cast(o_totalprice as decimal(27,6)) + 1000.50
+                       as decimal(15,2))
+                  ELSE o_totalprice END
+             as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(5 as bigint) AS n_files_carried,
+           true AS layout_preserved,
+           cast(1 as bigint) AS n_probe_1996
+    FROM orders
+    """,
+)
+def snapshot_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snap_pmerge_table(spark, sf_dir)
+    head = t.versions()[-1]
+    carried = len(set(t.files(head - 1)) & set(t.files(head)))
+    entries = t._manifest(head)["files"]
+    layout_ok = all(
+        "partitions" in e and f"o_year={e['partitions']['o_year']}" in e["path"]
+        for e in entries
+    )
+    probe = t.pruned_entries(partitions={"o_year": 1996})
+    return (
+        t.read(spark, head)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .select(
+            "n_rows",
+            "sum_total",
+            F.lit(carried).cast("bigint").alias("n_files_carried"),
+            F.lit(bool(layout_ok)).alias("layout_preserved"),
+            F.lit(len(probe)).cast("bigint").alias("n_probe_1996"),
+        )
+    )

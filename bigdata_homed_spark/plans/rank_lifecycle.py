@@ -254,8 +254,11 @@ def daily_online_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # VisitOverview: regexp_replace key cleanup (VisitOverview.scala:73) +
 # daily visits / uv / average-duration overview.  The average is computed
-# as exact-decimal sum ÷ count then rounded, so it is order-independent
-# and bit-identical across engines.
+# as exact-decimal sum ÷ count, then rounded via floor(x*1e4 + 0.5)/1e4 —
+# the SAME IEEE expression on both engines — because engine-native
+# round() diverges when the quotient lands on a representational tie at
+# the target digit (Spark rounds the double's exact binary expansion,
+# DuckDB rounds a re-scaled product; observed one ULP apart at sf0.001).
 @query(
     "visit_overview",
     oracle=f"""
@@ -264,7 +267,7 @@ def daily_online_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(event_type, '[^a-z]', '', 'g') AS visit_kind,
            count(*) AS n_visits,
            count(DISTINCT user_id) AS n_users,
-           round(cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) / count(*), 4) AS avg_duration
+           floor(cast(cast(sum(cast(value as decimal(27,6))) as varchar) as double) / count(*) * 10000 + 0.5) / 10000 AS avg_duration
     FROM ev GROUP BY 1, 2
     """,
 )
@@ -278,10 +281,14 @@ def visit_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_visits"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("avg_duration"),
         )
     )

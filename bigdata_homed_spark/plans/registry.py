@@ -95,72 +95,69 @@ from . import linkage  # noqa: E402,F401
 # JDBC/HBase/Redis roundtrips, the typed-JSON parse, the as-of join, the
 # streaming T1/T4 anchors) are never evicted.
 #
-# Round-7 window: 27 first-time verdicts — the 3 new snapshot/streaming
-# queries + 24 rotations burning down the never-driver-verified backlog
-# (see ROTATIONS.md §Round 7 for the eviction table).
+# Round-8 window: the full backlog-burn round.  Every non-sole-anchor r7
+# slot is rotated out (all 41 carry r7 driver verdicts, CORRECTNESS_r07
+# 50/50 green); in come the 26 late-r7 waiters + 15 never-verified
+# long-tail entries, so up to 41 first-time verdicts land this round
+# (see ROTATIONS.md §Round 8 for the eviction table).  New r8 snapshot
+# queries swap against the four deferred-to-r9 placeholders as they land.
 PRIORITY_QUERIES = [
-    # -- relational core / agg surface --------------------------------------
-    "grouping_sets_revenue",      # A6 GROUPING SETS          [1st verdict r7]
-    "cube_terminal_event",        # A6 true CUBE              [1st verdict r7]
-    "event_type_pivot",           # A5 pivot + P5 null hygiene[1st verdict r7]
-    "session_window_spans",       # W1 native session_window  [1st verdict r7]
-    # -- snapshot table family ----------------------------------------------
-    "table_snapshot_timetravel",  # atomic manifest commits + time travel
-    "snapshot_diff",              # CDC derivation (J5 full-outer classify)
-    "snapshot_merge_upsert",      # copy-on-write MERGE INTO
-    "snapshot_partition_pruned_scan",  # NEW r7: Hive-partition manifest
-                                  # pruning (2-of-7 decision oracle-pinned)
-    "snapshot_clustering_rewrite",  # NEW r7: OPTIMIZE + zone-map refresh
-                                  # (scattered 7/7 -> clustered <=3/7)
-    "stream_dual_snapshot_commits",  # NEW r7: exactly-once across TWO
-                                  # tables (shared batch_id, poisoned replay)
-    # -- executed external sources/sinks (sole anchors, never evicted) ------
+    # -- sole SURVEY §2 anchors (never evicted) ------------------------------
     "jdbc_dim_roundtrip",         # S3/S4/S9 vs embedded Derby
     "rank_list_publish_roundtrip",  # S12 varint pack + pipelined publish
     "hbase_cell_roundtrip",       # S11 salted rowkeys + batched Puts
-    # -- events/behavior chain ----------------------------------------------
     "props_struct_parse",         # §2.8 typed from_json (sole anchor)
-    "heartbeat_run_repair",       # W2/T5/T6 stitching + boot repair
     "purchase_asof_heartbeat",    # J6 as-of range join (sole anchor)
-    # -- composite report parity ---------------------------------------------
-    "video_play_report",          # P3/P6/P7 + pairing ETL flagship
-    "channel_report_full",        # W5/O2/A4/A6 full column parity
-    "business_user_array_cycle",  # A7/A4/O4 pack->persist->unpack + S7/S8
-    "demand_column_user_types",   # demand tiers + per-user census (A2)
-    "demand_period_grains",       # U1 union-of-grains
-    "token_parse_report",         # §2.8 hex token roundtrip   [1st verdict r7]
-    "nginx_url_parse",            # raw-log URL parse family   [1st verdict r7]
-    "user_profile_labels",        # argmax windows + wide join [1st verdict r7]
-    "package_revenue_report",     # order-lifecycle revenue    [1st verdict r7]
-    "star_rank_top100",           # 3-feed union heat rank     [1st verdict r7]
-    # -- training-data pipeline: dedup/similarity ----------------------------
-    "incremental_dedup_report",   # persisted-index incremental dedup
-    "incremental_substring_report",  # incremental ExactSubstr index
-    "prefix_filter_jaccard_pairs",  # PPJoin cascade           [1st verdict r7]
-    "sorted_neighborhood_linkage",  # SNM fuzzy linkage
-    "incremental_ann_index",      # persisted LSH index        [1st verdict r7]
-    "embedding_ivf_pq_search",    # IVFADC (the 100 TB ANN architecture)
-    "pagerank_copurchase_parts",  # iterative fixed-point graph rank
-    # -- training-data pipeline: quality/curation ----------------------------
-    "gopher_quality_flags",       # Gopher Table-A1 composite
-    "unigram_surprisal_scores",   # LM surprisal quality       [1st verdict r7]
-    "char_entropy_quality",       # in-row entropy chain       [1st verdict r7]
-    "contamination_overlap_scores",  # benchmark decontam      [1st verdict r7]
-    "cms_heavy_hitters",          # count-min sketch           [1st verdict r7]
-    "distribution_drift_psi",     # PSI drift monitor          [1st verdict r7]
-    "k_anonymity_audit",          # privacy audit              [1st verdict r7]
-    # -- multimodal -----------------------------------------------------------
-    "multimodal_features",        # binary feature extract     [1st verdict r7]
-    "multimodal_thumbnail",       # Arrow mapInPandas resize   [1st verdict r7]
-    "modality_dispatch_features", # per-modality dispatch      [1st verdict r7]
-    # -- structured streaming -------------------------------------------------
+    "heartbeat_run_repair",       # W2/T5/T6 stitching + boot repair
     "stream_hourly_event_counts", # S6/T1/T2 (sole anchor)
-    "stream_channel_live_counts", # flagship chain (S10/T8/J9/T3)
     "stream_online_user_state",   # T4 keyed state (sole anchor)
-    "stream_cdc_apply",           # CDC tombstone fold         [1st verdict r7]
-    "stream_session_gap_spans",   # streaming session windows  [1st verdict r7]
-    "stream_stream_view_purchase",  # stream-stream interval join [1st verdict r7]
-    "stream_search_topn",         # per-batch ranked topN      [1st verdict r7]
+    "stream_channel_live_counts", # flagship chain (S10/T8/J9/T3)
+    # -- late-r7 waiters, first session (landing order) ----------------------
+    "dedup_canonical_keep",       # keep-best-per-cluster final dedup stage
+    "bpe_apply_segmentation",     # tokenizer apply over trained merges
+    "snapshot_merge_on_read",     # DV DELETE + MoR MERGE
+    "stream_mor_upsert",          # streaming CDC upsert + DVs + auto-OPTIMIZE
+    "snapshot_wap_publish",       # write-audit-publish staged commits
+    "stream_partitioned_snapshot_sink",  # date-partitioned streaming sink
+    "snapshot_update_inplace",    # MoR UPDATE (DV + reinsert, one commit)
+    "priority_sample_per_source", # Duffield-Lund-Thorup priority sampling
+    "timeseries_gap_interpolation",  # IGNORE-NULLS anchored linear gap fill
+    "ordered_event_funnel",       # sequential-conversion funnel
+    # -- late-r7 waiters, analytics/lakehouse widening -----------------------
+    "retention_cohorts",          # first-active-day cohort triangle
+    "event_transition_matrix",    # first-order Markov transitions
+    "rfm_segmentation",           # RFM quintiles via distributed global rank
+    "rolling_active_users",       # rolling DAU/WAU/MAU + stickiness
+    "timeseries_zscore_outliers", # trailing-week z-score anomalies
+    "association_rules_parts",    # market-basket support/confidence/lift
+    "triangle_count_copurchase",  # distributed triangle counting + LCC
+    "growth_accounting",          # new/retained/resurrected/churned + quick ratio
+    "stream_ivm_aggregates",      # streaming IVM with retractions
+    "snapshot_partition_evolution",  # Iceberg-style partition evolution
+    "item_item_neighbors",        # item-item CF top-5 neighbors
+    "time_weighted_average",      # TWAP, LOCF weights
+    "trending_daily_movers",      # day-over-day rank movers
+    "ccnet_perplexity_buckets",   # CCNet head/middle/tail terciles
+    "label_spread_copurchase",    # label propagation (2nd iterative)
+    "trustrank_copurchase",       # TrustRank seeded teleport (3rd iterative)
+    # -- never-verified long tail (report families + curation) ---------------
+    "visit_overview",             # visit report family
+    "media_inventory",            # media asset inventory report
+    "user_channel_rank",          # per-user channel ranking report
+    "monthly_revenue_mom",        # month-over-month revenue
+    "weekly_cohort_retention",    # weekly cohort retention grid
+    "search_report_daily_topn",   # search report daily topN
+    "report_completeness_monitor",  # completeness monitoring report
+    "rolling_hash_fingerprint",   # rolling-hash document fingerprinting
+    "stratified_sample",          # per-stratum reproducible sampling
+    "sequence_packing",           # training sequence packing
+    "training_shard_assignment",  # deterministic shard export assignment
+    # -- new r8 lakehouse verbs (enter the window the round they land) -------
+    "snapshot_partitioned_optimize",  # NEW r8: per-partition bin-pack OPTIMIZE
+    "snapshot_partitioned_merge",     # NEW r8: partitioned CoW MERGE
+    # -- never-verified long tail, continued ---------------------------------
+    "daily_online_seconds",       # session split across day boundaries
+    "user_event_set_merge",       # per-user event-set accumulation
 ]
 
 

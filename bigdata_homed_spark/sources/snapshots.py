@@ -64,11 +64,22 @@ class SnapshotTable:
         <path>/_manifests/v<N>.json.tmp   staged then os.replace'd (atomic)
     """
 
+    # every Nth version stores the FULL file list (a checkpoint); versions
+    # in between store only adds/removes vs their parent — the per-commit
+    # manifest write is O(files changed), not O(files in table), which is
+    # the difference between a metadata kilobyte and a multi-hundred-MB
+    # JSON on a real 100 TB table (Delta's checkpoint/delta-log split)
+    CHECKPOINT_EVERY = 8
+
     def __init__(self, path: str):
         # absolute-normalized: manifest entries store absolute paths, and
         # commit_merge/_attach_stats match them against input_file_name()
         # (always absolute) — a relative table path would silently match
         # nothing (dup keys on merge, stats dropped)
+        # reconstructed-manifest cache: manifests are immutable once
+        # written (vacuum only deletes them, or re-materializes the SAME
+        # logical content as a checkpoint), so caching by version is safe
+        self._manifest_cache: dict[int, dict] = {}
         self.path = os.path.abspath(path).rstrip("/")
         self.data_dir = os.path.join(self.path, "data")
         self.delete_dir = os.path.join(self.path, "_deletes")
@@ -84,7 +95,10 @@ class SnapshotTable:
                 out.append(int(name[1:-5]))
         return sorted(out)
 
-    def _manifest(self, version: int) -> dict:
+    def _raw_manifest(self, version: int) -> dict:
+        """The manifest EXACTLY as stored — a checkpoint (``files``) or a
+        delta (``adds``/``removes`` vs parent).  Metadata-only callers
+        (batch-id dedup) use this to avoid reconstruction."""
         p = os.path.join(self.manifest_dir, f"v{version}.json")
         try:
             with open(p) as f:
@@ -94,6 +108,63 @@ class SnapshotTable:
                 f"snapshot table {self.path} has no manifest for v{version} "
                 "(version expired by vacuum, or never committed)"
             ) from None
+
+    @staticmethod
+    def _apply_delta(
+        parent_files: list[dict], adds: list[dict], removes: list[str]
+    ) -> list[dict]:
+        """Replay one delta over a parent file list, preserving the exact
+        order the writing verb published: carried entries keep the
+        parent's relative order (every verb builds ``kept`` as an
+        order-preserving filter), added entries append in their original
+        order.  Same-path replacements (not produced today — data files
+        are uuid-named) substitute in place."""
+        removed = set(removes)
+        by_path = {e["path"]: e for e in adds}
+        out = []
+        for e in parent_files:
+            p = e["path"]
+            if p in removed:
+                continue
+            if p in by_path:
+                out.append(by_path.pop(p))
+            else:
+                out.append(e)
+        out.extend(e for e in adds if e["path"] in by_path)
+        return out
+
+    def _manifest(self, version: int) -> dict:
+        """The RESOLVED manifest: always carries the full ``files`` list.
+        Checkpoint versions load directly; delta versions replay the
+        add/remove chain back to the nearest checkpoint (bounded by
+        ``CHECKPOINT_EVERY``) and cache the result."""
+        cached = self._manifest_cache.get(version)
+        if cached is not None:
+            return cached
+        raw = self._raw_manifest(version)
+        if "files" in raw:
+            self._manifest_cache[version] = raw
+            return raw
+        chain = [raw]
+        base: dict | None = None
+        v = raw["parent"]
+        while base is None:
+            base = self._manifest_cache.get(v)
+            if base is None:
+                prior = self._raw_manifest(v)
+                if "files" in prior:
+                    self._manifest_cache[v] = prior
+                    base = prior
+                else:
+                    chain.append(prior)
+                    v = prior["parent"]
+        files = list(base["files"])
+        for d in reversed(chain):
+            files = self._apply_delta(files, d.get("adds", []), d.get("removes", []))
+        m = {k: val for k, val in raw.items() if k not in ("adds", "removes")}
+        m["files"] = files
+        self._manifest_cache[version] = m
+        return m
 
     def _head(self) -> int:
         """Latest committed version, with read()'s descriptive error on an
@@ -304,8 +375,7 @@ class SnapshotTable:
                 )
         parent_m = self._manifest(versions[-1]) if versions else {}
         v = (versions[-1] + 1) if versions else 1
-        manifest = {"version": v, "parent": versions[-1] if versions else None,
-                    "files": entries}
+        manifest = {"version": v, "parent": versions[-1] if versions else None}
         lay = layout if layout is not None else parent_m.get("layout")
         if lay is not None:
             manifest["layout"] = lay
@@ -316,11 +386,36 @@ class SnapshotTable:
             manifest["delete_files"] = delete_files
         if batch_id is not None:
             manifest["batch_id"] = batch_id
+        # representation: full checkpoint every CHECKPOINT_EVERY versions
+        # (bounds every reconstruction chain), delta otherwise — but only
+        # when the delta is both SMALLER than the full list and replays to
+        # exactly the published entry order (verified here, so a future
+        # verb that reorders carried entries can never corrupt a read; it
+        # just pays for a full manifest)
+        parent_files = parent_m.get("files", [])
+        as_delta = bool(versions) and v % self.CHECKPOINT_EVERY != 0
+        if as_delta:
+            new_paths = {e["path"] for e in entries}
+            parent_by_path = {e["path"]: e for e in parent_files}
+            adds = [e for e in entries if parent_by_path.get(e["path"]) != e]
+            removes = [p for p in parent_by_path if p not in new_paths]
+            as_delta = len(adds) + len(removes) < len(
+                entries
+            ) and self._apply_delta(parent_files, adds, removes) == entries
+        if as_delta:
+            manifest["adds"] = adds
+            if removes:
+                manifest["removes"] = removes
+        else:
+            manifest["files"] = entries
         final = os.path.join(self.manifest_dir, f"v{v}.json")
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, final)  # THE commit point
+        resolved = {k: val for k, val in manifest.items() if k not in ("adds", "removes")}
+        resolved["files"] = entries
+        self._manifest_cache[v] = resolved
         return v
 
     @property
@@ -339,7 +434,9 @@ class SnapshotTable:
             with open(self._txn_path) as f:
                 out.update(json.load(f)["batch_ids"])
         for v in self.versions():
-            b = self._manifest(v).get("batch_id")
+            # batch_id is top-level in BOTH manifest representations —
+            # raw read, no file-list reconstruction on the commit hot path
+            b = self._raw_manifest(v).get("batch_id")
             if b is not None:
                 out.add(b)
         return out
@@ -850,10 +947,23 @@ class SnapshotTable:
             )
             entries = list(parent["files"]) + s["entries"]
             dvs = parent.get("delete_files")
+            lay: list[str] | None = None  # plain append: propagate parent's
+            ev: bool | None = None
         else:
             entries = s["entries"]
             dvs = None
-        v = self._publish(entries, expected_parent=base, delete_files=dvs)
+            # first-commit append or rewrite: the staged entries DEFINE the
+            # table's layout — declare it explicitly (mirrors commit_append's
+            # first commit / commit_rewrite), otherwise the table would rely
+            # on the legacy entry-inference fallback forever
+            keys = {tuple(sorted(e.get("partitions", {}))) for e in entries}
+            lay = list(next(iter(keys))) if len(keys) == 1 else []
+            # a rewrite re-declares the layout wholesale and clears any
+            # evolution flag, exactly like commit_rewrite
+            ev = False if s["mode"] == "rewrite" else None
+        v = self._publish(
+            entries, expected_parent=base, delete_files=dvs, layout=lay, evolved=ev
+        )
         os.remove(os.path.join(self.staged_dir, f"{staging_id}.json"))
         return v
 
@@ -888,6 +998,53 @@ class SnapshotTable:
         )
         return dead / total if total else 0.0
 
+    def _scan_flat_live(
+        self, spark: SparkSession, paths: list[str], dvs: list[str]
+    ) -> DataFrame:
+        """Scan files WITHOUT partition discovery (content exactly as
+        stored — Hive-layout files stay free of their path-encoded
+        partition columns) and subtract any DV-dead positions.  The input
+        to every rewrite that must land its output back inside the same
+        partition directory."""
+        from pyspark.sql import functions as F
+
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if not dvs:
+            return df
+        df = df.withColumns(
+            {
+                "__dv_file": F.col("_metadata.file_path"),
+                "__dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        dv = spark.read.parquet(*dvs).select(
+            F.col("__file").alias("__dv_file"), F.col("__pos").alias("__dv_pos")
+        )
+        return df.join(
+            F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
+        ).drop("__dv_file", "__dv_pos")
+
+    def _relocate_into_partition(
+        self, entries: list[dict], template: dict
+    ) -> list[dict]:
+        """Move freshly-written FLAT files into the partition directory of
+        ``template`` (an existing entry) and tag them with its partition
+        values.  The directory path is reused verbatim from the template's
+        own path, so ``col=value`` encoding and nesting order stay exactly
+        the table's convention — basePath discovery sees one consistent
+        layout.  No-op for flat templates."""
+        parts = template.get("partitions")
+        if not parts:
+            return entries
+        sub = os.path.dirname(template["path"])
+        os.makedirs(sub, exist_ok=True)
+        for e in entries:
+            dst = os.path.join(sub, os.path.basename(e["path"]))
+            os.replace(e["path"], dst)
+            e["path"] = dst
+            e["partitions"] = dict(parts)
+        return entries
+
     def commit_compact_small(
         self,
         spark: SparkSession,
@@ -904,18 +1061,24 @@ class SnapshotTable:
         rewritten small rows are materialized DV-applied (their dead rows
         vanish for good), and the vectors are TRIMMED to positions in
         carried files (data files are uuid-named, so basename identity is
-        exact).  No-op (head returned) when nothing is under threshold."""
+        exact).  No-op (head returned) when nothing is under threshold.
+
+        Hive-partitioned tables compact PER PARTITION (the Delta
+        ``OPTIMIZE ... WHERE`` nightly-job shape): each partition's small
+        files are scanned flat (content stays free of the path-encoded
+        partition columns) and the packed replacements land back inside
+        the same ``col=value`` directory with their ``"partitions"``
+        manifest tag — tier-1 partition pruning survives compaction.
+        ``n_files`` means files per touched partition.  Mixed-layout
+        (partition-evolved) tables work the same way: every layout
+        generation repacks within its own group."""
+        from collections import defaultdict
+
         from pyspark.sql import functions as F
 
         head = self._head()
         m = self._manifest(head)
         entries = m["files"]
-        if any("partitions" in e for e in entries):
-            raise NotImplementedError(
-                "commit_compact_small on a Hive-partitioned snapshot table "
-                "is not supported: repacked files would move the partition "
-                "column into the data and make basePath discovery ambiguous"
-            )
         small = [e for e in entries if os.path.getsize(e["path"]) < threshold_bytes]
         if not small:
             return head
@@ -934,10 +1097,19 @@ class SnapshotTable:
             )
             if not folds_deads:
                 return head
-        packed = self._read_entries(
-            spark, small, merge_schema=True, delete_files=dvs or None
-        )
-        new = self._write_data_files(packed, n_files, stats_cols)
+        # one repack group per partition DIRECTORY (flat table = the single
+        # "." group) — lone small files in an otherwise-untouched partition
+        # still fold their dead rows in, and packed output never crosses a
+        # partition boundary
+        groups: dict[str, list[dict]] = defaultdict(list)
+        for e in small:
+            groups[os.path.dirname(e["path"])].append(e)
+        new: list[dict] = []
+        for d in sorted(groups):
+            grp = groups[d]
+            packed = self._scan_flat_live(spark, [e["path"] for e in grp], dvs)
+            written = self._write_data_files(packed, n_files, stats_cols)
+            new.extend(self._relocate_into_partition(written, grp[0]))
         new_dvs: list[str] = []
         if dvs and kept:
             kept_names = [os.path.basename(e["path"]) for e in kept]
@@ -973,8 +1145,17 @@ class SnapshotTable:
             raise ValueError("threshold must be in (0, 1]")
         if self.dv_fraction() < threshold:
             return None
+        # layout-preserving: a Hive-partitioned table re-partitions on its
+        # DECLARED keys (read() surfaces them as ordinary columns, so the
+        # rewrite can partitionBy them) instead of quietly going flat and
+        # downgrading tier-1 pruning to zone maps
+        lay = self._manifest(self._head()).get("layout") or []
         return self.commit_rewrite(
-            self.read(spark), n_files, stats_cols, cluster_by=cluster_by
+            self.read(spark, merge_schema=True),
+            n_files,
+            stats_cols,
+            partition_by=list(lay) or None,
+            cluster_by=cluster_by if not lay else None,
         )
 
     def commit_merge(
@@ -995,6 +1176,23 @@ class SnapshotTable:
 
         The per-hit-file rewrite loop is file-count-bounded driver work
         (same class as a commit cadence loop), not data-volume work.
+
+        **Hive-partitioned tables**: survivor files are rewritten flat
+        (content exactly as stored — no path-encoded column ever moves
+        into the data) and relocated back inside their own ``col=value``
+        directory, keeping their ``"partitions"`` tag, so tier-1 partition
+        pruning survives the merge; ``updates`` land partitioned by the
+        table's DECLARED layout (they must carry those columns).  When
+        ``key`` IS a partition column, a matched file's fate is decided
+        from the manifest alone — every live row shares the key value, so
+        the file either disappears whole or is carried untouched; no data
+        file is opened for hit detection.
+
+        **Deletion vectors**: a table that has taken merge-on-read
+        deletes can be CoW-merged directly — dead positions are
+        subtracted in the survivor rewrite (those rows vanish for good),
+        and the vectors are trimmed to positions in carried files, same
+        as ``commit_compact_small``.
         """
         from urllib.parse import unquote, urlparse
 
@@ -1006,20 +1204,17 @@ class SnapshotTable:
             return self.commit_append(updates, n_new_files, stats_cols)
         cur = self._manifest(versions[-1])
         cur_entries = cur["files"]
-        if cur.get("delete_files"):
-            raise NotImplementedError(
-                "copy-on-write commit_merge on a table carrying deletion "
-                "vectors would need per-file DV subtraction in the survivor "
-                "rewrite; either keep using commit_merge_on_read, or compact "
-                "first (commit_rewrite(read(spark)) folds the DVs in)."
-            )
-        if any("partitions" in e for e in cur_entries):
-            raise NotImplementedError(
-                "commit_merge on a Hive-partitioned snapshot table is not "
-                "supported yet: rewritten survivor files would move the "
-                "partition column from the path into the data files, and a "
-                "mixed layout makes basePath partition discovery ambiguous. "
-                "Use a non-partitioned (zone-mapped) layout for merge tables."
+        dvs = list(cur.get("delete_files", []))
+        # the table's declared layout decides where the update rows land;
+        # legacy manifests fall back to the entry-inferred single layout
+        lay = cur.get("layout")
+        if lay is None:
+            keys = {tuple(sorted(e.get("partitions", {}))) for e in cur_entries}
+            lay = list(next(iter(keys))) if len(keys) == 1 else []
+        if lay and not set(lay) <= set(updates.columns):
+            raise ValueError(
+                f"commit_merge updates must carry the table's partition "
+                f"columns {tuple(lay)} so upserted rows keep their layout"
             )
         upd_keys = updates.select(key).distinct()
         # zone-map routing: files whose [min,max] stats for the key can't
@@ -1036,37 +1231,80 @@ class SnapshotTable:
             if lo_hi[0] is not None
             else []  # empty/all-null-key batch: nothing can match
         )
-        hits = (
-            (
-                spark.read.parquet(*[e["path"] for e in scan_entries])
+        # entries whose KEY is path-encoded never open a data file for hit
+        # detection: the manifest's partition value is the key value for
+        # every row in the file.  The comparison joins a one-row-per-FILE
+        # frame (file-count-bounded, not data) against the update keys,
+        # cast to the key's own type so '19723' matches 19723.
+        part_entries = [e for e in scan_entries if key in e.get("partitions", {})]
+        data_entries = [e for e in scan_entries if key not in e.get("partitions", {})]
+        hit_paths: set[str] = set()
+        if part_entries:
+            kt = updates.schema[key].dataType.simpleString()
+            pv = spark.createDataFrame(
+                [(e["path"], e["partitions"][key]) for e in part_entries],
+                "path string, __pv string",
+            ).select("path", F.col("__pv").cast(kt).alias(key))
+            hit_paths.update(
+                r["path"]
+                for r in pv.join(F.broadcast(upd_keys), key, "left_semi")
+                .select("path")
+                .collect()  # bounded: one row per partition-routed file
+            )
+        if data_entries:
+            hits = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[e["path"] for e in data_entries])
                 .withColumn("__f", F.input_file_name())
                 .join(F.broadcast(upd_keys), key, "left_semi")
                 .select("__f")
                 .distinct()
                 .collect()
-            )
-            if scan_entries
-            else []
-        )  # bounded: at most one row per data file
-        hit_paths = {unquote(urlparse(r["__f"]).path) for r in hits}
+            )  # bounded: at most one row per data file
+            hit_paths.update(unquote(urlparse(r["__f"]).path) for r in hits)
         kept = [e for e in cur_entries if e["path"] not in hit_paths]
         rewritten: list[dict] = []
         for e in cur_entries:
             if e["path"] not in hit_paths:
                 continue
-            survivors = spark.read.parquet(e["path"]).join(
+            if key in e.get("partitions", {}):
+                continue  # partition-keyed match: every live row is
+                # replaced by updates — the file disappears whole
+            survivors = self._scan_flat_live(spark, [e["path"]], dvs).join(
                 F.broadcast(upd_keys), key, "left_anti"
             )
             if not survivors.limit(1).count():
                 continue  # fully-matched file: disappears from the manifest
             cols = list(e.get("stats", {})) or None
-            rewritten.extend(self._write_data_files(survivors, 1, cols))
-        new = self._write_data_files(updates, n_new_files, stats_cols)
+            rewritten.extend(
+                self._relocate_into_partition(
+                    self._write_data_files(survivors, 1, cols), e
+                )
+            )
+        new = self._write_data_files(
+            updates, n_new_files, stats_cols, partition_by=list(lay) or None
+        )
+        # trim DVs to carried files: rewritten/vanished files folded their
+        # dead rows in above, so only kept-file positions stay live
+        new_dvs: list[str] = []
+        if dvs and kept:
+            kept_names = [os.path.basename(e["path"]) for e in kept]
+            surviving = (
+                spark.read.parquet(*dvs)
+                .where(
+                    F.element_at(F.split(F.col("__file"), "/"), -1).isin(kept_names)
+                )
+                .select("__file", "__pos")
+            )
+            if surviving.limit(1).count():
+                new_dvs = self._write_delete_files(surviving)
         # same lost-update guard as commit_append: the kept/rewritten lists
         # were derived from versions[-1], so publishing over a moved head
         # would drop the interleaved commit
         return self._publish(
-            kept + rewritten + new, expected_parent=versions[-1]
+            kept + rewritten + new,
+            expected_parent=versions[-1],
+            delete_files=new_dvs or None,
         )
 
     def incremental_files(self, v_from: int, v_to: int | None = None) -> list[str]:
@@ -1123,14 +1361,26 @@ class SnapshotTable:
             raise ValueError(
                 f"cannot restore v{version}: {len(missing)} file(s) vacuumed away"
             )
+        # a restore re-declares the RESTORED version's layout state, not
+        # the abandoned head's.  Manifests from before the layout field
+        # existed fall back to inferring it from the restored entries'
+        # partition keys (the same fallback _check_layout uses) — hard-
+        # declaring [] would spuriously arm the guard against appends that
+        # correctly match the files' actual partition layout.
+        lay = m.get("layout")
+        ev = bool(m.get("evolved"))
+        if lay is None:
+            keys = {tuple(sorted(e.get("partitions", {}))) for e in entries}
+            if len(keys) == 1:
+                lay = list(next(iter(keys)))
+            else:
+                lay, ev = [], True  # legacy mixed layout: evolution is a fact
         return self._publish(
             list(entries),
             expected_parent=head,
             delete_files=list(dvs) or None,
-            # a restore re-declares the RESTORED version's layout state,
-            # not the abandoned head's
-            layout=m.get("layout", []),
-            evolved=bool(m.get("evolved")),
+            layout=lay,
+            evolved=ev,
         )
 
     def pruned_entries(
@@ -1244,11 +1494,27 @@ class SnapshotTable:
             referenced.update(self._manifest(v).get("delete_files", []))
         for sid in self.staged_ids():  # staged-but-unaudited data survives
             referenced.update(e["path"] for e in self._staged_manifest(sid)["entries"])
+        # the oldest SURVIVOR may be a delta whose replay chain reaches
+        # into the expired range — materialize it as a full checkpoint
+        # FIRST (same logical content, so a crash right after is benign:
+        # readers see the identical file list either way)
+        if expired and survivors:
+            oldest = survivors[0]
+            if "files" not in self._raw_manifest(oldest):
+                full = dict(self._manifest(oldest))
+                p = os.path.join(self.manifest_dir, f"v{oldest}.json")
+                tmp = p + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(full, f)
+                os.replace(tmp, p)
         expired_batch_ids = set()
         for v in expired:
-            b = self._manifest(v).get("batch_id")
+            b = self._raw_manifest(v).get("batch_id")
             if b is not None:
                 expired_batch_ids.add(b)
+            # expired manifests leave the cache with their files: a read
+            # of an expired version must raise, not serve stale state
+            self._manifest_cache.pop(v, None)
         if expired_batch_ids:
             carried = set()
             if os.path.exists(self._txn_path):

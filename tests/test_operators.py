@@ -639,8 +639,15 @@ def test_growth_accounting_conservation(spark, sf_dir):
         for u in daily[d]:
             first.setdefault(u, d)
     got = {r["day"]: r for r in growth_accounting(spark, sf_dir).collect()}
-    assert set(got) == set(daily)
-    for d, r in got.items():
+    # every activity day appears, PLUS churn-only days: users churn INTO
+    # gap days (and the day after the last active day) with zero activity
+    assert set(daily) <= set(got)
+    for d in set(got) - set(daily):
+        r = got[d]
+        assert r["n_new"] == r["n_retained"] == r["n_resurrected"] == 0
+        assert r["n_churned"] == len(daily.get(d - 1, set()) - daily.get(d, set()))
+        assert r["n_churned"] > 0 and r["quick_ratio"] == 0.0
+    for d, r in ((d, got[d]) for d in daily):
         act = daily[d]
         prev = daily.get(d - 1, set())
         assert r["n_new"] == sum(1 for u in act if first[u] == d)

@@ -1243,7 +1243,7 @@ def test_snapshot_merge_on_read_vs_copy_on_write(spark, tmp_path):
     matched rows) and produces the same table state a copy-on-write merge
     would; commit_rewrite afterwards folds the DVs into a clean manifest;
     incremental_files refuses to treat the DV commit as append-only; CoW
-    commit_merge refuses to run over a DV'd table."""
+    commit_merge folds existing DVs into its survivor rewrite."""
     import json
     import os
 
@@ -1268,12 +1268,20 @@ def test_snapshot_merge_on_read_vs_copy_on_write(spark, tmp_path):
     assert t.read(spark).count() == 101
     with pytest.raises(ValueError, match="deletion vectors"):
         t.incremental_files(1, 2)
-    with pytest.raises(NotImplementedError, match="merge_on_read"):
-        t.commit_merge(upd, "k")
+    # CoW merge over the DV-carrying table: dead rows are subtracted in
+    # the survivor rewrite (never resurrected), new matches fold in
+    upd2 = spark.createDataFrame([(4, -2), (2000, 8)], "k long, v long")
+    t.commit_merge(upd2, "k")
+    got2 = {
+        r["k"]: r["v"]
+        for r in t.read(spark).where("k in (1,2,3,4,1000,2000)").collect()
+    }
+    assert got2 == {1: -1, 2: -1, 3: -1, 4: -2, 1000: 7, 2000: 8}
+    assert t.read(spark).count() == 102
     v3 = t.commit_rewrite(t.read(spark), n_files=2)
     m = json.load(open(os.path.join(t.manifest_dir, f"v{v3}.json")))
     assert "delete_files" not in m  # OPTIMIZE purged the DVs
-    assert t.read(spark).count() == 101
+    assert t.read(spark).count() == 102
 
 
 def test_snapshot_dv_restore_append_and_vacuum(spark, tmp_path):
@@ -1929,3 +1937,276 @@ def test_dv_verbs_on_dual_evolved_table(spark, tmp_path):
         spark, col="day", lo=10, hi=10, partitions={"day": 10}, merge_schema=True
     )
     assert [r["id"] for r in pr.collect()] == [1]
+
+
+def test_snapshot_partitioned_cow_merge(spark, tmp_path):
+    """CoW MERGE on a Hive-partitioned table (the reference's
+    day-partitioned fact shape, etl/LogDelayPatch.scala:43-54): survivor
+    rewrites stay INSIDE their partition directory with their manifest
+    partitions tag (tier-1 pruning survives), untouched partitions carry
+    path-identical, and the update rows land partitioned by the declared
+    layout."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "pmerge"))
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("day"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t.commit_append(df, partition_by=["day"], stats_cols=["k"])
+    before = {e["path"]: e for e in t._manifest(1)["files"]}
+
+    # updates touch day=0 and day=1 only; day=2 must carry path-identical
+    upd = spark.createDataFrame(
+        [(0, 0, -1), (3, 0, -1), (1, 1, -1), (900, 0, -2)],
+        "k long, day long, v long",
+    )
+    v2 = t.commit_merge(upd, key="k", stats_cols=["k"])
+    after = t._manifest(v2)["files"]
+    after_by_path = {e["path"]: e for e in after}
+
+    day2 = [p for p, e in before.items() if e["partitions"]["day"] == "2"]
+    assert all(p in after_by_path for p in day2)  # untouched partition carried
+    # every entry still carries a partitions tag, and rewritten/new files
+    # physically live under their day=N directory
+    assert all("partitions" in e for e in after)
+    assert all(f"day={e['partitions']['day']}" in e["path"] for e in after)
+    # tier-1 partition pruning still routes by manifest values
+    assert {
+        e["partitions"]["day"] for e in t.pruned_entries(partitions={"day": "2"})
+    } == {"2"}
+
+    rows = {r["k"]: r["v"] for r in t.read(spark, v2).collect()}
+    assert len(rows) == 301
+    assert rows[0] == -1 and rows[3] == -1 and rows[1] == -1 and rows[900] == -2
+    assert rows[2] == 20 and rows[6] == 60  # survivors intact
+    # partition column still reads back from the PATH for every row
+    got_days = dict(
+        t.read(spark, v2).groupBy("day").count().rdd.map(tuple).collect()
+    )
+    assert got_days == {0: 101, 1: 100, 2: 100}
+
+    # updates missing the partition column fail loudly
+    import pytest
+
+    bad = spark.createDataFrame([(5, -9)], "k long, v long")
+    with pytest.raises(ValueError, match="partition columns"):
+        t.commit_merge(bad, key="k")
+
+
+def test_snapshot_partitioned_merge_key_is_partition_col(spark, tmp_path):
+    """When the merge key IS the partition column, hit detection reads no
+    data file at all (manifest-only routing) and a matched partition's
+    files disappear whole, replaced by the update rows."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "pkeymerge"))
+    df = spark.range(90).select(
+        (F.col("id") % 3).alias("day"), F.col("id").alias("v")
+    )
+    t.commit_append(df, partition_by=["day"])
+    before = {e["path"]: e["partitions"]["day"] for e in t._manifest(1)["files"]}
+
+    upd = spark.createDataFrame([(1, 777)], "day long, v long")
+    v2 = t.commit_merge(upd, key="day")
+    after = set(t.files(v2))
+    # day=0 / day=2 carried path-identical; every day=1 file vanished
+    for p, d in before.items():
+        assert (p in after) == (d != "1")
+    rows = t.read(spark, v2)
+    assert rows.where("day = 1").count() == 1
+    assert rows.where("day = 1").first()["v"] == 777
+    assert rows.count() == 61  # 30+30 untouched + 1 replacement
+
+
+def test_snapshot_partitioned_compact_small_binpack(spark, tmp_path):
+    """Bin-pack OPTIMIZE on a Hive-partitioned table packs PER PARTITION:
+    each partition's small files collapse into one packed file that still
+    lives under its col=value directory with its manifest partitions tag
+    (pruning tier intact), big files carry path-identical, and DV-dead
+    rows in repacked files vanish for good."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "pcompact"))
+    # 4 small files per partition (4 appends x 1 file per partition value)
+    for i in range(4):
+        chunk = spark.range(i * 50, (i + 1) * 50).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("day")
+        )
+        t.commit_append(chunk, partition_by=["day"], stats_cols=["k"])
+    t.commit_delete(spark, F.col("k").isin(0, 1))  # one dead row per day
+    assert len(t.files()) == 8
+
+    v = t.commit_compact_small(spark, threshold_bytes=1 << 20, n_files=1)
+    entries = t._manifest(v)["files"]
+    assert len(entries) == 2  # one packed file per partition
+    assert all("partitions" in e for e in entries)
+    assert all(f"day={e['partitions']['day']}" in e["path"] for e in entries)
+    # DVs folded in: manifest carries none, dead rows stay dead
+    assert not t._manifest(v).get("delete_files")
+    assert t.read(spark, v).count() == 198
+    assert t.read(spark, v).where("k in (0, 1)").count() == 0
+    # partition column still path-derived; per-partition counts intact
+    got = dict(t.read(spark, v).groupBy("day").count().rdd.map(tuple).collect())
+    assert got == {0: 99, 1: 99}
+    # tier-1 pruning still works post-compaction
+    assert len(t.pruned_entries(partitions={"day": "0"})) == 1
+
+
+def test_maybe_compact_preserves_partition_layout(spark, tmp_path):
+    """Auto-OPTIMIZE over a partitioned table re-partitions on the
+    DECLARED layout instead of silently going flat."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "autopt"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("day")
+    )
+    t.commit_append(df, partition_by=["day"])
+    t.commit_delete(spark, F.col("k") < 50)  # 50% dead -> trips threshold
+    v = t.maybe_compact(spark, threshold=0.1)
+    assert v is not None
+    m = t._manifest(v)
+    assert m["layout"] == ["day"]
+    assert all("partitions" in e for e in m["files"])
+    assert t.read(spark, v).count() == 50
+    assert not m.get("delete_files")
+
+
+def test_wap_first_commit_declares_layout(spark, tmp_path):
+    """publish_staged onto an EMPTY table declares the staged layout
+    (mirrors commit_append's first commit) so the manifest never relies on
+    the legacy entry-inference fallback; a rewrite-mode publish re-declares
+    the layout wholesale like commit_rewrite."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    t = SnapshotTable(str(tmp_path / "wapfirst"))
+    sid = t.stage_commit(df, partition_by=["p"])
+    v = t.publish_staged(sid)
+    assert t._manifest(v)["layout"] == ["p"]
+    # follow-up append with the same layout sails through the guard
+    t.commit_append(df.select((F.col("k") + 100).alias("k"), "p"),
+                    partition_by=["p"])
+    assert t.read(spark).count() == 40
+
+    # rewrite-mode staged publish re-declares flat and clears evolution
+    t.commit_append(df.select("k"), evolve=True)  # mixed layouts now
+    sid2 = t.stage_commit(df.select("k"), mode="rewrite")
+    v2 = t.publish_staged(sid2)
+    m2 = t._manifest(v2)
+    assert m2["layout"] == [] and not m2.get("evolved")
+
+
+def test_restore_infers_layout_on_legacy_manifest(spark, tmp_path):
+    """restore() of a version whose manifest predates the layout field
+    infers the layout from the restored entries' partition keys — it must
+    NOT hard-declare flat, which would spuriously reject a correct
+    partitioned append afterwards."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    t = SnapshotTable(str(tmp_path / "legacyrestore"))
+    t.commit_append(df, partition_by=["p"])
+    t.commit_append(
+        df.select((F.col("k") + 100).alias("k"), "p"), partition_by=["p"]
+    )
+    # simulate a legacy v1 manifest: strip the layout field
+    p1 = os.path.join(t.manifest_dir, "v1.json")
+    m1 = json.load(open(p1))
+    m1.pop("layout", None)
+    with open(p1, "w") as f:
+        json.dump(m1, f)
+    v3 = t.restore(1)
+    assert t._manifest(v3)["layout"] == ["p"]
+    # the guard now accepts a layout-matching append post-restore
+    t.commit_append(
+        df.select((F.col("k") + 200).alias("k"), "p"), partition_by=["p"]
+    )
+    assert t.read(spark).count() == 40
+
+
+def test_manifest_checkpointing_bounds_commit_write(spark, tmp_path):
+    """The O(files)-per-commit manifest ceiling is gone: between periodic
+    checkpoints a commit writes only its add/remove delta (kilobytes at
+    any table size), reconstruction replays the bounded chain exactly,
+    and vacuum materializes the oldest survivor so no chain ever reaches
+    an expired version.  1,000 cumulative files across 25 commits."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "ckpt"))
+    for i in range(25):
+        df = spark.range(i * 400, (i + 1) * 400).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        t.commit_append(df, n_files=40, batch_id=i)
+    assert len(t.files()) == 1000
+
+    raw = {
+        v: json.load(open(os.path.join(t.manifest_dir, f"v{v}.json")))
+        for v in t.versions()
+    }
+    # checkpoints exactly where the cadence says; everything else a delta
+    for v, m in raw.items():
+        if v == 1 or v % SnapshotTable.CHECKPOINT_EVERY == 0:
+            assert "files" in m, v
+        else:
+            assert "files" not in m and len(m["adds"]) == 40, v
+            assert "removes" not in m
+    # the delta write is O(delta): a late delta manifest stays ~40-entry
+    # sized while the head checkpoint carries hundreds of entries
+    delta_sz = os.path.getsize(os.path.join(t.manifest_dir, "v23.json"))
+    ckpt_sz = os.path.getsize(os.path.join(t.manifest_dir, "v24.json"))
+    assert delta_sz * 5 < ckpt_sz
+
+    # a DV-only commit is an EMPTY delta (no file-list bytes at all)
+    t.commit_delete(spark, "k < 5")
+    raw26 = json.load(open(os.path.join(t.manifest_dir, "v26.json")))
+    assert raw26.get("adds") == [] and "files" not in raw26
+    assert t.read(spark).count() == 9995
+
+    # reconstruction is exact from a COLD instance (no publish-time cache)
+    t2 = SnapshotTable(str(tmp_path / "ckpt"))
+    assert t2.files(13) == t.files(13)
+    assert len(t2.files(13)) == 13 * 40
+    assert t2.read(spark, 5).count() == 2000
+    assert t2.committed_batch_ids() >= set(range(25))
+
+    # vacuum: oldest survivor (a delta, v25) gets materialized as a
+    # checkpoint so no surviving chain reaches an expired version
+    t.vacuum(keep_last=2)
+    assert t.versions() == [25, 26]
+    assert "files" in json.load(open(os.path.join(t.manifest_dir, "v25.json")))
+    # fresh instance must resolve every survivor without the expired chain
+    t3 = SnapshotTable(str(tmp_path / "ckpt"))
+    assert len(t3.files(25)) == 1000
+    assert t3.read(spark).count() == 9995
+    import pytest
+
+    with pytest.raises(ValueError, match="no manifest"):
+        t.read(spark, 13)  # expired: cache must not resurrect it

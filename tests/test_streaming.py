@@ -443,10 +443,15 @@ def test_kafka_provider_selection_both_ways(spark, sf_dir):
         read_line_stream,
     )
 
-    # (a) the real probe in this sandbox: jar absent, loud failure
-    assert kafka_available(spark) is False
-    with pytest.raises(RuntimeError, match="connector jar"):
-        read_line_stream(spark, brokers="broker:9092", topics="runlog")
+    # (a) the real probe, classpath-conditional (no rot if a jar ever
+    # lands): jar absent -> loud failure naming the artifact; jar
+    # present -> the call must route into the real kafka source and
+    # analyze (broker unreachability only surfaces at stream start)
+    if not kafka_available(spark):
+        with pytest.raises(RuntimeError, match="connector jar"):
+            read_line_stream(spark, brokers="broker:9092", topics="runlog")
+    else:
+        read_line_stream(spark, brokers="broker:9092", topics="runlog").explain()
 
     # (b) probe mocked to jar-present: selection routes to the kafka
     # branch — it must get past our code and fail only at Spark's
@@ -525,3 +530,38 @@ def test_ivm_fold_retraction_and_zero_group_state(spark, tmp_path):
     fold([("a", 0.2, -1)], 1)
     assert len(t.versions()) == n_versions
     assert {r["event_type"]: r["n_live"] for r in t.read(spark).collect()}["a"] == 1
+
+
+def test_kafka_probe_decision_matches_classpath(spark, monkeypatch):
+    """CI-style wiring guard (r7 verdict task 8): the provider probe's
+    decision must EQUAL ground-truth classpath loadability — pinned on
+    both branches by pointing the probe at (a) a class every Spark distro
+    ships (present) and (b) a class that cannot exist (absent), plus the
+    real connector class against an independent Class.forName.  If this
+    sandbox ever gains the spark-sql-kafka jar, the probe lights up
+    automatically and this test keeps passing — the wiring cannot rot
+    silently in either direction."""
+    from bigdata_homed_spark.streaming import jobs
+
+    def loadable(name: str) -> bool:
+        try:
+            spark._jvm.java.lang.Class.forName(name)
+            return True
+        except Exception:
+            return False
+
+    # ground truth for the REAL provider class (today: absent in sandbox,
+    # but the assertion is equality, not a hardcoded False)
+    assert jobs.kafka_available(spark) == loadable(jobs.KAFKA_PROVIDER_CLASS)
+
+    # jar-present branch: a class guaranteed on every Spark classpath
+    monkeypatch.setattr(
+        jobs, "KAFKA_PROVIDER_CLASS", "org.apache.spark.sql.SparkSession"
+    )
+    assert jobs.kafka_available(spark) is True
+
+    # jar-absent branch: a class that cannot exist
+    monkeypatch.setattr(
+        jobs, "KAFKA_PROVIDER_CLASS", "org.no.such.provider.Nowhere"
+    )
+    assert jobs.kafka_available(spark) is False
