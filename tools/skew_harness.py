@@ -152,10 +152,25 @@ def main() -> int:
         )
 
     # --- AQE skew-join exhibit: the shape only a runtime split fixes -----
-    ev = spark.read.parquet(os.path.join(dirs["skewed"], "events.parquet"))
-    profile = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("av"))
+    # The exhibit join key concentrates HALF the fact on one key (a dead
+    # device id, a null-ish sentinel — the classic production skew): the
+    # hot reducer block is ~16x the median, far past the 5x skew factor,
+    # which is what OptimizeSkewedJoin exists for.  (The Zipf user key
+    # above stays ~3x median — partial agg handles it and the skew-join
+    # rule correctly leaves it alone.)
+    # NOTE (measured): the dim side must NOT derive from the same shuffle
+    # as the fact side — Spark's ReuseExchange then feeds both join inputs
+    # from one exchange and OptimizeSkewedJoin stands down (splitting a
+    # reused stage would change its partitioning for the other consumer).
+    # A profile built by grouping the fact itself exhibited exactly that:
+    # no split, ever.  Real dims are independent scans, as here.
+    ev0 = spark.read.parquet(os.path.join(dirs["skewed"], "events.parquet"))
+    ev = ev0.withColumn(
+        "jk",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    profile = spark.range(0, 15_001).select(
+        F.col("id").alias("jk"), (F.col("id") * 0.5).alias("av")
     )
     walls = {}
     plans = {}
@@ -171,7 +186,7 @@ def main() -> int:
             "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = ev.join(profile, "user_id").select(
+        joined = ev.join(profile, "jk").select(
             F.sum(F.col("value") + F.col("av")).alias("s"),
             F.count(F.lit(1)).alias("n"),
         )
