@@ -283,6 +283,10 @@ BENCH_QUERIES = [
     # expect both roughly flat across SFs like the other snapshot verbs.
     "snapshot_partitioned_optimize",
     "snapshot_partitioned_merge",
+    # late-r8: always-on CHECK-constraint gate (combined-predicate batch
+    # validation) and column mapping (rename/drop as metadata-only DDL).
+    "snapshot_check_constraints",
+    "snapshot_column_mapping",
 ]
 
 

@@ -2021,3 +2021,186 @@ def snapshot_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(probe)).cast("bigint").alias("n_probe_1996"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CHECK CONSTRAINTS — Delta `ALTER TABLE ADD CONSTRAINT` parity: declaring
+# the rule is a metadata-only commit that first validates EXISTING rows
+# (one scan); every subsequent ingest verb validates its batch in ONE
+# combined-predicate pass and refuses the commit whole on a violation —
+# the quarantine-free quality gate a 100 TB ingest needs (WAP covers
+# audit-then-publish; constraints cover always-on invariants).  The query
+# pins: the blessing scan (a rule the data already violates is refused),
+# the violating append being refused with the HEAD UNMOVED, NULL passing
+# (SQL CHECK semantics), and the metadata-only protocol (file list
+# unchanged by the constraint commit).
+_SNAPCONS_CACHE: dict[str, str] = {}
+
+
+def _snap_cons_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import ConstraintViolationError, SnapshotTable
+
+    cached = session_scoped_path(_SNAPCONS_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapck_"), "orders_ck")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+        )
+        t.commit_append(orders, n_files=2, stats_cols=["o_orderkey"])
+        outcomes = {}
+        # blessing scan: totalprice is never negative -> accepted
+        try:
+            t.add_constraint(spark, "price_nonneg", "o_totalprice >= 0")
+            outcomes["bless_ok"] = True
+        except ConstraintViolationError:
+            outcomes["bless_ok"] = False
+        # a rule the existing data violates -> refused at declaration
+        try:
+            t.add_constraint(spark, "impossible", "o_totalprice > 900000000")
+            outcomes["bless_bad_refused"] = False
+        except ConstraintViolationError:
+            outcomes["bless_bad_refused"] = True
+        head_before = t.versions()[-1]
+        # violating append refused whole, head unmoved
+        bad = orders.limit(5).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") * F.lit(-1)).cast(
+                orders.schema["o_totalprice"].dataType
+            ),
+        )
+        try:
+            t.commit_append(bad)
+            outcomes["violation_refused"] = False
+        except ConstraintViolationError:
+            outcomes["violation_refused"] = t.versions()[-1] == head_before
+        outcomes["files_unchanged_by_decl"] = t.files(head_before) == t.files(
+            head_before - 1
+        )
+        _SNAPCONS_STATE[cached] = outcomes
+        _SNAPCONS_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached), _SNAPCONS_STATE[cached]
+
+
+_SNAPCONS_STATE: dict[str, dict] = {}
+
+
+@query(
+    "snapshot_check_constraints",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(1 as bigint) AS n_constraints,
+           true AS bless_ok,
+           true AS bless_bad_refused,
+           true AS violation_refused,
+           true AS files_unchanged_by_decl
+    FROM orders
+    """,
+)
+def snapshot_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, st = _snap_cons_table(spark, sf_dir)
+    return (
+        t.read(spark)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .select(
+            "n_rows",
+            "sum_total",
+            F.lit(len(t.constraints())).cast("bigint").alias("n_constraints"),
+            F.lit(bool(st["bless_ok"])).alias("bless_ok"),
+            F.lit(bool(st["bless_bad_refused"])).alias("bless_bad_refused"),
+            F.lit(bool(st["violation_refused"])).alias("violation_refused"),
+            F.lit(bool(st["files_unchanged_by_decl"])).alias(
+                "files_unchanged_by_decl"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# COLUMN MAPPING — Delta column-mapping parity: RENAME and DROP as
+# metadata-only commits on an immutable-file table (at 100 TB a rename
+# must never rewrite a byte).  Readers alias the physical column to its
+# logical name per VERSION (time travel shows each version's own names);
+# ingest verbs reverse-map logical batches; the zone-map probe translates
+# the logical column to the physical stats key.  The query renames
+# o_totalprice -> amount, upserts THROUGH the new name (MoR merge), drops
+# o_orderpriority, and pins: the file list untouched by both DDL commits,
+# the old name live at v1 (time travel), and the post-merge aggregate
+# under the new name.
+_SNAPCMAP_CACHE: dict[str, str] = {}
+
+
+def _snap_cmap_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPCMAP_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapcm_"), "orders_cm")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+        )
+        t.commit_append(orders, n_files=2, stats_cols=["o_orderkey"])
+        t.rename_column(spark, "o_totalprice", "amount")  # v2, metadata-only
+        # upsert THROUGH the logical name: every 97th order doubled
+        upd = (
+            t.read(spark)
+            .where(F.col("o_orderkey") % 97 == 0)
+            .withColumn(
+                "amount",
+                (F.col("amount").cast("decimal(27,6)") * 2).cast(
+                    orders.schema["o_totalprice"].dataType
+                ),
+            )
+        )
+        t.commit_merge_on_read(upd, key="o_orderkey")  # v3
+        t.drop_column(spark, "o_orderpriority")  # v4, metadata-only
+        _SNAPCMAP_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_column_mapping",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN cast(cast(o_totalprice as decimal(27,6)) * 2
+                       as decimal(15,2))
+                  ELSE o_totalprice END
+             as decimal(27,6))) as varchar) as double) AS sum_amount,
+           cast(3 as bigint) AS n_cols_head,
+           true AS ddl_metadata_only,
+           true AS old_name_at_v1
+    FROM orders
+    """,
+)
+def snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snap_cmap_table(spark, sf_dir)
+    head = t.versions()[-1]
+    # both DDL commits (v2 rename, v4 drop) must not move a single file
+    ddl_meta = t.files(2) == t.files(1) and t.files(4) == t.files(3)
+    old_at_v1 = "o_totalprice" in t.read(spark, 1).columns and (
+        "o_orderpriority" not in t.read(spark, head).columns
+    )
+    df = t.read(spark, head)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum(F.col("amount"), "sum_amount"),
+    ).select(
+        "n_rows",
+        "sum_amount",
+        F.lit(len(df.columns)).cast("bigint").alias("n_cols_head"),
+        F.lit(bool(ddl_meta)).alias("ddl_metadata_only"),
+        F.lit(bool(old_at_v1)).alias("old_name_at_v1"),
+    )

@@ -54,6 +54,12 @@ class CommitConflictError(RuntimeError):
     retry."""
 
 
+class ConstraintViolationError(ValueError):
+    """An incoming batch contains rows for which a table CHECK constraint
+    evaluates to FALSE (SQL semantics: NULL passes).  The commit is
+    refused whole — nothing was published."""
+
+
 class SnapshotTable:
     """A parquet table whose committed state is defined by version manifests.
 
@@ -358,6 +364,8 @@ class SnapshotTable:
         delete_files: list[str] | None = None,
         layout: list[str] | None = None,
         evolved: bool | None = None,
+        constraints: dict[str, str] | None = None,
+        column_map: dict[str, str] | None = None,
     ) -> int:
         """``layout`` (the table's DECLARED partition keys) and ``evolved``
         (partition evolution was explicitly declared at some point) are
@@ -382,6 +390,12 @@ class SnapshotTable:
         ev = evolved if evolved is not None else parent_m.get("evolved")
         if ev:
             manifest["evolved"] = True
+        cons = constraints if constraints is not None else parent_m.get("constraints")
+        if cons:
+            manifest["constraints"] = cons
+        cmap = column_map if column_map is not None else parent_m.get("column_map")
+        if cmap:
+            manifest["column_map"] = cmap
         if delete_files:
             manifest["delete_files"] = delete_files
         if batch_id is not None:
@@ -441,6 +455,258 @@ class SnapshotTable:
                 out.add(b)
         return out
 
+    # -- shallow clone (Delta SHALLOW CLONE parity) --------------------------
+    def clone_to(self, dst_path: str) -> "SnapshotTable":
+        """Zero-copy SHALLOW CLONE: the clone's v1 manifest references the
+        SOURCE's current data/DV files byte-for-byte (one kilobyte-scale
+        manifest write, no data movement at any table size — the instant
+        dev/test/experiment copy a 100 TB table otherwise can't afford).
+        The clone then diverges independently: its own commits land under
+        its own ``data/``, its vacuum sweeps only its own tree (source
+        files live outside it and are never collected), and layout /
+        evolution / constraints / column mapping all carry over.
+
+        Caveat (same as Delta's): VACUUMING THE SOURCE can delete files a
+        shallow clone still references — keep the source's retention at
+        least as long as the clone's life, or ``commit_rewrite`` the clone
+        to materialize it into an independent deep copy."""
+        dst = SnapshotTable(dst_path)
+        if dst.versions():
+            raise ValueError(f"clone destination {dst.path} already has commits")
+        head = self._head()
+        m = self._manifest(head)
+        dst._publish(
+            list(m["files"]),
+            delete_files=list(m.get("delete_files", [])) or None,
+            layout=m.get("layout", []),
+            evolved=bool(m.get("evolved")),
+            constraints=m.get("constraints", {}),
+            column_map=m.get("column_map", {}),
+        )
+        return dst
+
+    # -- column mapping (Delta column-mapping parity: rename/drop with ------
+    # -- ZERO data rewrite — logical names live in the manifest, physical --
+    # -- names live in the immutable parquet files) -------------------------
+    def column_map(self, version: int | None = None) -> dict[str, str]:
+        """logical name -> physical (in-file) name.  Empty dict = mapping
+        never enabled: every reader/writer takes the identity fast path,
+        bit-identical to the pre-mapping format."""
+        versions = self.versions()
+        if not versions:
+            return {}
+        v = version if version is not None else versions[-1]
+        return dict(self._raw_manifest(v).get("column_map", {}))
+
+    def _full_map(self, spark: SparkSession) -> dict[str, str]:
+        """The current mapping extended to identity over every live
+        logical column (the form rename/drop commits store, so reads can
+        select exactly the mapped set and dropped columns vanish)."""
+        mapping = self.column_map()
+        if mapping:
+            return mapping
+        return {c: c for c in self.read(spark, merge_schema=True).columns}
+
+    def rename_column(self, spark: SparkSession, old: str, new: str) -> int:
+        """Rename a column as a METADATA-ONLY commit: no data file is
+        touched at any size — the manifest's mapping changes, readers
+        alias the immutable physical column to the new logical name, and
+        writers reverse-map incoming logical batches.  Partition columns
+        are path-encoded and cannot rename without a rewrite (refused
+        loudly, same restriction Delta puts behind a rewrite)."""
+        head = self._head()
+        m = self._manifest(head)
+        mapping = self._full_map(spark)
+        if old not in mapping:
+            raise ValueError(f"no such column: {old!r}")
+        if new in mapping:
+            raise ValueError(f"column {new!r} already exists")
+        if old in (m.get("layout") or []):
+            raise ValueError(
+                f"cannot rename partition column {old!r}: its values are "
+                "path-encoded; commit_rewrite to change the layout first"
+            )
+        self._refuse_if_constrained(old, "rename")
+        new_map = {(new if log == old else log): phys for log, phys in mapping.items()}
+        return self._publish(
+            list(m["files"]),
+            expected_parent=head,
+            delete_files=m.get("delete_files"),
+            column_map=new_map,
+        )
+
+    def drop_column(self, spark: SparkSession, name: str) -> int:
+        """Drop a column as a METADATA-ONLY commit — the physical bytes
+        stay in the immutable files (time travel still sees them at old
+        versions) but every read of this version on selects it away.
+        Partition columns are refused (they define the layout)."""
+        head = self._head()
+        m = self._manifest(head)
+        mapping = self._full_map(spark)
+        if name not in mapping:
+            raise ValueError(f"no such column: {name!r}")
+        if name in (m.get("layout") or []):
+            raise ValueError(
+                f"cannot drop partition column {name!r}: it defines the "
+                "table layout; commit_rewrite to change the layout first"
+            )
+        self._refuse_if_constrained(name, "drop")
+        new_map = {log: phys for log, phys in mapping.items() if log != name}
+        if not new_map:
+            raise ValueError("cannot drop the last column")
+        return self._publish(
+            list(m["files"]),
+            expected_parent=head,
+            delete_files=m.get("delete_files"),
+            column_map=new_map,
+        )
+
+    def _refuse_if_constrained(self, column: str, verb: str) -> None:
+        """CHECK constraints reference LOGICAL names; renaming or dropping
+        a referenced column would leave the predicate unresolvable at the
+        next ingest.  Same restriction as Delta: drop the constraint
+        first.  The word-boundary match is conservative — a false positive
+        refuses harmlessly with an actionable message."""
+        import re as _re
+
+        refs = [
+            n
+            for n, sql in self.constraints().items()
+            if _re.search(rf"\b{_re.escape(column)}\b", sql)
+        ]
+        if refs:
+            raise ValueError(
+                f"cannot {verb} column {column!r}: referenced by CHECK "
+                f"constraint(s) {refs}; drop_constraint first"
+            )
+
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+        """Reverse-map a LOGICAL batch to physical column names for the
+        write path; logical columns the mapping has never seen (schema
+        evolution adding a column) pass through as identity — the caller
+        extends the stored mapping."""
+        if not mapping:
+            return df
+        renames = {log: phys for log, phys in mapping.items() if log != phys}
+        out = df
+        for log, phys in renames.items():
+            if log in out.columns:
+                out = out.withColumnRenamed(log, phys)
+        return out
+
+    @staticmethod
+    def _to_logical(df: DataFrame, mapping: dict[str, str], keep: tuple = ()) -> DataFrame:
+        """Map a PHYSICAL scan to the logical schema: mapped columns
+        alias to their logical names in mapping order, dropped physical
+        columns vanish, ``keep`` columns (scan helpers like __file/__pos)
+        ride along.  Physical columns absent from this scan's schema
+        (pruned pre-evolution subset) stay absent — identical to the
+        unmapped reader's subset semantics."""
+        from pyspark.sql import functions as F
+
+        if not mapping:
+            return df
+        present = set(df.columns)
+        cols = [
+            F.col(phys).alias(log)
+            for log, phys in mapping.items()
+            if phys in present
+        ]
+        cols += [F.col(k) for k in keep if k in present]
+        return df.select(*cols)
+
+    def _extended_map(self, df_columns, mapping: dict[str, str]) -> dict[str, str] | None:
+        """The mapping extended with identity entries for logical columns
+        a batch introduces (additive schema evolution on a mapped table).
+        Returns None when nothing changed (publish propagates parent's)."""
+        if not mapping:
+            return None
+        fresh = [c for c in df_columns if c not in mapping]
+        if not fresh:
+            return None
+        out = dict(mapping)
+        for c in fresh:
+            if c in out.values():
+                raise ValueError(
+                    f"new column {c!r} collides with a physical name still "
+                    "present in data files; pick a different logical name"
+                )
+            out[c] = c
+        return out
+
+    # -- CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity) ------
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The version's active CHECK constraints: name -> SQL predicate."""
+        versions = self.versions()
+        if not versions:
+            return {}
+        v = version if version is not None else versions[-1]
+        return dict(self._raw_manifest(v).get("constraints", {}))
+
+    def add_constraint(self, spark: SparkSession, name: str, predicate_sql: str) -> int:
+        """Declare a CHECK constraint as a METADATA-ONLY commit (no data
+        moves).  Existing rows are validated first, exactly like Delta's
+        ``ALTER TABLE ADD CONSTRAINT`` (one scan — refusing to bless a
+        table that already violates the rule); every subsequent ingest
+        verb then validates its incoming batch and refuses the commit
+        whole on a violation.  SQL semantics: a row violates only when
+        the predicate is FALSE — NULL passes (add an IS NOT NULL
+        constraint to forbid nulls explicitly)."""
+        head = self._head()
+        cons = self.constraints(head)
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+        self._enforce_constraints(self.read(spark, merge_schema=True), {name: predicate_sql})
+        m = self._manifest(head)
+        return self._publish(
+            list(m["files"]),
+            expected_parent=head,
+            delete_files=m.get("delete_files"),
+            constraints={**cons, name: predicate_sql},
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        head = self._head()
+        cons = self.constraints(head)
+        if name not in cons:
+            raise ValueError(f"no such constraint: {name!r}")
+        del cons[name]
+        m = self._manifest(head)
+        return self._publish(
+            list(m["files"]),
+            expected_parent=head,
+            delete_files=m.get("delete_files"),
+            constraints=cons,  # {} is an explicit clear, not a propagate
+        )
+
+    @staticmethod
+    def _enforce_constraints(df: DataFrame, cons: dict[str, str]) -> None:
+        """One combined-predicate pass over the batch (all constraints in
+        a single scan); the per-constraint re-check runs only on the
+        failure path to name the offender."""
+        from pyspark.sql import functions as F
+
+        if not cons:
+            return
+        viol = None
+        for sql in cons.values():
+            c = F.expr(f"not coalesce(({sql}), true)")
+            viol = c if viol is None else (viol | c)
+        if df.where(viol).limit(1).count():
+            for name, sql in sorted(cons.items()):
+                bad = df.where(F.expr(f"not coalesce(({sql}), true)")).limit(1).count()
+                if bad:
+                    raise ConstraintViolationError(
+                        f"CHECK constraint {name!r} ({sql}) is violated by the "
+                        "incoming batch — commit refused, nothing published"
+                    )
+
+    def _incoming_constraints(self) -> dict[str, str]:
+        versions = self.versions()
+        return self.constraints(versions[-1]) if versions else {}
+
     def commit_append(
         self,
         df: DataFrame,
@@ -472,6 +738,12 @@ class SnapshotTable:
         still fails loudly — accidental mixing stays an error."""
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.versions()[-1]
+        self._enforce_constraints(df, self._incoming_constraints())
+        mapping = self.column_map()
+        ext = self._extended_map(df.columns, mapping)
+        df = self._to_physical(df, mapping)
+        if stats_cols and mapping:
+            stats_cols = [mapping.get(c, c) for c in stats_cols]
         versions = self.versions()
         parent = self._manifest(versions[-1]) if versions else {}
         prev = list(parent.get("files", []))
@@ -492,6 +764,7 @@ class SnapshotTable:
             # appends propagate the parent's
             layout=new_layout if (evolve or not prev) else None,
             evolved=True if evolve else None,
+            column_map=ext,
         )
 
     @staticmethod
@@ -550,6 +823,7 @@ class SnapshotTable:
         Same lost-update guard as append/merge: ``df`` was derived from the
         head the caller read, so publishing over a moved head (a commit
         interleaved while the rewrite was staging) would silently drop it."""
+        self._enforce_constraints(df, self._incoming_constraints())
         versions = self.versions()
         parent = versions[-1] if versions else 0
         return self._publish(
@@ -559,6 +833,10 @@ class SnapshotTable:
             # being single-layout again, clears the evolution flag
             layout=sorted(partition_by) if partition_by else [],
             evolved=False,
+            # the rewrite wrote the LOGICAL names into the new files —
+            # renames/drops are materialized, the mapping resets to
+            # identity (how a mapped table eventually sheds its aliases)
+            column_map={},
         )
 
     # -- reads -------------------------------------------------------------
@@ -588,7 +866,25 @@ class SnapshotTable:
         entries = m["files"]
         if not entries:
             raise ValueError(f"snapshot table {self.path} has no commits")
-        return self._read_entries(spark, entries, merge_schema, m.get("delete_files"))
+        out = self._read_entries(spark, entries, merge_schema, m.get("delete_files"))
+        return self._to_logical(out, m.get("column_map", {}))
+
+    @staticmethod
+    def _group_key(e: dict) -> tuple:
+        """Layout-grouping key for a scan: the partition-key tuple PLUS the
+        file's data ROOT (its directory with the trailing col=value
+        segments stripped).  A shallow clone's manifest legitimately mixes
+        files rooted in the source's tree with files rooted in its own —
+        each root scans with its own basePath (a single basePath cannot
+        prefix two trees) and the groups union by name."""
+        keys = tuple(sorted(e.get("partitions", {})))
+        if not keys:
+            return ((), "")
+        d = os.path.dirname(e["path"])
+        parts = d.split(os.sep)
+        while parts and "=" in parts[-1]:
+            parts.pop()
+        return (keys, os.sep.join(parts))
 
     def _read_entries(
         self,
@@ -613,15 +909,15 @@ class SnapshotTable:
 
         groups: dict[tuple, list[dict]] = defaultdict(list)
         for e in entries:
-            groups[tuple(sorted(e.get("partitions", {})))].append(e)
+            groups[self._group_key(e)].append(e)
         dfs = []
-        for keys in sorted(groups):
+        for keys, root in sorted(groups):
             reader = spark.read
             if merge_schema:
                 reader = reader.option("mergeSchema", "true")
             if keys:
-                reader = reader.option("basePath", self.data_dir)
-            df = reader.parquet(*[e["path"] for e in groups[keys]])
+                reader = reader.option("basePath", root)
+            df = reader.parquet(*[e["path"] for e in groups[(keys, root)]])
             if delete_files:
                 df = df.withColumns(
                     {
@@ -664,14 +960,14 @@ class SnapshotTable:
         # partition-key generation scans with its own discovery mode
         groups: dict[tuple, list[dict]] = defaultdict(list)
         for e in entries:
-            groups[tuple(sorted(e.get("partitions", {})))].append(e)
+            groups[self._group_key(e)].append(e)
         dfs = []
-        for keys in sorted(groups):
+        for keys, root in sorted(groups):
             reader = spark.read
             if keys:
-                reader = reader.option("basePath", self.data_dir)
+                reader = reader.option("basePath", root)
             dfs.append(
-                reader.parquet(*[e["path"] for e in groups[keys]]).withColumns(
+                reader.parquet(*[e["path"] for e in groups[(keys, root)]]).withColumns(
                     {
                         "__file": F.col("_metadata.file_path"),
                         "__pos": F.col("_metadata.row_index"),
@@ -691,7 +987,11 @@ class SnapshotTable:
                 F.col("__file"), F.col("__pos")
             )
             df = df.join(F.broadcast(dv), ["__file", "__pos"], "left_anti")
-        return df
+        # surface LOGICAL names so every MoR verb's conditions/keys speak
+        # the user schema; the scan helpers ride along untouched
+        return self._to_logical(
+            df, manifest.get("column_map", {}), keep=("__file", "__pos")
+        )
 
     def _write_delete_files(self, doomed: DataFrame) -> list[str]:
         """Materialize a (``__file``, ``__pos``) DataFrame as immutable DV
@@ -763,8 +1063,14 @@ class SnapshotTable:
             return head
         doomed = live.select("__file", "__pos")
         updated = live.drop("__file", "__pos").withColumns(dict(assignments))
+        self._enforce_constraints(updated, self._incoming_constraints())
+        mapping = m.get("column_map", {})
+        if stats_cols and mapping:
+            stats_cols = [mapping.get(c, c) for c in stats_cols]
         dvs = list(m.get("delete_files", [])) + self._write_delete_files(doomed)
-        new = self._write_data_files(updated, n_new_files, stats_cols)
+        new = self._write_data_files(
+            self._to_physical(updated, mapping), n_new_files, stats_cols
+        )
         return self._publish(
             list(m["files"]) + new, expected_parent=head, delete_files=dvs
         )
@@ -800,6 +1106,7 @@ class SnapshotTable:
             return self.commit_append(
                 updates, n_new_files, stats_cols, batch_id=batch_id
             )
+        self._enforce_constraints(updates, self._incoming_constraints())
         head = versions[-1]
         m = self._manifest(head)
         # the updates land as FLAT new files even on a Hive-partitioned
@@ -825,12 +1132,21 @@ class SnapshotTable:
         dvs = list(m.get("delete_files", []))
         if doomed is not None and doomed.limit(1).count():
             dvs += self._write_delete_files(doomed)
-        new = self._write_data_files(updates, n_new_files, stats_cols)
+        mapping = m.get("column_map", {})
+        ext = self._extended_map(updates.columns, mapping)
+        phys_stats = (
+            [mapping.get(c, c) for c in stats_cols] if stats_cols and mapping
+            else stats_cols
+        )
+        new = self._write_data_files(
+            self._to_physical(updates, mapping), n_new_files, phys_stats
+        )
         return self._publish(
             list(m["files"]) + new,
             batch_id=batch_id,
             expected_parent=head,
             delete_files=dvs or None,
+            column_map=ext,
         )
 
     def history(self, spark: SparkSession) -> DataFrame:
@@ -899,10 +1215,19 @@ class SnapshotTable:
         visibility is a metadata decision."""
         if mode not in ("append", "rewrite"):
             raise ValueError("mode must be 'append' or 'rewrite'")
+        self._enforce_constraints(df, self._incoming_constraints())
         versions = self.versions()
         base = versions[-1] if versions else 0
+        # rewrite-mode staging materializes logical names (mapping resets
+        # at publish, like commit_rewrite); append-mode stages PHYSICAL
+        # bytes under the current mapping, extended for fresh columns
+        mapping = {} if mode == "rewrite" else self.column_map()
+        ext = self._extended_map(df.columns, mapping) if mode == "append" else None
+        if stats_cols and mapping:
+            stats_cols = [mapping.get(c, c) for c in stats_cols]
         entries = self._write_data_files(
-            df, n_files, stats_cols, partition_by, cluster_by
+            self._to_physical(df, mapping), n_files, stats_cols,
+            partition_by, cluster_by
         )
         staging_id = f"s{uuid.uuid4().hex}"
         os.makedirs(self.staged_dir, exist_ok=True)
@@ -912,6 +1237,8 @@ class SnapshotTable:
             "base_version": base,
             "entries": entries,
         }
+        if ext is not None:
+            staged["column_map_ext"] = ext
         final = os.path.join(self.staged_dir, f"{staging_id}.json")
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
@@ -924,7 +1251,13 @@ class SnapshotTable:
         audit job queries.  Append mode: base head's live rows (DVs
         applied) plus the staged files; rewrite mode: staged files only."""
         s = self._staged_manifest(staging_id)
-        staged_df = self._read_entries(spark, s["entries"])
+        mapping = s.get(
+            "column_map_ext",
+            {} if s["mode"] == "rewrite" else self.column_map(),
+        )
+        staged_df = self._to_logical(
+            self._read_entries(spark, s["entries"]), mapping
+        )
         if s["mode"] == "rewrite" or s["base_version"] == 0:
             return staged_df
         return self.read(spark, s["base_version"]).unionByName(staged_df)
@@ -961,8 +1294,12 @@ class SnapshotTable:
             # a rewrite re-declares the layout wholesale and clears any
             # evolution flag, exactly like commit_rewrite
             ev = False if s["mode"] == "rewrite" else None
+        cmap = s.get("column_map_ext")
+        if s["mode"] == "rewrite":
+            cmap = {}  # staged rewrite materialized logical names
         v = self._publish(
-            entries, expected_parent=base, delete_files=dvs, layout=lay, evolved=ev
+            entries, expected_parent=base, delete_files=dvs, layout=lay,
+            evolved=ev, column_map=cmap
         )
         os.remove(os.path.join(self.staged_dir, f"{staging_id}.json"))
         return v
@@ -1029,14 +1366,22 @@ class SnapshotTable:
     ) -> list[dict]:
         """Move freshly-written FLAT files into the partition directory of
         ``template`` (an existing entry) and tag them with its partition
-        values.  The directory path is reused verbatim from the template's
-        own path, so ``col=value`` encoding and nesting order stay exactly
-        the table's convention — basePath discovery sees one consistent
-        layout.  No-op for flat templates."""
+        values.  The ``col=value`` segments are lifted verbatim from the
+        template's own path (encoding and nesting order stay exactly the
+        table's convention — basePath discovery sees one consistent
+        layout) but are re-rooted under THIS table's data_dir: on a
+        shallow clone the template may live in the SOURCE table's tree,
+        and rewrites must never land there (the source's vacuum would
+        collect them).  No-op for flat templates."""
         parts = template.get("partitions")
         if not parts:
             return entries
-        sub = os.path.dirname(template["path"])
+        rel = os.sep.join(
+            seg
+            for seg in os.path.dirname(template["path"]).split(os.sep)
+            if "=" in seg
+        )
+        sub = os.path.join(self.data_dir, rel)
         os.makedirs(sub, exist_ok=True)
         for e in entries:
             dst = os.path.join(sub, os.path.basename(e["path"]))
@@ -1202,6 +1547,7 @@ class SnapshotTable:
         versions = self.versions()
         if not versions:
             return self.commit_append(updates, n_new_files, stats_cols)
+        self._enforce_constraints(updates, self._incoming_constraints())
         cur = self._manifest(versions[-1])
         cur_entries = cur["files"]
         dvs = list(cur.get("delete_files", []))
@@ -1216,6 +1562,9 @@ class SnapshotTable:
                 f"commit_merge updates must carry the table's partition "
                 f"columns {tuple(lay)} so upserted rows keep their layout"
             )
+        mapping = cur.get("column_map", {})
+        ext = self._extended_map(updates.columns, mapping)
+        phys_key = mapping.get(key, key)
         upd_keys = updates.select(key).distinct()
         # zone-map routing: files whose [min,max] stats for the key can't
         # overlap the update batch's key range can't contain a match — the
@@ -1253,9 +1602,13 @@ class SnapshotTable:
             )
         if data_entries:
             hits = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[e["path"] for e in data_entries])
-                .withColumn("__f", F.input_file_name())
+                self._to_logical(
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*[e["path"] for e in data_entries])
+                    .withColumn("__f", F.input_file_name()),
+                    mapping,
+                    keep=("__f",),
+                )
                 .join(F.broadcast(upd_keys), key, "left_semi")
                 .select("__f")
                 .distinct()
@@ -1270,8 +1623,12 @@ class SnapshotTable:
             if key in e.get("partitions", {}):
                 continue  # partition-keyed match: every live row is
                 # replaced by updates — the file disappears whole
+            # survivors stay PHYSICAL end-to-end (scan flat, write back
+            # unchanged); only the join key crosses the mapping boundary
             survivors = self._scan_flat_live(spark, [e["path"]], dvs).join(
-                F.broadcast(upd_keys), key, "left_anti"
+                F.broadcast(upd_keys.withColumnRenamed(key, phys_key)),
+                phys_key,
+                "left_anti",
             )
             if not survivors.limit(1).count():
                 continue  # fully-matched file: disappears from the manifest
@@ -1282,7 +1639,11 @@ class SnapshotTable:
                 )
             )
         new = self._write_data_files(
-            updates, n_new_files, stats_cols, partition_by=list(lay) or None
+            self._to_physical(updates, mapping),
+            n_new_files,
+            [mapping.get(c, c) for c in stats_cols] if stats_cols and mapping
+            else stats_cols,
+            partition_by=list(lay) or None,
         )
         # trim DVs to carried files: rewritten/vanished files folded their
         # dead rows in above, so only kept-file positions stay live
@@ -1305,6 +1666,7 @@ class SnapshotTable:
             kept + rewritten + new,
             expected_parent=versions[-1],
             delete_files=new_dvs or None,
+            column_map=ext,
         )
 
     def incremental_files(self, v_from: int, v_to: int | None = None) -> list[str]:
@@ -1340,7 +1702,11 @@ class SnapshotTable:
         files = self.incremental_files(v_from, v_to)
         if not files:
             return self.read(spark, v_from).limit(0)
-        return spark.read.parquet(*files)
+        vt = v_to if v_to is not None else self._head()
+        return self._to_logical(
+            spark.read.parquet(*files),
+            self._raw_manifest(vt).get("column_map", {}),
+        )
 
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` — published as a NEW version
@@ -1381,6 +1747,10 @@ class SnapshotTable:
             delete_files=list(dvs) or None,
             layout=lay,
             evolved=ev,
+            # ... and the restored version's column mapping + constraints
+            # (explicit empty = clear, never inherit the abandoned head's)
+            column_map=m.get("column_map", {}),
+            constraints=m.get("constraints", {}),
         )
 
     def pruned_entries(
@@ -1405,6 +1775,10 @@ class SnapshotTable:
            skipped and is always returned (correctness over pruning).
         """
         v = version if version is not None else self._head()
+        if col is not None:
+            # zone maps are keyed by PHYSICAL names (footers of immutable
+            # files); translate a logical probe column through the mapping
+            col = self._raw_manifest(v).get("column_map", {}).get(col, col)
         out = []
         for e in self._manifest(v)["files"]:
             if partitions:
@@ -1460,11 +1834,12 @@ class SnapshotTable:
         if not entries:
             return self.read(spark, version, merge_schema=merge_schema).limit(0)
         v = version if version is not None else self._head()
-        return self._read_entries(
-            spark,
-            entries,
-            merge_schema,
-            delete_files=self._manifest(v).get("delete_files"),
+        m = self._manifest(v)
+        return self._to_logical(
+            self._read_entries(
+                spark, entries, merge_schema, delete_files=m.get("delete_files")
+            ),
+            m.get("column_map", {}),
         )
 
     # -- retention -----------------------------------------------------------

@@ -490,3 +490,45 @@ def test_twap_and_trending_plans(spark, sf_dir):
     assert "Join" not in tr
     for spec in window_partition_specs(tr):
         assert spec != ""
+
+
+def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
+    """Runtime row-level join pruning (the Spark 3.3+ bloom-filter
+    injection): a selective dim filter joined to a big fact over SMJ gets
+    a BloomFilterMightContain probe pushed into the FACT scan side — rows
+    that can't match die before the shuffle, the 100 TB lever for
+    selective fact-dim joins that can't broadcast.  Pinned here so a
+    future session-config change can't silently lose the injection."""
+    from bigdata_homed_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # scale the creation thresholds to test data volume (defaults are
+        # sized for 10MB+ build sides)
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1000000b",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").where(
+            "o_orderpriority = '1-URGENT'"
+        ).select("o_orderkey")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        n = joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+        # correctness unchanged by the probe
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        assert joined.count() == n
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

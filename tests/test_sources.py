@@ -2210,3 +2210,224 @@ def test_manifest_checkpointing_bounds_commit_write(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no manifest"):
         t.read(spark, 13)  # expired: cache must not resurrect it
+
+
+def test_snapshot_check_constraints(spark, tmp_path):
+    """Delta ALTER TABLE ADD CONSTRAINT parity: declaring a CHECK is a
+    metadata-only commit that first validates EXISTING rows; every ingest
+    verb then refuses a violating batch whole (nothing published); NULL
+    passes (SQL CHECK semantics); drop_constraint lifts the rule; the
+    constraint set survives vacuum and propagates through commits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import (
+        ConstraintViolationError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "cons"))
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    t.commit_append(df)
+    head_files = t.files()
+
+    # blessing scans existing rows: a rule the table already violates is refused
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.add_constraint(spark, "v_positive", "v > 15")
+    # NULL passes: v > 0 is NULL for k=3, not FALSE
+    v = t.add_constraint(spark, "v_positive", "v > 0")
+    assert t.files(v) == head_files  # metadata-only: same file list
+    assert t.constraints() == {"v_positive": "v > 0"}
+
+    # append: violating batch refused WHOLE, head unmoved
+    bad = spark.createDataFrame([(4, -1.0)], "k long, v double")
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.commit_append(bad)
+    assert t.versions()[-1] == v
+    t.commit_append(spark.createDataFrame([(4, 4.0)], "k long, v double"))
+
+    # CoW merge + MoR merge + UPDATE enforce on their updates too
+    with pytest.raises(ConstraintViolationError):
+        t.commit_merge(bad, key="k")
+    with pytest.raises(ConstraintViolationError):
+        t.commit_merge_on_read(bad, key="k")
+    with pytest.raises(ConstraintViolationError):
+        t.commit_update(spark, F.col("k") == 1, {"v": F.lit(-5.0)})
+    # WAP staging is gated the same way (the write never lands)
+    with pytest.raises(ConstraintViolationError):
+        t.stage_commit(bad)
+
+    # a second constraint composes; both enforced in one pass
+    t.add_constraint(spark, "k_range", "k between 0 and 1000")
+    with pytest.raises(ConstraintViolationError, match="k_range"):
+        t.commit_append(spark.createDataFrame([(5000, 1.0)], "k long, v double"))
+
+    # drop lifts the rule
+    t.drop_constraint("v_positive")
+    t.commit_append(spark.createDataFrame([(5, -9.0)], "k long, v double"))
+    assert t.constraints() == {"k_range": "k between 0 and 1000"}
+    assert t.read(spark).count() == 5
+
+    # constraints ride the manifest lineage through vacuum
+    t.vacuum(keep_last=2)
+    assert t.constraints() == {"k_range": "k between 0 and 1000"}
+    with pytest.raises(ConstraintViolationError):
+        t.commit_append(spark.createDataFrame([(7777, 1.0)], "k long, v double"))
+
+
+def test_snapshot_column_mapping_rename_drop(spark, tmp_path):
+    """Delta column-mapping parity: rename and drop are METADATA-ONLY
+    commits (file list unchanged, physical bytes immutable); reads alias
+    the physical column to its logical name; time travel sees each
+    version's own names; every ingest verb reverse-maps logical batches;
+    zone-map probes translate the logical column; OPTIMIZE materializes
+    the mapping away."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "cmap"))
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "k long, price double, tag string",
+    )
+    t.commit_append(df, stats_cols=["price"])
+    files_v1 = t.files()
+
+    v2 = t.rename_column(spark, "price", "amount")
+    assert t.files(v2) == files_v1  # zero data movement
+    assert set(t.read(spark).columns) == {"k", "amount", "tag"}
+    assert t.read(spark, 1).columns == ["k", "price", "tag"]  # time travel
+    assert {r["k"]: r["amount"] for r in t.read(spark).collect()}[2] == 20.0
+
+    # appends speak the NEW logical name; physical files keep the old one
+    t.commit_append(
+        spark.createDataFrame([(4, 40.0, "d")], "k long, amount double, tag string")
+    )
+    assert t.read(spark).where("amount = 40.0").count() == 1
+    # zone-map probe on the LOGICAL name still prunes (physical stats)
+    assert len(t.pruned_files("amount", 35.0, 45.0)) < len(t.files())
+
+    # MoR merge + UPDATE + DELETE all speak logical
+    t.commit_merge_on_read(
+        spark.createDataFrame([(1, -1.0, "a")], "k long, amount double, tag string"),
+        key="k",
+    )
+    t.commit_update(spark, F.col("k") == 3, {"amount": F.lit(33.0)})
+    t.commit_delete(spark, F.col("amount") < 0)
+    got = {r["k"]: r["amount"] for r in t.read(spark).collect()}
+    assert got == {2: 20.0, 3: 33.0, 4: 40.0}
+
+    # CoW merge over the mapped (and DV-carrying) table
+    t.commit_merge(
+        spark.createDataFrame([(2, 22.0, "B"), (9, 90.0, "i")],
+                              "k long, amount double, tag string"),
+        key="k",
+    )
+    got = {r["k"]: r["amount"] for r in t.read(spark).collect()}
+    assert got == {2: 22.0, 3: 33.0, 4: 40.0, 9: 90.0}
+
+    # drop: metadata-only; the column vanishes at head, survives in history
+    vd = t.drop_column(spark, "tag")
+    assert set(t.read(spark).columns) == {"k", "amount"}
+    assert "tag" in t.read(spark, vd - 1).columns
+    # schema evolution on a mapped table: a NEW logical column extends the
+    # mapping as identity
+    t.commit_append(
+        spark.createDataFrame([(10, 1.5, 7)], "k long, amount double, extra long")
+    )
+    r10 = t.read(spark, merge_schema=True).where("k = 10").first()
+    assert r10["extra"] == 7 and r10["amount"] == 1.5
+
+    # partition columns are refused (path-encoded)
+    tp = SnapshotTable(str(tmp_path / "cmap_p"))
+    tp.commit_append(
+        spark.createDataFrame([(1, 5)], "k long, day long"), partition_by=["day"]
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        tp.rename_column(spark, "day", "dt")
+    with pytest.raises(ValueError, match="partition column"):
+        tp.drop_column(spark, "day")
+
+    # restore re-declares the RESTORED version's mapping, not the head's
+    v_before_drop = vd - 1
+    t.restore(v_before_drop)
+    assert "tag" in t.read(spark, merge_schema=True).columns
+
+    # OPTIMIZE (commit_rewrite) materializes logical names and resets the map
+    t.commit_rewrite(t.read(spark, merge_schema=True), n_files=1)
+    assert t.column_map() == {}
+    cols = set(t.read(spark).columns)
+    assert {"k", "amount", "tag"} <= cols
+    import pyarrow.parquet as pq
+
+    phys = set(pq.ParquetFile(t.files()[0]).schema_arrow.names)
+    assert "amount" in phys and "price" not in phys  # rename materialized
+
+
+def test_snapshot_shallow_clone(spark, tmp_path):
+    """Zero-copy SHALLOW CLONE: the clone's v1 references the source's
+    files byte-for-byte; divergence is independent in both directions; a
+    partitioned clone's CoW-merge rewrites land under the CLONE's own
+    tree (never the source's, whose vacuum would collect them); the
+    clone's vacuum never touches source files; table metadata (layout,
+    constraints, column mapping) carries over."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    df = spark.range(90).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("day"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    src.commit_append(df, partition_by=["day"], stats_cols=["k"])
+    src.rename_column(spark, "v", "val")
+    src.add_constraint(spark, "v_ok", "val >= 0")
+    # a column referenced by a CHECK cannot rename/drop (Delta rule)
+    import pytest
+
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        src.rename_column(spark, "val", "v2")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        src.drop_column(spark, "val")
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert clone.files(1) == src.files()  # same physical files, no copy
+    assert clone.read(spark).count() == 90
+    assert clone.constraints() == {"v_ok": "val >= 0"}
+    assert set(clone.read(spark).columns) == {"k", "day", "val"}
+    assert clone._manifest(1)["layout"] == ["day"]
+
+    # divergence: clone merge rewrites land under the CLONE's data_dir
+    upd = spark.createDataFrame([(0, 0, -0.0), (900, 1, 9.0)],
+                                "k long, day long, val double")
+    clone.commit_merge(upd, key="k")
+    new_files = set(clone.files()) - set(src.files())
+    assert new_files and all(p.startswith(clone.data_dir) for p in new_files)
+    assert all(f"day=" in p for p in new_files)  # partition dirs re-rooted
+    assert src.read(spark).count() == 90  # source untouched
+    assert clone.read(spark).count() == 91
+
+    # constraints came along: a violating append on the clone is refused
+    from bigdata_homed_spark.sources.snapshots import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        clone.commit_append(
+            spark.createDataFrame([(5000, 2, -1.0)], "k long, day long, val double")
+        )
+
+    # clone vacuum sweeps only its own tree
+    clone.commit_rewrite(clone.read(spark), n_files=1)
+    clone.vacuum(keep_last=1)
+    assert all(os.path.exists(p) for p in src.files())
+    assert src.read(spark).count() == 90
+
+    # a second clone onto a non-empty destination is refused
+    with pytest.raises(ValueError, match="already has commits"):
+        src.clone_to(str(tmp_path / "clone"))
