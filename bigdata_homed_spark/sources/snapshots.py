@@ -366,6 +366,7 @@ class SnapshotTable:
         evolved: bool | None = None,
         constraints: dict[str, str] | None = None,
         column_map: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> int:
         """``layout`` (the table's DECLARED partition keys) and ``evolved``
         (partition evolution was explicitly declared at some point) are
@@ -396,10 +397,21 @@ class SnapshotTable:
         cmap = column_map if column_map is not None else parent_m.get("column_map")
         if cmap:
             manifest["column_map"] = cmap
+        gen = generated if generated is not None else parent_m.get("generated_columns")
+        if gen:
+            manifest["generated_columns"] = gen
         if delete_files:
             manifest["delete_files"] = delete_files
         if batch_id is not None:
             manifest["batch_id"] = batch_id
+        import time as _time
+
+        # wall-clock commit stamp: powers timestamp time travel
+        # (version_at / read(as_of=...), the Delta TIMESTAMP AS OF shape).
+        # Guaranteed monotone non-decreasing across versions so the
+        # as-of resolution is well-defined even under clock jitter.
+        prev_ts = parent_m.get("committed_at", 0.0)
+        manifest["committed_at"] = max(_time.time(), prev_ts)
         # representation: full checkpoint every CHECKPOINT_EVERY versions
         # (bounds every reconstruction chain), delta otherwise — but only
         # when the delta is both SMALLER than the full list and replays to
@@ -455,6 +467,68 @@ class SnapshotTable:
                 out.add(b)
         return out
 
+    # -- generated columns (Delta GENERATED ALWAYS AS parity) ----------------
+    def generated_columns(self, version: int | None = None) -> dict[str, str]:
+        """name -> SQL expression (over the other logical columns)."""
+        versions = self.versions()
+        if not versions:
+            return {}
+        v = version if version is not None else versions[-1]
+        return dict(self._raw_manifest(v).get("generated_columns", {}))
+
+    def set_generated_column(
+        self, spark: SparkSession, name: str, expr_sql: str
+    ) -> int:
+        """Declare ``name`` GENERATED ALWAYS AS ``expr_sql`` (a metadata-
+        only commit).  From then on every ingest COMPUTES the column when
+        the batch omits it and VALIDATES it (null-safe equality, commit
+        refused whole on mismatch) when the batch supplies it — which is
+        what makes a generated partition key (day = ts div 86400)
+        trustworthy enough to prune on.  Declaring over existing data
+        validates the stored values first, one scan."""
+        head = self._head()
+        gcols = self.generated_columns(head)
+        if name in gcols:
+            raise ValueError(f"generated column {name!r} already declared")
+        m = self._manifest(head)
+        existing = self.read(spark, merge_schema=True)
+        if name in existing.columns:
+            self._validate_generated(existing, {name: expr_sql})
+        return self._publish(
+            list(m["files"]),
+            expected_parent=head,
+            delete_files=m.get("delete_files"),
+            generated={**gcols, name: expr_sql},
+        )
+
+    @staticmethod
+    def _validate_generated(df: DataFrame, gcols: dict[str, str]) -> None:
+        from pyspark.sql import functions as F
+
+        for name, sql in gcols.items():
+            if name not in df.columns:
+                continue
+            bad = df.where(~F.col(name).eqNullSafe(F.expr(sql))).limit(1)
+            if bad.count():
+                raise ConstraintViolationError(
+                    f"generated column {name!r} does not equal its "
+                    f"expression ({sql}) for at least one incoming row — "
+                    "commit refused, nothing published"
+                )
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute absent generated columns; validate supplied ones."""
+        from pyspark.sql import functions as F
+
+        gcols = self.generated_columns() if self.versions() else {}
+        if not gcols:
+            return df
+        self._validate_generated(df, gcols)
+        for name, sql in gcols.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(sql))
+        return df
+
     # -- shallow clone (Delta SHALLOW CLONE parity) --------------------------
     def clone_to(self, dst_path: str) -> "SnapshotTable":
         """Zero-copy SHALLOW CLONE: the clone's v1 manifest references the
@@ -482,6 +556,7 @@ class SnapshotTable:
             evolved=bool(m.get("evolved")),
             constraints=m.get("constraints", {}),
             column_map=m.get("column_map", {}),
+            generated=m.get("generated_columns", {}),
         )
         return dst
 
@@ -578,6 +653,16 @@ class SnapshotTable:
             raise ValueError(
                 f"cannot {verb} column {column!r}: referenced by CHECK "
                 f"constraint(s) {refs}; drop_constraint first"
+            )
+        grefs = [
+            n
+            for n, sql in self.generated_columns().items()
+            if n == column or _re.search(rf"\b{_re.escape(column)}\b", sql)
+        ]
+        if grefs:
+            raise ValueError(
+                f"cannot {verb} column {column!r}: it is, or is referenced "
+                f"by, generated column(s) {grefs}"
             )
 
     @staticmethod
@@ -738,6 +823,7 @@ class SnapshotTable:
         still fails loudly — accidental mixing stays an error."""
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.versions()[-1]
+        df = self._apply_generated(df)
         self._enforce_constraints(df, self._incoming_constraints())
         mapping = self.column_map()
         ext = self._extended_map(df.columns, mapping)
@@ -823,6 +909,7 @@ class SnapshotTable:
         Same lost-update guard as append/merge: ``df`` was derived from the
         head the caller read, so publishing over a moved head (a commit
         interleaved while the rewrite was staging) would silently drop it."""
+        df = self._apply_generated(df)
         self._enforce_constraints(df, self._incoming_constraints())
         versions = self.versions()
         parent = versions[-1] if versions else 0
@@ -840,11 +927,27 @@ class SnapshotTable:
         )
 
     # -- reads -------------------------------------------------------------
+    def version_at(self, ts: float) -> int:
+        """The version committed at-or-before wall-clock ``ts`` (epoch
+        seconds) — Delta's TIMESTAMP AS OF resolution.  Raises if the
+        earliest surviving version is already newer (or was vacuumed)."""
+        best = None
+        for v in self.versions():
+            if self._raw_manifest(v).get("committed_at", float("inf")) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"snapshot table {self.path} has no version at or before "
+                f"timestamp {ts} (too early, or expired by vacuum)"
+            )
+        return best
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         merge_schema: bool = False,
+        as_of: float | None = None,
     ) -> DataFrame:
         """Read a pinned version: schedules exactly the manifest's files.
 
@@ -861,6 +964,10 @@ class SnapshotTable:
         Versions carrying ``delete_files`` (merge-on-read commits) subtract
         the dead positions with a broadcast anti-join — see
         ``_read_entries``."""
+        if as_of is not None and version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        if as_of is not None:
+            version = self.version_at(as_of)
         v = version if version is not None else self._head()
         m = self._manifest(v)
         entries = m["files"]
@@ -1063,6 +1170,15 @@ class SnapshotTable:
             return head
         doomed = live.select("__file", "__pos")
         updated = live.drop("__file", "__pos").withColumns(dict(assignments))
+        gcols = self.generated_columns()
+        if gcols:
+            from pyspark.sql import functions as _F
+
+            # assignments may have moved a source column: recompute, never
+            # trust a stale stored value through an UPDATE
+            updated = updated.withColumns(
+                {n: _F.expr(sql) for n, sql in gcols.items()}
+            )
         self._enforce_constraints(updated, self._incoming_constraints())
         mapping = m.get("column_map", {})
         if stats_cols and mapping:
@@ -1106,6 +1222,7 @@ class SnapshotTable:
             return self.commit_append(
                 updates, n_new_files, stats_cols, batch_id=batch_id
             )
+        updates = self._apply_generated(updates)
         self._enforce_constraints(updates, self._incoming_constraints())
         head = versions[-1]
         m = self._manifest(head)
@@ -1164,12 +1281,13 @@ class SnapshotTable:
                     len(m["files"]),
                     len(m.get("delete_files", [])),
                     m.get("batch_id"),
+                    m.get("committed_at"),
                 )
             )
         return spark.createDataFrame(
             rows,
             "version int, parent int, n_files int, n_delete_files int, "
-            "batch_id long",
+            "batch_id long, committed_at double",
         )
 
     # -- write-audit-publish -------------------------------------------------
@@ -1215,6 +1333,7 @@ class SnapshotTable:
         visibility is a metadata decision."""
         if mode not in ("append", "rewrite"):
             raise ValueError("mode must be 'append' or 'rewrite'")
+        df = self._apply_generated(df)
         self._enforce_constraints(df, self._incoming_constraints())
         versions = self.versions()
         base = versions[-1] if versions else 0
@@ -1547,6 +1666,7 @@ class SnapshotTable:
         versions = self.versions()
         if not versions:
             return self.commit_append(updates, n_new_files, stats_cols)
+        updates = self._apply_generated(updates)
         self._enforce_constraints(updates, self._incoming_constraints())
         cur = self._manifest(versions[-1])
         cur_entries = cur["files"]
@@ -1751,6 +1871,7 @@ class SnapshotTable:
             # (explicit empty = clear, never inherit the abandoned head's)
             column_map=m.get("column_map", {}),
             constraints=m.get("constraints", {}),
+            generated=m.get("generated_columns", {}),
         )
 
     def pruned_entries(

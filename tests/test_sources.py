@@ -2431,3 +2431,104 @@ def test_snapshot_shallow_clone(spark, tmp_path):
     # a second clone onto a non-empty destination is refused
     with pytest.raises(ValueError, match="already has commits"):
         src.clone_to(str(tmp_path / "clone"))
+
+
+def test_snapshot_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: every commit stamps a monotone committed_at;
+    version_at resolves at-or-before; read(as_of=) pins the resolved
+    version; history() exposes the stamps; too-early asks fail loud."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "asof"))
+    t0 = time.time()
+    t.commit_append(spark.range(5).select(F.col("id").alias("k")))
+    ts1 = time.time()
+    time.sleep(0.02)
+    t.commit_append(spark.range(5, 9).select(F.col("id").alias("k")))
+    ts2 = time.time()
+
+    assert t.version_at(ts1) == 1 and t.version_at(ts2) == 2
+    assert t.read(spark, as_of=ts1).count() == 5
+    assert t.read(spark, as_of=ts2).count() == 9
+    with pytest.raises(ValueError, match="at or before"):
+        t.version_at(t0 - 10)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=1, as_of=ts1)
+    h = {r["version"]: r["committed_at"] for r in t.history(spark).collect()}
+    assert h[1] <= h[2] and all(v is not None for v in h.values())
+
+
+def test_snapshot_generated_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS: batches omitting the column get it computed
+    (and can partition by it); batches supplying a WRONG value are
+    refused whole; UPDATE recomputes after assignments move a source
+    column; declaration over existing data validates stored values;
+    rename/drop of the column or its sources is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import (
+        ConstraintViolationError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "gen"))
+    ev = spark.createDataFrame(
+        [(1, 86400 * 3 + 5, 1.0), (2, 86400 * 4 + 9, 2.0)],
+        "k long, ts_sec long, v double",
+    )
+    # seed with the column materialized once, then DECLARE it generated —
+    # declaration validates the stored values (one scan)
+    seed = ev.limit(1).withColumn("day", F.expr("ts_sec div 86400"))
+    t.commit_append(seed, partition_by=["day"])
+    t.set_generated_column(spark, "day", "ts_sec div 86400")
+    # subsequent batch OMITS day -> computed, lands in its partition
+    t.commit_append(ev.where("k = 2"), partition_by=["day"])
+    got = {r["k"]: r["day"] for r in t.read(spark).collect()}
+    assert got == {1: 3, 2: 4}
+    assert len(t.pruned_entries(partitions={"day": "3"})) == 1  # prunable
+
+    # a batch supplying a WRONG generated value is refused whole
+    bad = spark.createDataFrame(
+        [(3, 86400 * 5 + 1, 3.0, 999)], "k long, ts_sec long, v double, day long"
+    )
+    with pytest.raises(ConstraintViolationError, match="generated column"):
+        t.commit_append(bad, partition_by=["day"])
+    # a CORRECT supplied value passes
+    t.commit_append(
+        spark.createDataFrame(
+            [(3, 86400 * 5 + 1, 3.0, 5)], "k long, ts_sec long, v double, day long"
+        ),
+        partition_by=["day"],
+    )
+
+    # UPDATE moving the source recomputes the generated column
+    t.commit_update(spark, F.col("k") == 1, {"ts_sec": F.lit(86400 * 9 + 1).cast("bigint")})
+    assert t.read(spark).where("k = 1").first()["day"] == 9
+
+    # MoR merge with omitted generated column computes it too
+    t.commit_merge_on_read(
+        spark.createDataFrame([(2, 86400 * 7 + 2, 20.0)],
+                              "k long, ts_sec long, v double"),
+        key="k",
+    )
+    assert t.read(spark).where("k = 2").first()["day"] == 7
+
+    # guard: neither the generated column nor its source may rename/drop
+    with pytest.raises(ValueError, match="generated column"):
+        t.rename_column(spark, "ts_sec", "t")
+    with pytest.raises(ValueError, match="partition column|generated column"):
+        t.drop_column(spark, "day")  # partition guard fires first here
+
+    # declaring over existing MISmatched data is refused
+    t2 = SnapshotTable(str(tmp_path / "gen2"))
+    t2.commit_append(
+        spark.createDataFrame([(1, 100, 777)], "k long, ts_sec long, day long")
+    )
+    with pytest.raises(ConstraintViolationError):
+        t2.set_generated_column(spark, "day", "ts_sec div 86400")
