@@ -367,6 +367,7 @@ class SnapshotTable:
         constraints: dict[str, str] | None = None,
         column_map: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
+        dropped_physical: list[str] | None = None,
     ) -> int:
         """``layout`` (the table's DECLARED partition keys) and ``evolved``
         (partition evolution was explicitly declared at some point) are
@@ -400,6 +401,13 @@ class SnapshotTable:
         gen = generated if generated is not None else parent_m.get("generated_columns")
         if gen:
             manifest["generated_columns"] = gen
+        dp = (
+            dropped_physical
+            if dropped_physical is not None
+            else parent_m.get("dropped_physical")
+        )
+        if dp:
+            manifest["dropped_physical"] = dp
         if delete_files:
             manifest["delete_files"] = delete_files
         if batch_id is not None:
@@ -549,14 +557,20 @@ class SnapshotTable:
             raise ValueError(f"clone destination {dst.path} already has commits")
         head = self._head()
         m = self._manifest(head)
+        lay = m.get("layout")
+        ev = bool(m.get("evolved"))
+        if lay is None:  # legacy source manifest: infer, don't declare flat
+            lay, mixed = self._infer_layout(m["files"])
+            ev = ev or mixed
         dst._publish(
             list(m["files"]),
             delete_files=list(m.get("delete_files", [])) or None,
-            layout=m.get("layout", []),
-            evolved=bool(m.get("evolved")),
+            layout=lay,
+            evolved=ev,
             constraints=m.get("constraints", {}),
             column_map=m.get("column_map", {}),
             generated=m.get("generated_columns", {}),
+            dropped_physical=m.get("dropped_physical", []),
         )
         return dst
 
@@ -634,6 +648,8 @@ class SnapshotTable:
             expected_parent=head,
             delete_files=m.get("delete_files"),
             column_map=new_map,
+            # the physical bytes remain: reserve the name until a rewrite
+            dropped_physical=self._dropped_physical() + [mapping[name]],
         )
 
     def _refuse_if_constrained(self, column: str, verb: str) -> None:
@@ -670,15 +686,17 @@ class SnapshotTable:
         """Reverse-map a LOGICAL batch to physical column names for the
         write path; logical columns the mapping has never seen (schema
         evolution adding a column) pass through as identity — the caller
-        extends the stored mapping."""
+        extends the stored mapping.  ONE select, not sequential renames:
+        a legal mapping may swap names ({c: a, a: b}), and chained
+        withColumnRenamed would transiently duplicate a name and corrupt
+        the frame order-dependently."""
+        from pyspark.sql import functions as F
+
         if not mapping:
             return df
-        renames = {log: phys for log, phys in mapping.items() if log != phys}
-        out = df
-        for log, phys in renames.items():
-            if log in out.columns:
-                out = out.withColumnRenamed(log, phys)
-        return out
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
 
     @staticmethod
     def _to_logical(df: DataFrame, mapping: dict[str, str], keep: tuple = ()) -> DataFrame:
@@ -701,6 +719,17 @@ class SnapshotTable:
         cols += [F.col(k) for k in keep if k in present]
         return df.select(*cols)
 
+    def _dropped_physical(self) -> list[str]:
+        """Physical names orphaned by drop_column: their bytes remain in
+        the immutable files, so the names stay RESERVED until a rewrite
+        materializes the drop — re-admitting one as a fresh logical column
+        would resurrect the stale pre-drop values through the identity
+        mapping."""
+        versions = self.versions()
+        if not versions:
+            return []
+        return list(self._raw_manifest(versions[-1]).get("dropped_physical", []))
+
     def _extended_map(self, df_columns, mapping: dict[str, str]) -> dict[str, str] | None:
         """The mapping extended with identity entries for logical columns
         a batch introduces (additive schema evolution on a mapped table).
@@ -711,11 +740,14 @@ class SnapshotTable:
         if not fresh:
             return None
         out = dict(mapping)
+        reserved = set(out.values()) | set(self._dropped_physical())
         for c in fresh:
-            if c in out.values():
+            if c in reserved:
                 raise ValueError(
                     f"new column {c!r} collides with a physical name still "
-                    "present in data files; pick a different logical name"
+                    "present in data files (a live mapping target, or a "
+                    "column dropped but not yet rewritten away); pick a "
+                    "different logical name, or commit_rewrite first"
                 )
             out[c] = c
         return out
@@ -923,7 +955,9 @@ class SnapshotTable:
             # the rewrite wrote the LOGICAL names into the new files —
             # renames/drops are materialized, the mapping resets to
             # identity (how a mapped table eventually sheds its aliases)
+            # and dropped physical names stop being reserved
             column_map={},
+            dropped_physical=[],
         )
 
     # -- reads -------------------------------------------------------------
@@ -1181,6 +1215,9 @@ class SnapshotTable:
             )
         self._enforce_constraints(updated, self._incoming_constraints())
         mapping = m.get("column_map", {})
+        # assignments may introduce a NEW column: extend the mapping like
+        # every other ingest verb, or reads would silently drop it
+        ext = self._extended_map(updated.columns, mapping)
         if stats_cols and mapping:
             stats_cols = [mapping.get(c, c) for c in stats_cols]
         dvs = list(m.get("delete_files", [])) + self._write_delete_files(doomed)
@@ -1188,7 +1225,10 @@ class SnapshotTable:
             self._to_physical(updated, mapping), n_new_files, stats_cols
         )
         return self._publish(
-            list(m["files"]) + new, expected_parent=head, delete_files=dvs
+            list(m["files"]) + new,
+            expected_parent=head,
+            delete_files=dvs,
+            column_map=ext,
         )
 
     def commit_merge_on_read(
@@ -1454,18 +1494,51 @@ class SnapshotTable:
         )
         return dead / total if total else 0.0
 
+    @staticmethod
+    def _infer_layout(entries: list[dict]) -> tuple[list[str], bool]:
+        """Legacy-manifest layout inference (shared by every verb that
+        needs a declared layout from a pre-layout-field manifest):
+        single partition-key tuple -> that layout; mixed tuples -> flat
+        with evolution declared (mixing is the observed contract)."""
+        keys = {tuple(sorted(e.get("partitions", {}))) for e in entries}
+        if len(keys) == 1:
+            return list(next(iter(keys))), False
+        return [], True
+
+    def _trim_dvs(
+        self, spark: SparkSession, dvs: list[str], kept: list[dict]
+    ) -> list[str]:
+        """Deletion vectors trimmed to positions in carried files after a
+        rewrite folded the others in (uuid basenames make the filter
+        exact).  Returns the new DV file list ([] when nothing survives)."""
+        from pyspark.sql import functions as F
+
+        if not dvs or not kept:
+            return []
+        kept_names = [os.path.basename(e["path"]) for e in kept]
+        surviving = (
+            spark.read.parquet(*dvs)
+            .where(F.element_at(F.split(F.col("__file"), "/"), -1).isin(kept_names))
+            .select("__file", "__pos")
+        )
+        if surviving.limit(1).count():
+            return self._write_delete_files(surviving)
+        return []
+
     def _scan_flat_live(
-        self, spark: SparkSession, paths: list[str], dvs: list[str]
+        self, spark: SparkSession, paths: list[str], dv_df: DataFrame | None
     ) -> DataFrame:
         """Scan files WITHOUT partition discovery (content exactly as
         stored — Hive-layout files stay free of their path-encoded
         partition columns) and subtract any DV-dead positions.  The input
         to every rewrite that must land its output back inside the same
-        partition directory."""
+        partition directory.  ``dv_df`` is the PRE-READ deletion-vector
+        frame (``__file``/``__pos``) — callers that loop over groups or
+        hit files read it ONCE, not once per iteration."""
         from pyspark.sql import functions as F
 
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        if not dvs:
+        if dv_df is None:
             return df
         df = df.withColumns(
             {
@@ -1473,7 +1546,7 @@ class SnapshotTable:
                 "__dv_pos": F.col("_metadata.row_index"),
             }
         )
-        dv = spark.read.parquet(*dvs).select(
+        dv = dv_df.select(
             F.col("__file").alias("__dv_file"), F.col("__pos").alias("__dv_pos")
         )
         return df.join(
@@ -1549,6 +1622,11 @@ class SnapshotTable:
         small_paths = {e["path"] for e in small}
         kept = [e for e in entries if e["path"] not in small_paths]
         dvs = m.get("delete_files", [])
+        # the repack scans PHYSICAL columns: translate logical stats_cols
+        # through the mapping or the packed files would lose their zone maps
+        mapping = m.get("column_map", {})
+        if stats_cols and mapping:
+            stats_cols = [mapping.get(c, c) for c in stats_cols]
         if len(small) == 1:
             # repacking a lone small file is churn UNLESS it has dead rows
             # to fold in — check the DVs for positions in it (DVs are small)
@@ -1568,24 +1646,14 @@ class SnapshotTable:
         groups: dict[str, list[dict]] = defaultdict(list)
         for e in small:
             groups[os.path.dirname(e["path"])].append(e)
+        dv_df = spark.read.parquet(*dvs) if dvs else None  # read ONCE
         new: list[dict] = []
         for d in sorted(groups):
             grp = groups[d]
-            packed = self._scan_flat_live(spark, [e["path"] for e in grp], dvs)
+            packed = self._scan_flat_live(spark, [e["path"] for e in grp], dv_df)
             written = self._write_data_files(packed, n_files, stats_cols)
             new.extend(self._relocate_into_partition(written, grp[0]))
-        new_dvs: list[str] = []
-        if dvs and kept:
-            kept_names = [os.path.basename(e["path"]) for e in kept]
-            surviving = (
-                spark.read.parquet(*dvs)
-                .where(
-                    F.element_at(F.split(F.col("__file"), "/"), -1).isin(kept_names)
-                )
-                .select("__file", "__pos")
-            )
-            if surviving.limit(1).count():
-                new_dvs = self._write_delete_files(surviving)
+        new_dvs = self._trim_dvs(spark, dvs, kept)
         return self._publish(
             kept + new, expected_parent=head, delete_files=new_dvs or None
         )
@@ -1675,8 +1743,7 @@ class SnapshotTable:
         # legacy manifests fall back to the entry-inferred single layout
         lay = cur.get("layout")
         if lay is None:
-            keys = {tuple(sorted(e.get("partitions", {}))) for e in cur_entries}
-            lay = list(next(iter(keys))) if len(keys) == 1 else []
+            lay, _mixed = self._infer_layout(cur_entries)
         if lay and not set(lay) <= set(updates.columns):
             raise ValueError(
                 f"commit_merge updates must carry the table's partition "
@@ -1736,6 +1803,7 @@ class SnapshotTable:
             )  # bounded: at most one row per data file
             hit_paths.update(unquote(urlparse(r["__f"]).path) for r in hits)
         kept = [e for e in cur_entries if e["path"] not in hit_paths]
+        dv_df = spark.read.parquet(*dvs) if dvs else None  # read ONCE
         rewritten: list[dict] = []
         for e in cur_entries:
             if e["path"] not in hit_paths:
@@ -1745,7 +1813,7 @@ class SnapshotTable:
                 # replaced by updates — the file disappears whole
             # survivors stay PHYSICAL end-to-end (scan flat, write back
             # unchanged); only the join key crosses the mapping boundary
-            survivors = self._scan_flat_live(spark, [e["path"]], dvs).join(
+            survivors = self._scan_flat_live(spark, [e["path"]], dv_df).join(
                 F.broadcast(upd_keys.withColumnRenamed(key, phys_key)),
                 phys_key,
                 "left_anti",
@@ -1767,18 +1835,7 @@ class SnapshotTable:
         )
         # trim DVs to carried files: rewritten/vanished files folded their
         # dead rows in above, so only kept-file positions stay live
-        new_dvs: list[str] = []
-        if dvs and kept:
-            kept_names = [os.path.basename(e["path"]) for e in kept]
-            surviving = (
-                spark.read.parquet(*dvs)
-                .where(
-                    F.element_at(F.split(F.col("__file"), "/"), -1).isin(kept_names)
-                )
-                .select("__file", "__pos")
-            )
-            if surviving.limit(1).count():
-                new_dvs = self._write_delete_files(surviving)
+        new_dvs = self._trim_dvs(spark, dvs, kept)
         # same lost-update guard as commit_append: the kept/rewritten lists
         # were derived from versions[-1], so publishing over a moved head
         # would drop the interleaved commit
@@ -1856,11 +1913,8 @@ class SnapshotTable:
         lay = m.get("layout")
         ev = bool(m.get("evolved"))
         if lay is None:
-            keys = {tuple(sorted(e.get("partitions", {}))) for e in entries}
-            if len(keys) == 1:
-                lay = list(next(iter(keys)))
-            else:
-                lay, ev = [], True  # legacy mixed layout: evolution is a fact
+            lay, mixed = self._infer_layout(entries)
+            ev = ev or mixed  # legacy mixed layout: evolution is a fact
         return self._publish(
             list(entries),
             expected_parent=head,
@@ -1872,6 +1926,7 @@ class SnapshotTable:
             column_map=m.get("column_map", {}),
             constraints=m.get("constraints", {}),
             generated=m.get("generated_columns", {}),
+            dropped_physical=m.get("dropped_physical", []),
         )
 
     def pruned_entries(

@@ -2532,3 +2532,90 @@ def test_snapshot_generated_columns(spark, tmp_path):
     )
     with pytest.raises(ConstraintViolationError):
         t2.set_generated_column(spark, "day", "ts_sec div 86400")
+
+
+def test_column_mapping_review_fixes(spark, tmp_path):
+    """Pins the r8 self-review fixes: (1) a dropped column's physical name
+    stays RESERVED until a rewrite (re-adding it must not resurrect stale
+    bytes); (2) swap-shaped mappings write correctly (one-shot select, no
+    sequential-rename corruption); (3) commit_update extends the mapping
+    for a column its assignments introduce; (4) compaction translates
+    stats_cols so zone maps survive OPTIMIZE on a mapped table."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    # (1) drop-then-re-add is refused until a rewrite materializes the drop
+    t = SnapshotTable(str(tmp_path / "fixdrop"))
+    t.commit_append(
+        spark.createDataFrame([(1, 10.0)], "k long, x double")
+    )
+    t.rename_column(spark, "x", "y")  # enables mapping
+    t.drop_column(spark, "y")  # physical 'x' bytes remain
+    with pytest.raises(ValueError, match="still present"):
+        t.commit_append(spark.createDataFrame([(2, -1.0)], "k long, x double"))
+    t.commit_rewrite(t.read(spark))  # materializes the drop
+    t.commit_append(spark.createDataFrame([(2, -1.0)], "k long, x double"))
+    got = {r["k"]: r["x"] for r in t.read(spark, merge_schema=True).collect()}
+    assert got == {1: None, 2: -1.0}  # old rows NULL, never 10.0
+
+    # (2) swap-shaped mapping: rename a->c then b->a, ingest still exact
+    t2 = SnapshotTable(str(tmp_path / "fixswap"))
+    t2.commit_append(spark.createDataFrame([(1, 2)], "a long, b long"))
+    t2.rename_column(spark, "a", "c")   # {c: a, b: b}
+    t2.rename_column(spark, "b", "a")   # {c: a, a: b} — swap shape
+    t2.commit_append(spark.createDataFrame([(10, 20)], "c long, a long"))
+    rows = {r["c"]: r["a"] for r in t2.read(spark).collect()}
+    assert rows == {1: 2, 10: 20}
+
+    # (3) UPDATE introducing a new column extends the map (visible at read)
+    t3 = SnapshotTable(str(tmp_path / "fixupd"))
+    t3.commit_append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    t3.rename_column(spark, "v", "val")
+    t3.commit_update(spark, F.col("k") == 1, {"flag": F.lit(7).cast("bigint")})
+    r = t3.read(spark, merge_schema=True).where("k = 1").first()
+    assert r["flag"] == 7 and r["val"] == 1.0
+
+    # (4) compaction keeps zone maps through the mapping
+    t4 = SnapshotTable(str(tmp_path / "fixstats"))
+    for i in range(3):
+        t4.commit_append(
+            spark.range(i * 10, (i + 1) * 10).select(F.col("id").alias("price")),
+            stats_cols=["price"],
+        )
+    t4.rename_column(spark, "price", "amount")
+    v = t4.commit_compact_small(spark, threshold_bytes=1 << 30, n_files=1,
+                                stats_cols=["amount"])
+    entries = t4._manifest(v)["files"]
+    assert all("stats" in e for e in entries)  # zone maps survived
+    # and a LOGICAL probe prunes through the mapping
+    assert t4.read_pruned(spark, "amount", 0, 5).count() == 30  # superset read ok
+    assert len(t4.pruned_entries(col="amount", lo=0, hi=5)) == 1
+
+
+def test_shallow_clone_legacy_layout_inference(spark, tmp_path):
+    """clone_to of a LEGACY partitioned manifest (no layout field) infers
+    the layout from the entries instead of hard-declaring flat — the
+    clone accepts a matching partitioned append."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    src = SnapshotTable(str(tmp_path / "legsrc"))
+    df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p"))
+    src.commit_append(df, partition_by=["p"])
+    p1 = os.path.join(src.manifest_dir, "v1.json")
+    m1 = json.load(open(p1))
+    m1.pop("layout", None)  # simulate a pre-layout-field manifest
+    with open(p1, "w") as f:
+        json.dump(m1, f)
+    clone = src.clone_to(str(tmp_path / "legclone"))
+    assert clone._manifest(1)["layout"] == ["p"]
+    clone.commit_append(
+        df.select((F.col("k") + 100).alias("k"), "p"), partition_by=["p"]
+    )
+    assert clone.read(spark).count() == 40
