@@ -287,6 +287,12 @@ BENCH_QUERIES = [
     # validation) and column mapping (rename/drop as metadata-only DDL).
     "snapshot_check_constraints",
     "snapshot_column_mapping",
+    # round-9: partition-type fidelity pin — evolved bigint>2^31 +
+    # leading-zero-string partition columns through evolve -> rewrite ->
+    # append; benches the explicit-schema keyed-group scan (one extra
+    # footer probe per layout generation, commit-protocol fixed costs
+    # otherwise — expect flat across SFs like the other snapshot verbs).
+    "snapshot_evolved_type_fidelity",
 ]
 
 

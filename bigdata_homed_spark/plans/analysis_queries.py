@@ -1641,9 +1641,9 @@ def timeseries_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(coalesce(a.n_resurrected, 0) as bigint) AS n_resurrected,
            cast(coalesce(c.n_churned, 0) as bigint) AS n_churned,
            CASE WHEN coalesce(c.n_churned, 0) > 0 THEN
-             round(cast(coalesce(a.n_new, 0) + coalesce(a.n_resurrected, 0)
+             floor(cast(coalesce(a.n_new, 0) + coalesce(a.n_resurrected, 0)
                         as double)
-                   / cast(c.n_churned as double), 6)
+                   / cast(c.n_churned as double) * 1000000 + 0.5) / 1000000
            END AS quick_ratio
     FROM ga_act a FULL JOIN ga_churn c ON a.day = c.day
     """,
@@ -1696,15 +1696,21 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n_new", "n_retained", "n_resurrected", "n_churned")
         }
     )
+    # tie-stable rounding: engine-native round(double, 6) diverges one ULP
+    # between Spark and DuckDB on representational ties (the visit_overview
+    # failure class) — floor(x*1e6 + 0.5)/1e6 is the same IEEE expression
+    # shape on both engines, so the tie breaks identically
     return out.withColumn(
         "quick_ratio",
         F.when(
             F.col("n_churned") > 0,
-            F.round(
+            F.floor(
                 (F.col("n_new") + F.col("n_resurrected")).cast("double")
-                / F.col("n_churned").cast("double"),
-                6,
-            ),
+                / F.col("n_churned").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
         ),
     )
 

@@ -2204,3 +2204,118 @@ def snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(ddl_meta)).alias("ddl_metadata_only"),
         F.lit(bool(old_at_v1)).alias("old_name_at_v1"),
     )
+
+
+# --------------------------------------------------------------------------
+# EVOLVED-TYPE FIDELITY — the r9 correctness pin for the manifest's
+# partition-type record.  Hive layout stores partition values as directory
+# STRINGS; without a recorded logical type, Spark's partition-type
+# inference silently narrows a committed bigint to int (a rewrite then
+# bakes INT32 into data files and the table becomes unreadable once an
+# INT64 file joins it — the exact crash the r8 model-based test found) and
+# destroys numeric-looking strings ('0005' -> 5).  This query drives the
+# full hazard sequence — evolved partitioned append (bigint values beyond
+# 2^31 AND a leading-zero string code, nested layout) -> flat OPTIMIZE
+# rewrite fed from read() -> flat append -> read — and pins both the
+# round-tripped VALUES and the round-tripped Spark TYPES against the
+# oracle.  Reference provenance: the partitioned refresh cycle this
+# protects is the `etl/MysqlToHive.scala:52-54` drop/rename swap shape,
+# rebuilt on manifests.
+_SNAPTYP_CACHE: dict[str, str] = {}
+
+
+def _snap_type_fidelity_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPTYP_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapty_"), "orders_ty")
+        t = SnapshotTable(cached)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .withColumns(
+                {
+                    # bigint partition values beyond 2^31: inference would
+                    # narrow these to a garbage int
+                    "big_year": (F.year("o_orderdate") + F.lit(5_000_000_000))
+                    .cast("bigint"),
+                    # numeric-looking STRING code with a leading zero:
+                    # inference would parse '0005' to 5
+                    "s_code": F.lpad(
+                        (F.year("o_orderdate") - F.lit(1990)).cast("string"),
+                        4,
+                        "0",
+                    ),
+                }
+            )
+        )
+        # v1: Hive-partitioned append, both hazard columns path-encoded
+        t.commit_append(
+            orders.where(F.col("o_orderkey") % 2 == 0),
+            n_files=1,
+            partition_by=["big_year", "s_code"],
+        )
+        # v2: flat OPTIMIZE rewrite FED FROM read() — pre-fix this baked
+        # the narrowed types into the data files
+        t.commit_rewrite(t.read(spark), n_files=1)
+        # v3: flat append of the other half at the committed (wide) types —
+        # pre-fix the mixed INT32/INT64 files made the table unreadable
+        t.commit_append(
+            orders.where(F.col("o_orderkey") % 2 == 1), n_files=1, evolve=True
+        )
+        _SNAPTYP_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_evolved_type_fidelity",
+    oracle="""
+    WITH src AS (
+      SELECT o_totalprice,
+             year(o_orderdate) + 5000000000 AS big_year,
+             lpad(cast(year(o_orderdate) - 1990 as varchar), 4, '0') AS s_code
+      FROM orders
+    )
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar) as double) AS sum_total,
+           cast(min(big_year) as bigint) AS min_big_year,
+           cast(max(big_year) as bigint) AS max_big_year,
+           'bigint' AS big_year_type,
+           min(s_code) AS min_code,
+           cast(sum(CASE WHEN s_code = '0005' THEN 1 ELSE 0 END) as bigint) AS n_code_0005,
+           'string' AS s_code_type,
+           cast(3 as bigint) AS n_versions
+    FROM src
+    """,
+)
+def snapshot_evolved_type_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snap_type_fidelity_table(spark, sf_dir)
+    df = t.read(spark)
+    types = dict(df.dtypes)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_total"),
+        F.min("big_year").cast("bigint").alias("min_big_year"),
+        F.max("big_year").cast("bigint").alias("max_big_year"),
+        F.min("s_code").alias("min_code"),
+        F.sum(F.when(F.col("s_code") == "0005", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_code_0005"),
+    ).select(
+        "n_rows",
+        "sum_total",
+        "min_big_year",
+        "max_big_year",
+        # the round-tripped SPARK TYPES are part of the contract: the
+        # oracle pins them as literals, so a re-narrowing regression
+        # hash-mismatches even if the values happen to survive
+        F.lit(types["big_year"]).alias("big_year_type"),
+        "min_code",
+        "n_code_0005",
+        F.lit(types["s_code"]).alias("s_code_type"),
+        F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
+    )

@@ -95,12 +95,14 @@ from . import linkage  # noqa: E402,F401
 # JDBC/HBase/Redis roundtrips, the typed-JSON parse, the as-of join, the
 # streaming T1/T4 anchors) are never evicted.
 #
-# Round-8 window: the full backlog-burn round.  Every non-sole-anchor r7
-# slot is rotated out (all 41 carry r7 driver verdicts, CORRECTNESS_r07
-# 50/50 green); in come the 26 late-r7 waiters + 15 never-verified
-# long-tail entries, so up to 41 first-time verdicts land this round
-# (see ROTATIONS.md §Round 8 for the eviction table).  New r8 snapshot
-# queries swap against the four deferred-to-r9 placeholders as they land.
+# Round-9 window: verdict-burn-down, stale-fails first.  All 41
+# non-sole-anchor r8 slots rotate out (each carries its CORRECTNESS_r08
+# verdict — the r8 window went 50/50 green); in come the three queries
+# whose only driver record was a round-1 FAIL (long fixed, gate-green at
+# 4 SFs since), the two late-r8 waiters, the new r9 type-fidelity pin,
+# and 35 of the 40 remaining never-verified backlog entries.  The five
+# that don't fit (all judge-re-verified at sf0.1 in the r8 session) are
+# the explicit r10 spill — see ROTATIONS.md §Round 9.
 PRIORITY_QUERIES = [
     # -- sole SURVEY §2 anchors (never evicted) ------------------------------
     "jdbc_dim_roundtrip",         # S3/S4/S9 vs embedded Derby
@@ -112,52 +114,52 @@ PRIORITY_QUERIES = [
     "stream_hourly_event_counts", # S6/T1/T2 (sole anchor)
     "stream_online_user_state",   # T4 keyed state (sole anchor)
     "stream_channel_live_counts", # flagship chain (S10/T8/J9/T3)
-    # -- late-r7 waiters, first session (landing order) ----------------------
-    "dedup_canonical_keep",       # keep-best-per-cluster final dedup stage
-    "bpe_apply_segmentation",     # tokenizer apply over trained merges
-    "snapshot_merge_on_read",     # DV DELETE + MoR MERGE
-    "stream_mor_upsert",          # streaming CDC upsert + DVs + auto-OPTIMIZE
-    "snapshot_wap_publish",       # write-audit-publish staged commits
-    "stream_partitioned_snapshot_sink",  # date-partitioned streaming sink
-    "snapshot_update_inplace",    # MoR UPDATE (DV + reinsert, one commit)
-    "priority_sample_per_source", # Duffield-Lund-Thorup priority sampling
-    "timeseries_gap_interpolation",  # IGNORE-NULLS anchored linear gap fill
-    "ordered_event_funnel",       # sequential-conversion funnel
-    # -- late-r7 waiters, analytics/lakehouse widening -----------------------
-    "retention_cohorts",          # first-active-day cohort triangle
-    "event_transition_matrix",    # first-order Markov transitions
-    "rfm_segmentation",           # RFM quintiles via distributed global rank
-    "rolling_active_users",       # rolling DAU/WAU/MAU + stickiness
-    "timeseries_zscore_outliers", # trailing-week z-score anomalies
-    "association_rules_parts",    # market-basket support/confidence/lift
-    "triangle_count_copurchase",  # distributed triangle counting + LCC
-    "growth_accounting",          # new/retained/resurrected/churned + quick ratio
-    "stream_ivm_aggregates",      # streaming IVM with retractions
-    "snapshot_partition_evolution",  # Iceberg-style partition evolution
-    "item_item_neighbors",        # item-item CF top-5 neighbors
-    "time_weighted_average",      # TWAP, LOCF weights
-    "trending_daily_movers",      # day-over-day rank movers
-    "ccnet_perplexity_buckets",   # CCNet head/middle/tail terciles
-    "label_spread_copurchase",    # label propagation (2nd iterative)
-    "trustrank_copurchase",       # TrustRank seeded teleport (3rd iterative)
-    # -- never-verified long tail (report families + curation) ---------------
-    "visit_overview",             # visit report family
-    "media_inventory",            # media asset inventory report
-    "user_channel_rank",          # per-user channel ranking report
-    "monthly_revenue_mom",        # month-over-month revenue
-    "weekly_cohort_retention",    # weekly cohort retention grid
-    "search_report_daily_topn",   # search report daily topN
-    "report_completeness_monitor",  # completeness monitoring report
-    "rolling_hash_fingerprint",   # rolling-hash document fingerprinting
-    "stratified_sample",          # per-stratum reproducible sampling
-    "sequence_packing",           # training sequence packing
-    "training_shard_assignment",  # deterministic shard export assignment
-    # -- new r8 lakehouse verbs (enter the window the round they land) -------
-    "snapshot_partitioned_optimize",  # NEW r8: per-partition bin-pack OPTIMIZE
-    "snapshot_partitioned_merge",     # NEW r8: partitioned CoW MERGE
-    # -- never-verified long tail, continued ---------------------------------
-    "daily_online_seconds",       # session split across day boundaries
-    "user_event_set_merge",       # per-user event-set accumulation
+    # -- stale round-1 FAILs: rotate first so no query's newest driver ------
+    # -- verdict is red (all three fixed long ago, gate-green since) --------
+    "paired_play_sessions",       # W1 pairing sessionization (r1 FAIL, fixed)
+    "stream_sliding_window_counts",  # sliding windows (r1 FAIL, fixed)
+    "stream_channel_hourly_uv",   # streaming hourly UV (r1 FAIL, fixed)
+    # -- new r9 (enters the window the round it lands) ------------------------
+    "snapshot_evolved_type_fidelity",  # NEW r9: partition-type record pin
+    # -- late-r8 waiters (promised ROTATIONS.md §Round 8) -------------------
+    "snapshot_check_constraints", # CHECK constraints quality gate
+    "snapshot_column_mapping",    # rename/drop as metadata-only commits
+    # -- never-verified backlog (35 of 40; 5 spill to r10) --------------------
+    "program_demand_counter_merge",  # counter-merge report
+    "ca_da_translation",          # J8 join-key normalization
+    "online_rate_halfhour",       # half-hour online-rate grid
+    "multiscreen_users",          # multi-screen user split
+    "cpsp_hourly_tiers",          # CP/SP hourly tier report
+    "open_version_report",        # app-open version report
+    "column_hierarchy_rollup",    # A6 column-tree rollup
+    "recommend_slot_funnel",      # recommendation slot funnel
+    "demand_package_tiers",       # demand package tiering
+    "running_customer_revenue",   # running cumulative revenue
+    "purchase_attribution",       # last-touch purchase attribution
+    "trailing_30d_revenue",       # trailing-30d revenue window
+    "demand_by_type_word",        # demand by type/word split
+    "favorite_rank_by_source",    # favorites rank by source
+    "open_account_daily",         # daily open-account report
+    "repetition_signals",         # intra-doc repetition quality signals
+    "late_orders_by_priority",    # late orders by priority
+    "small_quantity_revenue",     # small-quantity revenue slice
+    "part_share_of_total",        # part share-of-total report
+    "new_vs_returning",           # J10 anti-join split
+    "user_activity_profile",      # per-user activity profile
+    "bind_degree_histogram",      # account-bind degree histogram
+    "play_count_cp",              # play counts per CP
+    "demand_completion_buckets",  # demand completion-ratio buckets
+    "timerange_channel_share",    # channel share by timerange
+    "ad_click_ctr",               # ad click CTR report
+    "site_filtered_visits",       # site-filtered visit report
+    "program_schedule_relations", # program schedule relation join
+    "online_users_devices",       # online users by device
+    "activation_latency",         # activation latency distribution
+    "column_detail_topn",         # column detail topN
+    "billing_program_revenue",    # billing program revenue
+    "recommend_result_enrich",    # recommendation result enrichment
+    "app_version_report",         # app version adoption report
+    "home_open_accounts",         # home-open account report
 ]
 
 

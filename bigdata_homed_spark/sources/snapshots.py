@@ -48,6 +48,33 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _unescape_path_name(s: str) -> str:
+    """Decode Hive path-escaping (``%XX`` hex sequences) from a partition
+    directory value — the inverse of what Spark's writer applies to
+    characters illegal in path segments (space, ``:``, ``%``, ``=`` ...).
+    Manifest entries must record the RAW value: every consumer
+    (``pruned_entries`` probes, ``commit_merge``'s partition-key fast
+    path) compares against raw user values, and an escaped stored value
+    would silently never match — a carried file plus appended updates,
+    i.e. duplicate live rows for the same key."""
+    if "%" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 2 < n:
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 class CommitConflictError(RuntimeError):
     """Another writer advanced the table past the version this commit was
     prepared against (optimistic concurrency, Delta-style): re-read, re-derive,
@@ -252,7 +279,9 @@ class SnapshotTable:
                 for seg in rel.split(os.sep):
                     if "=" in seg:
                         k, _, v = seg.partition("=")
-                        parts[k] = v
+                        # store the RAW value (Hive-unescaped): probes and
+                        # merge keys compare raw user values against these
+                        parts[k] = _unescape_path_name(v)
             for name in sorted(names):
                 if not name.endswith(".parquet"):
                     continue
@@ -368,6 +397,7 @@ class SnapshotTable:
         column_map: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
         dropped_physical: list[str] | None = None,
+        partition_types: dict[str, str] | None = None,
     ) -> int:
         """``layout`` (the table's DECLARED partition keys) and ``evolved``
         (partition evolution was explicitly declared at some point) are
@@ -375,7 +405,17 @@ class SnapshotTable:
         propagated from the parent manifest otherwise.  The layout guard
         reads these rather than inferring from the file mixture — MoR
         verbs land flat files on partitioned parents as a matter of
-        format, which must NOT silently disarm the guard."""
+        format, which must NOT silently disarm the guard.
+
+        ``partition_types`` records the COMMITTED logical type (Spark DDL)
+        of every path-encoded partition column.  Hive layout stores those
+        values as directory strings, and Spark's partition-type INFERENCE
+        on read would otherwise re-derive the type from the rendered
+        string — silently narrowing bigint to int (a rewrite then bakes
+        INT32 into data files and the table becomes unreadable once an
+        INT64 file joins it) and mangling numeric-looking strings
+        ('0123' -> 123).  Readers use these types as an explicit scan
+        schema instead of inference (see ``_read_entries``)."""
         versions = self.versions()
         if expected_parent is not None:
             head = versions[-1] if versions else 0
@@ -408,6 +448,13 @@ class SnapshotTable:
         )
         if dp:
             manifest["dropped_physical"] = dp
+        pt = (
+            partition_types
+            if partition_types is not None
+            else parent_m.get("partition_types")
+        )
+        if pt:
+            manifest["partition_types"] = pt
         if delete_files:
             manifest["delete_files"] = delete_files
         if batch_id is not None:
@@ -502,6 +549,20 @@ class SnapshotTable:
         existing = self.read(spark, merge_schema=True)
         if name in existing.columns:
             self._validate_generated(existing, {name: expr_sql})
+        elif existing.limit(1).count():
+            # live rows that LACK the column would be permanently
+            # non-conforming: they can never be made to satisfy the
+            # expression without a rewrite, and _apply_generated would
+            # refuse every later rewrite/update fed from them (null !=
+            # expr).  Delta avoids this by allowing generated columns only
+            # at table creation; we allow declaration exactly when the
+            # stored data already conforms (column present + validated, or
+            # no live rows).
+            raise ValueError(
+                f"cannot declare generated column {name!r}: the table has "
+                "live rows without it (backfill with a rewrite first, or "
+                "declare before ingesting data)"
+            )
         return self._publish(
             list(m["files"]),
             expected_parent=head,
@@ -571,6 +632,7 @@ class SnapshotTable:
             column_map=m.get("column_map", {}),
             generated=m.get("generated_columns", {}),
             dropped_physical=m.get("dropped_physical", []),
+            partition_types=m.get("partition_types", {}),
         )
         return dst
 
@@ -883,7 +945,28 @@ class SnapshotTable:
             layout=new_layout if (evolve or not prev) else None,
             evolved=True if evolve else None,
             column_map=ext,
+            partition_types=self._merged_ptypes(parent, df, partition_by),
         )
+
+    @staticmethod
+    def _ptypes(df: DataFrame, partition_by: list[str] | None) -> dict[str, str]:
+        """The committed logical types (Spark DDL) of a write's partition
+        columns — recorded in the manifest so readers never run lossy
+        partition-type inference over the path-encoded values."""
+        if not partition_by:
+            return {}
+        return {c: df.schema[c].dataType.simpleString() for c in partition_by}
+
+    def _merged_ptypes(
+        self, parent_m: dict, df: DataFrame, partition_by: list[str] | None
+    ) -> dict[str, str] | None:
+        """Parent's recorded partition types extended with this write's —
+        partition evolution accumulates one entry per key ever used.
+        Returns None (= propagate parent verbatim) for non-partitioned
+        writes so legacy manifests stay byte-identical."""
+        if not partition_by:
+            return None
+        return {**parent_m.get("partition_types", {}), **self._ptypes(df, partition_by)}
 
     @staticmethod
     def _check_layout(
@@ -958,6 +1041,10 @@ class SnapshotTable:
             # and dropped physical names stop being reserved
             column_map={},
             dropped_physical=[],
+            # no old file survives a rewrite: the partition-type record
+            # starts over from exactly this write's keys (explicit {}
+            # clears it for a flat rewrite)
+            partition_types=self._ptypes(df, partition_by),
         )
 
     # -- reads -------------------------------------------------------------
@@ -1007,7 +1094,10 @@ class SnapshotTable:
         entries = m["files"]
         if not entries:
             raise ValueError(f"snapshot table {self.path} has no commits")
-        out = self._read_entries(spark, entries, merge_schema, m.get("delete_files"))
+        out = self._read_entries(
+            spark, entries, merge_schema, m.get("delete_files"),
+            m.get("partition_types"),
+        )
         return self._to_logical(out, m.get("column_map", {}))
 
     @staticmethod
@@ -1027,12 +1117,66 @@ class SnapshotTable:
             parts.pop()
         return (keys, os.sep.join(parts))
 
+    @staticmethod
+    def _scan_group(
+        spark: SparkSession,
+        group: list[dict],
+        keys: tuple,
+        root: str,
+        merge_schema: bool,
+        partition_types: dict[str, str] | None,
+    ) -> DataFrame:
+        """Scan ONE layout group.  Flat groups read leaf files directly.
+        Hive-layout groups read with ``basePath`` (recovering the
+        path-encoded columns) and — when the manifest recorded the
+        committed types — an EXPLICIT schema: the in-file footer schema
+        plus the partition columns at their recorded DDL types.  With an
+        explicit schema Spark parses each directory value as a cast from
+        the raw string to the declared type instead of running
+        partition-type INFERENCE, which would silently narrow a committed
+        bigint to int (the narrowed frame then poisons any rewrite fed
+        from it — mixed INT32/INT64 physical types, unreadable table) and
+        destroy numeric-looking strings ('0123' -> 123).  Manifests from
+        before the record existed (or with untyped keys) fall back to
+        inference, byte-identical to the legacy reader."""
+        paths = [e["path"] for e in group]
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        if not keys:
+            return reader.parquet(*paths)
+        pt = partition_types or {}
+        reader = reader.option("basePath", root)
+        if all(c in pt for c in keys):
+            # footer-only probe: leaf-file read, no partition discovery —
+            # yields exactly the in-file columns (partition values live
+            # only in the path for files written via partitionBy)
+            probe = spark.read
+            if merge_schema:
+                probe = probe.option("mergeSchema", "true")
+            file_fields = [
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in probe.parquet(*paths).schema.fields
+                if f.name not in keys
+            ]
+            # partition fields append in NESTING order (path segment
+            # order), matching discovery's column placement exactly
+            seg_order = [
+                s.split("=", 1)[0]
+                for s in os.path.dirname(paths[0]).split(os.sep)
+                if "=" in s
+            ]
+            part_fields = [f"`{c}` {pt[c]}" for c in seg_order if c in pt]
+            reader = reader.schema(", ".join(file_fields + part_fields))
+        return reader.parquet(*paths)
+
     def _read_entries(
         self,
         spark: SparkSession,
         entries: list[dict],
         merge_schema: bool = False,
         delete_files: list[str] | None = None,
+        partition_types: dict[str, str] | None = None,
     ) -> DataFrame:
         """Scan an entry list.  Entries are grouped by their partition-key
         tuple (one group per layout generation under partition evolution);
@@ -1053,12 +1197,10 @@ class SnapshotTable:
             groups[self._group_key(e)].append(e)
         dfs = []
         for keys, root in sorted(groups):
-            reader = spark.read
-            if merge_schema:
-                reader = reader.option("mergeSchema", "true")
-            if keys:
-                reader = reader.option("basePath", root)
-            df = reader.parquet(*[e["path"] for e in groups[(keys, root)]])
+            df = self._scan_group(
+                spark, groups[(keys, root)], keys, root, merge_schema,
+                partition_types,
+            )
             if delete_files:
                 df = df.withColumns(
                     {
@@ -1104,11 +1246,11 @@ class SnapshotTable:
             groups[self._group_key(e)].append(e)
         dfs = []
         for keys, root in sorted(groups):
-            reader = spark.read
-            if keys:
-                reader = reader.option("basePath", root)
             dfs.append(
-                reader.parquet(*[e["path"] for e in groups[(keys, root)]]).withColumns(
+                self._scan_group(
+                    spark, groups[(keys, root)], keys, root, False,
+                    manifest.get("partition_types"),
+                ).withColumns(
                     {
                         "__file": F.col("_metadata.file_path"),
                         "__pos": F.col("_metadata.row_index"),
@@ -1398,6 +1540,10 @@ class SnapshotTable:
         }
         if ext is not None:
             staged["column_map_ext"] = ext
+        if partition_by:
+            # committed types of the staged path-encoded columns — carried
+            # into the published manifest so readers never run inference
+            staged["partition_types"] = self._ptypes(df, partition_by)
         final = os.path.join(self.staged_dir, f"{staging_id}.json")
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
@@ -1415,18 +1561,51 @@ class SnapshotTable:
             {} if s["mode"] == "rewrite" else self.column_map(),
         )
         staged_df = self._to_logical(
-            self._read_entries(spark, s["entries"]), mapping
+            self._read_entries(
+                spark, s["entries"], partition_types=s.get("partition_types")
+            ),
+            mapping,
         )
         if s["mode"] == "rewrite" or s["base_version"] == 0:
             return staged_df
         return self.read(spark, s["base_version"]).unionByName(staged_df)
 
-    def publish_staged(self, staging_id: str) -> int:
+    def publish_staged(
+        self, staging_id: str, spark: SparkSession | None = None
+    ) -> int:
         """WAP step 3a: promote the audited staged commit in one atomic
         manifest publish.  OCC: refuses if the head moved past the staged
-        base (the audit vetted a state that no longer exists)."""
+        base (the audit vetted a state that no longer exists).
+
+        CHECK constraints are re-validated here, not only at stage time:
+        a constraint added BETWEEN staging and publish must gate this
+        batch too (add_constraint only scanned the published head — the
+        staged files were invisible to it).  The re-scan needs a session;
+        pass ``spark`` or have an active one when the table carries
+        constraints."""
         s = self._staged_manifest(staging_id)
         base = s["base_version"]
+        cons = self.constraints()
+        if cons:
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    "publish_staged needs a SparkSession to re-validate "
+                    "table CHECK constraints over the staged batch"
+                )
+            mapping = s.get(
+                "column_map_ext", {} if s["mode"] == "rewrite" else self.column_map()
+            )
+            self._enforce_constraints(
+                self._to_logical(
+                    self._read_entries(
+                        spark, s["entries"],
+                        partition_types=s.get("partition_types"),
+                    ),
+                    mapping,
+                ),
+                cons,
+            )
         if s["mode"] == "append" and base:
             parent = self._manifest(base)
             staged_keys = {
@@ -1454,11 +1633,28 @@ class SnapshotTable:
             # evolution flag, exactly like commit_rewrite
             ev = False if s["mode"] == "rewrite" else None
         cmap = s.get("column_map_ext")
+        dp: list[str] | None = None
         if s["mode"] == "rewrite":
-            cmap = {}  # staged rewrite materialized logical names
+            # staged rewrite materialized logical names: the mapping resets
+            # AND the dropped physical names stop being reserved, exactly
+            # like commit_rewrite (otherwise _extended_map would refuse
+            # re-adding a column with an orphaned physical name forever)
+            cmap = {}
+            dp = []
+        staged_pt = s.get("partition_types")
+        if s["mode"] == "rewrite":
+            pt: dict[str, str] | None = staged_pt or {}
+        elif staged_pt:
+            parent_pt = (
+                self._manifest(base).get("partition_types", {}) if base else {}
+            )
+            pt = {**parent_pt, **staged_pt}
+        else:
+            pt = None  # propagate parent verbatim
         v = self._publish(
             entries, expected_parent=base, delete_files=dvs, layout=lay,
-            evolved=ev, column_map=cmap
+            evolved=ev, column_map=cmap, dropped_physical=dp,
+            partition_types=pt,
         )
         os.remove(os.path.join(self.staged_dir, f"{staging_id}.json"))
         return v
@@ -1582,6 +1778,45 @@ class SnapshotTable:
             e["partitions"] = dict(parts)
         return entries
 
+    # maintenance fan-out: OPTIMIZE repacks partitions and CoW MERGE
+    # rewrites hit files as INDEPENDENT driver-submitted Spark jobs.
+    # Spark's scheduler is thread-safe, so they run from a bounded thread
+    # pool instead of a sequential loop — a nightly OPTIMIZE over a
+    # multi-year day-partitioned fact (~2-4k partitions at 100 TB) would
+    # otherwise serialize thousands of tiny single-output jobs, tens of
+    # minutes of pure scheduling (Delta parallelizes compaction bins the
+    # same way).  The pool is per-call (no shared state); results are
+    # collected in deterministic input order.
+    MAINTENANCE_PARALLELISM = 8
+
+    def _run_maintenance_jobs(self, fn, items: list) -> list[list[dict]]:
+        """Run ``fn(item) -> list[entry]`` over items concurrently,
+        preserving input order.  Single-item lists skip the pool."""
+        if len(items) <= 1:
+            return [fn(i) for i in items]
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(self.MAINTENANCE_PARALLELISM, len(items))
+        with ThreadPoolExecutor(
+            max_workers=workers, thread_name_prefix="snapshot-maint"
+        ) as pool:
+            return list(pool.map(fn, items))
+
+    def _repack_group(
+        self,
+        spark: SparkSession,
+        grp: list[dict],
+        dv_df: DataFrame | None,
+        n_files: int,
+        stats_cols: list[str] | None,
+    ) -> list[dict]:
+        """One OPTIMIZE bin: scan a partition directory's small files flat
+        (DV-dead rows subtracted), pack them, land the replacements back
+        inside the same ``col=value`` directory."""
+        packed = self._scan_flat_live(spark, [e["path"] for e in grp], dv_df)
+        written = self._write_data_files(packed, n_files, stats_cols)
+        return self._relocate_into_partition(written, grp[0])
+
     def commit_compact_small(
         self,
         spark: SparkSession,
@@ -1647,12 +1882,16 @@ class SnapshotTable:
         for e in small:
             groups[os.path.dirname(e["path"])].append(e)
         dv_df = spark.read.parquet(*dvs) if dvs else None  # read ONCE
-        new: list[dict] = []
-        for d in sorted(groups):
-            grp = groups[d]
-            packed = self._scan_flat_live(spark, [e["path"] for e in grp], dv_df)
-            written = self._write_data_files(packed, n_files, stats_cols)
-            new.extend(self._relocate_into_partition(written, grp[0]))
+        # one repack job per partition group, fanned out over the
+        # maintenance pool (see MAINTENANCE_PARALLELISM); deterministic
+        # manifest order = sorted group order
+        results = self._run_maintenance_jobs(
+            lambda d: self._repack_group(
+                spark, groups[d], dv_df, n_files, stats_cols
+            ),
+            sorted(groups),
+        )
+        new: list[dict] = [e for lst in results for e in lst]
         new_dvs = self._trim_dvs(spark, dvs, kept)
         return self._publish(
             kept + new, expected_parent=head, delete_files=new_dvs or None
@@ -1706,8 +1945,11 @@ class SnapshotTable:
         zone maps that is the handful of files the keys live in, not the
         table.  ``updates`` must be unique on ``key`` (upsert semantics).
 
-        The per-hit-file rewrite loop is file-count-bounded driver work
-        (same class as a commit cadence loop), not data-volume work.
+        The per-hit-file rewrites are file-count-bounded driver work
+        (same class as a commit cadence loop), not data-volume work, and
+        fan out over the maintenance thread pool
+        (``MAINTENANCE_PARALLELISM`` concurrent Spark jobs) so a
+        wide-key merge never serializes thousands of tiny jobs.
 
         **Hive-partitioned tables**: survivor files are rewritten flat
         (content exactly as stored — no path-encoded column ever moves
@@ -1804,13 +2046,15 @@ class SnapshotTable:
             hit_paths.update(unquote(urlparse(r["__f"]).path) for r in hits)
         kept = [e for e in cur_entries if e["path"] not in hit_paths]
         dv_df = spark.read.parquet(*dvs) if dvs else None  # read ONCE
-        rewritten: list[dict] = []
-        for e in cur_entries:
-            if e["path"] not in hit_paths:
-                continue
-            if key in e.get("partitions", {}):
-                continue  # partition-keyed match: every live row is
-                # replaced by updates — the file disappears whole
+        hit_entries = [
+            e
+            for e in cur_entries
+            if e["path"] in hit_paths and key not in e.get("partitions", {})
+            # partition-keyed matches never appear here: every live row
+            # shares the key value, the file disappears whole
+        ]
+
+        def _rewrite_survivors(e: dict) -> list[dict]:
             # survivors stay PHYSICAL end-to-end (scan flat, write back
             # unchanged); only the join key crosses the mapping boundary
             survivors = self._scan_flat_live(spark, [e["path"]], dv_df).join(
@@ -1819,13 +2063,19 @@ class SnapshotTable:
                 "left_anti",
             )
             if not survivors.limit(1).count():
-                continue  # fully-matched file: disappears from the manifest
+                return []  # fully-matched file: disappears from the manifest
             cols = list(e.get("stats", {})) or None
-            rewritten.extend(
-                self._relocate_into_partition(
-                    self._write_data_files(survivors, 1, cols), e
-                )
+            return self._relocate_into_partition(
+                self._write_data_files(survivors, 1, cols), e
             )
+
+        # per-hit-file rewrites are independent jobs: fan out over the
+        # maintenance pool (file-count-bounded, same as the OPTIMIZE bins)
+        rewritten: list[dict] = [
+            e
+            for lst in self._run_maintenance_jobs(_rewrite_survivors, hit_entries)
+            for e in lst
+        ]
         new = self._write_data_files(
             self._to_physical(updates, mapping),
             n_new_files,
@@ -1844,6 +2094,9 @@ class SnapshotTable:
             expected_parent=versions[-1],
             delete_files=new_dvs or None,
             column_map=ext,
+            # partition columns are rename-guarded, so logical names in
+            # `updates` ARE the path-encoded names the write just produced
+            partition_types=self._merged_ptypes(cur, updates, list(lay) or None),
         )
 
     def incremental_files(self, v_from: int, v_to: int | None = None) -> list[str]:
@@ -1927,6 +2180,7 @@ class SnapshotTable:
             constraints=m.get("constraints", {}),
             generated=m.get("generated_columns", {}),
             dropped_physical=m.get("dropped_physical", []),
+            partition_types=m.get("partition_types", {}),
         )
 
     def pruned_entries(
@@ -2013,7 +2267,9 @@ class SnapshotTable:
         m = self._manifest(v)
         return self._to_logical(
             self._read_entries(
-                spark, entries, merge_schema, delete_files=m.get("delete_files")
+                spark, entries, merge_schema,
+                delete_files=m.get("delete_files"),
+                partition_types=m.get("partition_types"),
             ),
             m.get("column_map", {}),
         )
@@ -2033,6 +2289,14 @@ class SnapshotTable:
         manifest pointing at deleted files or a forgotten batch id.  Files
         shared across versions (append lineage) survive as long as any
         surviving manifest lists them.
+
+        Cache scope caveat (single-writer contract, same as every verb):
+        expiry evicts THIS instance's manifest cache only.  Another live
+        ``SnapshotTable`` on the same path that already cached an expired
+        version serves its file list from memory instead of raising the
+        "expired by vacuum" error — the read then fails at scan time only
+        if the files were actually collected.  Construct a fresh instance
+        after a foreign vacuum if the error contract matters.
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")

