@@ -56,23 +56,14 @@ def _unescape_path_name(s: str) -> str:
     (``pruned_entries`` probes, ``commit_merge``'s partition-key fast
     path) compares against raw user values, and an escaped stored value
     would silently never match — a carried file plus appended updates,
-    i.e. duplicate live rows for the same key."""
+    i.e. duplicate live rows for the same key.  Spark escapes every
+    literal ``%`` as ``%25``, so for Spark-written directories
+    ``urllib.parse.unquote`` is exactly Hive's unescapePathName."""
     if "%" not in s:
         return s
-    out = []
-    i, n = 0, len(s)
-    while i < n:
-        c = s[i]
-        if c == "%" and i + 2 < n:
-            try:
-                out.append(chr(int(s[i + 1 : i + 3], 16)))
-                i += 3
-                continue
-            except ValueError:
-                pass
-        out.append(c)
-        i += 1
-    return "".join(out)
+    from urllib.parse import unquote
+
+    return unquote(s)
 
 
 class CommitConflictError(RuntimeError):
@@ -963,10 +954,29 @@ class SnapshotTable:
         """Parent's recorded partition types extended with this write's —
         partition evolution accumulates one entry per key ever used.
         Returns None (= propagate parent verbatim) for non-partitioned
-        writes so legacy manifests stay byte-identical."""
+        writes so legacy manifests stay byte-identical.
+
+        A RE-declaration at a different type is refused: layout
+        generations of the same key share one scan group, so last-write-
+        wins would silently re-type (and NULL out past the narrower
+        range) the older generations' path-encoded values — the exact
+        failure class the record exists to prevent.  Changing a
+        partition column's type is a ``commit_rewrite`` (which re-derives
+        the record from its own single-generation write)."""
         if not partition_by:
             return None
-        return {**parent_m.get("partition_types", {}), **self._ptypes(df, partition_by)}
+        recorded = parent_m.get("partition_types", {})
+        new = self._ptypes(df, partition_by)
+        for c, t in new.items():
+            old = recorded.get(c)
+            if old is not None and old != t:
+                raise ValueError(
+                    f"partition column {c!r} was committed as {old} but this "
+                    f"write declares it {t} — a type change needs a full "
+                    "commit_rewrite (mixed per-generation types cannot share "
+                    "one scan schema)"
+                )
+        return {**recorded, **new}
 
     @staticmethod
     def _check_layout(
@@ -1160,10 +1170,15 @@ class SnapshotTable:
                 if f.name not in keys
             ]
             # partition fields append in NESTING order (path segment
-            # order), matching discovery's column placement exactly
+            # order), matching discovery's column placement exactly —
+            # segments BELOW the group root only, like discovery itself
+            # (a col=value segment in the table's own root path must not
+            # inject a duplicate field)
             seg_order = [
                 s.split("=", 1)[0]
-                for s in os.path.dirname(paths[0]).split(os.sep)
+                for s in os.path.relpath(
+                    os.path.dirname(paths[0]), root
+                ).split(os.sep)
                 if "=" in s
             ]
             part_fields = [f"`{c}` {pt[c]}" for c in seg_order if c in pt]
@@ -1516,7 +1531,8 @@ class SnapshotTable:
         if mode not in ("append", "rewrite"):
             raise ValueError("mode must be 'append' or 'rewrite'")
         df = self._apply_generated(df)
-        self._enforce_constraints(df, self._incoming_constraints())
+        cons_at_stage = self._incoming_constraints()
+        self._enforce_constraints(df, cons_at_stage)
         versions = self.versions()
         base = versions[-1] if versions else 0
         # rewrite-mode staging materializes logical names (mapping resets
@@ -1544,6 +1560,9 @@ class SnapshotTable:
             # committed types of the staged path-encoded columns — carried
             # into the published manifest so readers never run inference
             staged["partition_types"] = self._ptypes(df, partition_by)
+        # the constraint set this batch was validated against: publish
+        # re-scans ONLY constraints added/changed after staging
+        staged["constraints_at_stage"] = cons_at_stage
         final = os.path.join(self.staged_dir, f"{staging_id}.json")
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
@@ -1575,23 +1594,63 @@ class SnapshotTable:
     ) -> int:
         """WAP step 3a: promote the audited staged commit in one atomic
         manifest publish.  OCC: refuses if the head moved past the staged
-        base (the audit vetted a state that no longer exists).
+        base through anything but METADATA-ONLY commits (constraint
+        add/drop — same files/DVs/mapping, so the audited data state
+        still exists and the publish rebases onto the head); a data or
+        mapping change means the audit vetted a state that no longer
+        exists.
 
-        CHECK constraints are re-validated here, not only at stage time:
-        a constraint added BETWEEN staging and publish must gate this
-        batch too (add_constraint only scanned the published head — the
-        staged files were invisible to it).  The re-scan needs a session;
-        pass ``spark`` or have an active one when the table carries
-        constraints."""
+        CHECK constraints added (or changed) BETWEEN staging and publish
+        are re-validated here over the staged batch: add_constraint only
+        scanned the published head — the staged files were invisible to
+        it, so skipping this would let a pre-existing staged batch bypass
+        the always-on invariant.  Constraints the batch was already
+        validated against at stage time are NOT re-scanned (the staged
+        manifest records that set), so the common unchanged-constraints
+        publish stays metadata-only.  The delta re-scan needs a session;
+        pass ``spark`` or have an active one."""
         s = self._staged_manifest(staging_id)
         base = s["base_version"]
-        cons = self.constraints()
-        if cons:
+        head = self.versions()[-1] if self.versions() else 0
+        if head != base:
+            # REBASE over compatible intervening commits: a constraint
+            # add/drop is metadata-only (same files, DVs, mapping,
+            # layout), so the audited data state still exists and the
+            # publish proceeds against the current head — with the new
+            # constraints validated below.  Anything that moved DATA or
+            # the column mapping invalidates the audit: conflict, and
+            # raised FIRST so a doomed publish never pays a re-scan.
+            base_m = self._manifest(base) if base else {}
+            head_m = self._manifest(head) if head else {}
+            compatible = base and all(
+                base_m.get(k) == head_m.get(k)
+                for k in (
+                    "files",
+                    "delete_files",
+                    "column_map",
+                    "generated_columns",
+                    "layout",
+                    "evolved",
+                    "partition_types",
+                    "dropped_physical",
+                )
+            )
+            if not compatible:
+                raise CommitConflictError(
+                    f"prepared against v{base} but head is v{head} and the "
+                    "intervening commits are not metadata-only"
+                )
+            base = head
+        at_stage = s.get("constraints_at_stage", {})
+        new_cons = {
+            k: v for k, v in self.constraints().items() if at_stage.get(k) != v
+        }
+        if new_cons:
             spark = spark or SparkSession.getActiveSession()
             if spark is None:
                 raise ValueError(
                     "publish_staged needs a SparkSession to re-validate "
-                    "table CHECK constraints over the staged batch"
+                    "table CHECK constraints added since staging"
                 )
             mapping = s.get(
                 "column_map_ext", {} if s["mode"] == "rewrite" else self.column_map()
@@ -1604,7 +1663,7 @@ class SnapshotTable:
                     ),
                     mapping,
                 ),
-                cons,
+                new_cons,
             )
         if s["mode"] == "append" and base:
             parent = self._manifest(base)

@@ -1488,6 +1488,7 @@ def test_snapshot_dv_model_based(spark, tmp_path):
         st.tuples(st.just("gencol_probe"), st.just(None)),
         st.tuples(st.just("clone"), st.just(None)),
         st.tuples(st.just("vacuum"), st.just(None)),
+        st.tuples(st.just("wap"), st.lists(kv, min_size=1, max_size=5)),
     )
 
     case_n = [0]
@@ -1623,6 +1624,25 @@ def test_snapshot_dv_model_based(spark, tmp_path):
                 with pytest.raises(ValueError, match="generated column"):
                     t.set_generated_column(spark, "g", "v + 1")
                 assert len(t.versions()) == vcount
+            elif kind == "wap":
+                # write-audit-publish interleaved with everything else:
+                # stage (validated vs the constraints at stage time),
+                # publish or abort decided by the batch; aborts leave no
+                # trace.  First arg's v parity picks the outcome.
+                if not t.versions():
+                    continue
+                appended += 1
+                rows = list({k + appended * 100: v for k, v in arg}.items())
+                sid = t.stage_commit(
+                    spark.createDataFrame(rows, f"{kname} long, v long"),
+                    n_files=1,
+                )
+                if arg[0][1] % 2 == 0:
+                    t.publish_staged(sid, spark)
+                    model.update(dict(rows))
+                    snap()
+                else:
+                    t.abort_staged(sid)
             elif kind == "clone":
                 if not t.versions():
                     continue
@@ -2976,3 +2996,57 @@ def test_commit_merge_parallel_survivor_rewrites(spark, tmp_path, monkeypatch):
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     expect = {k: (-1 if k % 5 == 0 else k * 2) for k in range(400)}
     assert got == expect
+
+
+def test_partition_type_redeclaration_refused(spark, tmp_path):
+    """Review fix (r9): re-declaring an already-recorded partition key at
+    a DIFFERENT type is refused — layout generations share one scan
+    group, so last-write-wins would silently re-type (and NULL past the
+    narrower range) older generations' path-encoded values.  A full
+    commit_rewrite legitimately re-types (single-generation record)."""
+    import pytest
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "retype"))
+    t.commit_append(
+        spark.createDataFrame([(1, 5_000_000_000)], "k long, v long"),
+        partition_by=["v"],
+    )
+    with pytest.raises(ValueError, match="committed as bigint"):
+        t.commit_append(
+            spark.createDataFrame([(2, 7)], "k long, v int"),
+            partition_by=["v"],
+            evolve=True,
+        )
+    # the escape hatch: a rewrite re-declares the record wholesale
+    t.commit_rewrite(
+        spark.createDataFrame([(1, 7)], "k long, v int"), partition_by=["v"]
+    )
+    assert dict(t.read(spark).dtypes)["v"] == "int"
+
+
+def test_publish_staged_conflict_before_constraint_scan(spark, tmp_path):
+    """Review fix (r9): a publish doomed by a moved head raises
+    CommitConflictError up front (never paying the constraint re-scan),
+    and constraints already validated at stage time are not re-scanned."""
+    import pytest
+
+    from bigdata_homed_spark.sources.snapshots import (
+        CommitConflictError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "twapocc"))
+    t.commit_append(spark.createDataFrame([(1, 5)], "k long, v long"))
+    t.add_constraint(spark, "v_nonneg", "v >= 0")
+    sid = t.stage_commit(spark.createDataFrame([(2, 9)], "k long, v long"))
+    # constraint existed at stage time -> recorded; a publish with an
+    # unchanged constraint set must not need a session at all
+    t2_version = t.publish_staged(sid, spark=None)
+    assert t2_version == 3
+    # moved head: the OCC error fires first
+    sid2 = t.stage_commit(spark.createDataFrame([(3, 1)], "k long, v long"))
+    t.commit_append(spark.createDataFrame([(4, 2)], "k long, v long"))
+    with pytest.raises(CommitConflictError):
+        t.publish_staged(sid2, spark)
