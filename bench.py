@@ -293,6 +293,14 @@ BENCH_QUERIES = [
     # footer probe per layout generation, commit-protocol fixed costs
     # otherwise — expect flat across SFs like the other snapshot verbs).
     "snapshot_evolved_type_fidelity",
+    # round-9 widening: winnowing (per-row k-gram window minima — the
+    # no-shuffle projection bench point for the md5-heavy hot loop), the
+    # KMV theta-sketch overlap (two TakeOrderedAndProject K-row sketches +
+    # scalar readout), and U-shaped multi-touch attribution (same window
+    # pass as purchase_attribution, wider credit arithmetic).
+    "winnowing_fingerprints",
+    "kmv_audience_overlap",
+    "position_attribution_credit",
 ]
 
 
@@ -334,7 +342,7 @@ def main() -> None:
     # cross-round pinned-subset totals: BENCH_QUERIES is append-only, so
     # each historical round's headline set is a prefix of today's list
     pins = {}
-    for n in (28, 40, 52, 75, 104):
+    for n in (28, 40, 52, 75, 104, 109):
         if len(BENCH_QUERIES) >= n:
             pins[f"pin{n}"] = round(sum(timings[q] for q in BENCH_QUERIES[:n]), 2)
     detail = {

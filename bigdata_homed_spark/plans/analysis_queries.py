@@ -1855,3 +1855,151 @@ def trending_daily_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("delta_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV / theta-sketch audience overlap (Beyer et al. SIGMOD'07; the Apache
+# DataSketches theta-intersection shape): estimate |A|, |B| and |A ∩ B| for
+# two user segments from K-minimum-value sketches instead of exact distinct
+# sets.  Each sketch is the K smallest values of a portable 40-bit hash of
+# the distinct user ids; estimate = (K-1) * 2^40 DIV kth_min, and the
+# intersection keeps sketch values below theta = min(theta_A, theta_B) that
+# appear in BOTH sketches (est = n_both * 2^40 DIV theta).  A segment with
+# fewer than K distinct hashes is EXACT (theta = 2^40) — so the small-SF
+# gate exercises the exact path and sf>=0.01 the estimation path.
+#
+# Scale shape (the reason this op exists): exact overlap of two 100 TB
+# segments is two full-cardinality distinct shuffles + a join; the sketch
+# is K rows per segment — Spark's orderBy(h).limit(K) compiles to
+# TakeOrderedAndProject (per-partition top-K, merge of K-row heaps, no
+# global sort, no single-partition window), and the intersection joins two
+# K-row frames.  The exact_* columns audit the estimates at test SFs; a
+# production run would drop them.  40-bit hashes keep every intermediate
+# ((K-1) * 2^40 = 2^45) inside bigint on both engines with exact DIV.
+# Reference provenance: the reference counts audience overlap exactly
+# (repots/UserAnalysis.scala two-segment distinct counts); the sketch is
+# the 100 TB widening of that report.
+KMV_K = 32
+KMV_MAXH = 1 << 40  # hash domain size (40-bit portable hash)
+SEG_A_SQL = "event_type = 'click' AND value > 150"
+SEG_B_SQL = "event_type = 'purchase' AND value > 120"
+
+
+def _h40(col: F.Column) -> F.Column:
+    """Portable 40-bit hash (first 10 hex chars of seeded md5) — small
+    enough that KMV estimate arithmetic stays in exact bigint range."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv"), col.cast("string"))), 1, 10),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _h40_sql(expr: str) -> str:
+    return f"cast(('0x' || substr(md5('kmv' || {expr}), 1, 10)) as bigint)"
+
+
+@query(
+    "kmv_audience_overlap",
+    oracle=f"""
+    WITH sega AS (SELECT DISTINCT user_id FROM events WHERE {SEG_A_SQL}),
+    segb AS (SELECT DISTINCT user_id FROM events WHERE {SEG_B_SQL}),
+    ha AS (SELECT DISTINCT {_h40_sql("cast(user_id as varchar)")} AS h FROM sega),
+    hb AS (SELECT DISTINCT {_h40_sql("cast(user_id as varchar)")} AS h FROM segb),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+    sa AS (SELECT count(*) AS n_sketch_a, max(h) AS kth_a FROM ska),
+    sb AS (SELECT count(*) AS n_sketch_b, max(h) AS kth_b FROM skb),
+    st AS (
+      SELECT n_sketch_a, n_sketch_b,
+             CASE WHEN n_sketch_a < {KMV_K} THEN {KMV_MAXH} ELSE kth_a END AS theta_a,
+             CASE WHEN n_sketch_b < {KMV_K} THEN {KMV_MAXH} ELSE kth_b END AS theta_b
+      FROM sa, sb
+    ),
+    st2 AS (SELECT *, least(theta_a, theta_b) AS theta FROM st),
+    ni AS (
+      SELECT count(*) AS n_inter_sketch
+      FROM ska JOIN skb USING (h), st2 WHERE ska.h < st2.theta
+    )
+    SELECT cast({KMV_K} as bigint) AS k,
+           cast((SELECT count(*) FROM sega) as bigint) AS exact_a,
+           cast((SELECT count(*) FROM segb) as bigint) AS exact_b,
+           cast((SELECT count(*) FROM sega JOIN segb USING (user_id)) as bigint)
+             AS exact_inter,
+           cast(n_sketch_a as bigint) AS n_sketch_a,
+           cast(n_sketch_b as bigint) AS n_sketch_b,
+           cast(theta as bigint) AS theta,
+           cast(n_inter_sketch as bigint) AS n_inter_sketch,
+           cast(CASE WHEN n_sketch_a < {KMV_K} THEN n_sketch_a
+                     ELSE ({KMV_K - 1} * {KMV_MAXH}) // theta_a END as bigint) AS est_a,
+           cast(CASE WHEN n_sketch_b < {KMV_K} THEN n_sketch_b
+                     ELSE ({KMV_K - 1} * {KMV_MAXH}) // theta_b END as bigint) AS est_b,
+           cast(CASE WHEN theta = {KMV_MAXH} THEN n_inter_sketch
+                     ELSE (n_inter_sketch * {KMV_MAXH}) // theta END as bigint)
+             AS est_inter
+    FROM st2, ni
+    """,
+)
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    seg_a = ev.where(F.expr(SEG_A_SQL)).select("user_id").distinct()
+    seg_b = ev.where(F.expr(SEG_B_SQL)).select("user_id").distinct()
+    # K smallest distinct hashes per segment: TakeOrderedAndProject, K rows out
+    sk_a = seg_a.select(_h40(F.col("user_id")).alias("h")).distinct().orderBy("h").limit(KMV_K)
+    sk_b = seg_b.select(_h40(F.col("user_id")).alias("h")).distinct().orderBy("h").limit(KMV_K)
+    sa = sk_a.agg(
+        F.count("h").alias("n_sketch_a"), F.max("h").alias("kth_a")
+    )
+    sb = sk_b.agg(
+        F.count("h").alias("n_sketch_b"), F.max("h").alias("kth_b")
+    )
+    st = (
+        sa.crossJoin(sb)
+        .withColumn(
+            "theta_a",
+            F.when(F.col("n_sketch_a") < KMV_K, F.lit(KMV_MAXH).cast("bigint")).otherwise(
+                F.col("kth_a")
+            ),
+        )
+        .withColumn(
+            "theta_b",
+            F.when(F.col("n_sketch_b") < KMV_K, F.lit(KMV_MAXH).cast("bigint")).otherwise(
+                F.col("kth_b")
+            ),
+        )
+        .withColumn("theta", F.least("theta_a", "theta_b"))
+    )
+    ni = (
+        sk_a.join(sk_b, "h")
+        .crossJoin(F.broadcast(st.select("theta")))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_inter_sketch"))
+    )
+    ea = seg_a.agg(F.count(F.lit(1)).alias("exact_a"))
+    eb = seg_b.agg(F.count(F.lit(1)).alias("exact_b"))
+    ei = seg_a.join(seg_b, "user_id").agg(F.count(F.lit(1)).alias("exact_inter"))
+    out = st.crossJoin(ni).crossJoin(ea).crossJoin(eb).crossJoin(ei)
+    return out.select(
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        F.col("exact_a").cast("bigint").alias("exact_a"),
+        F.col("exact_b").cast("bigint").alias("exact_b"),
+        F.col("exact_inter").cast("bigint").alias("exact_inter"),
+        F.col("n_sketch_a").cast("bigint").alias("n_sketch_a"),
+        F.col("n_sketch_b").cast("bigint").alias("n_sketch_b"),
+        F.col("theta").cast("bigint").alias("theta"),
+        F.col("n_inter_sketch").cast("bigint").alias("n_inter_sketch"),
+        F.expr(
+            f"cast(CASE WHEN n_sketch_a < {KMV_K} THEN n_sketch_a"
+            f" ELSE ({KMV_K - 1}L * {KMV_MAXH}L) DIV theta_a END as bigint)"
+        ).alias("est_a"),
+        F.expr(
+            f"cast(CASE WHEN n_sketch_b < {KMV_K} THEN n_sketch_b"
+            f" ELSE ({KMV_K - 1}L * {KMV_MAXH}L) DIV theta_b END as bigint)"
+        ).alias("est_b"),
+        F.expr(
+            f"cast(CASE WHEN theta = {KMV_MAXH}L THEN n_inter_sketch"
+            f" ELSE (n_inter_sketch * {KMV_MAXH}L) DIV theta END as bigint)"
+        ).alias("est_inter"),
+    )

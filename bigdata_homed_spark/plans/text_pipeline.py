@@ -2354,3 +2354,106 @@ def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_merged_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): hash every k-gram, slide a window of w consecutive hashes,
+# select each window's MINIMUM — the selected set is guaranteed to share a
+# fingerprint with any copy of length >= w+k-1 tokens, at ~2/(w+1) density.
+# This is the position-robust counterpart of `rolling_hash_fingerprint`
+# (which fingerprints the WHOLE document, so any edit changes it):
+# winnowing survives insertions/deletions outside the copied span, which is
+# what plagiarism/near-dup detection over a crawl actually needs.
+#
+# Scale shape: a pure per-row projection (tokenize → k-gram hash → window
+# minima → distinct), zero shuffle — at 100 TB it pipelines inside the scan
+# stage.  The per-doc digest below XOR-folds the selected set (order-free,
+# engine-portable); a dedup join would explode the selected fingerprints
+# and shuffle on them (compact bigints), exactly like the MinHash band join.
+# Reference provenance: the reference has no sub-document dedup at all
+# (its dedup is row-level distinct, e.g. etl/MysqlToHive.scala full-row
+# groupBy); this is part of the LLM-pipeline widening.
+WINNOW_K = 3  # k-gram length (tokens)
+WINNOW_W = 4  # winnowing window (k-gram hashes)
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             list_transform(
+               generate_series(1, greatest(len(toks) - {WINNOW_K - 1}, 0)),
+               i -> {_hash64_sql(f"array_to_string(list_slice(toks, i, i + {WINNOW_K - 1}), ' ')", "winnow")}
+             ) AS th
+      FROM toks
+    ),
+    sel AS (
+      SELECT doc_id, n_toks, len(th) AS n_kgrams,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(th) - {WINNOW_W - 1}, CASE WHEN len(th) > 0 THEN 1 ELSE 0 END)),
+               j -> list_min(list_slice(th, j, j + {WINNOW_W - 1}))
+             )) AS fps
+      FROM grams
+    )
+    SELECT doc_id,
+           cast(n_kgrams as bigint) AS n_kgrams,
+           cast(len(fps) as bigint) AS n_fingerprints,
+           list_reduce(list_prepend(cast(0 as bigint), fps),
+                       (acc, x) -> xor(acc, x)) AS fp_digest
+    FROM sel
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n = F.size("toks")
+    # k-gram hash sequence (empty when the doc is shorter than k tokens)
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (step sign is
+    # inferred), unlike DuckDB's empty generate_series(1, 0) — every upper
+    # bound below is guarded so the sequence is only built when non-empty.
+    grams = docs.select(
+        "doc_id",
+        F.when(
+            n >= WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+                lambda i: hash64(
+                    F.concat_ws(" ", F.slice("toks", i, WINNOW_K)), "winnow"
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("th"),
+    )
+    m = F.size("th")
+    # window minima; a doc with 0 < m < w gets one whole-list window (both
+    # engines: slice past the end truncates), m == 0 selects nothing
+    sel = grams.select(
+        "doc_id",
+        m.cast("bigint").alias("n_kgrams"),
+        F.when(
+            m > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(m - (WINNOW_W - 1), F.lit(1))),
+                    lambda j: F.array_min(F.slice("th", j, WINNOW_W)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("fps"),
+    )
+    return sel.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.aggregate(
+            "fps", F.lit(0).cast("bigint"), lambda acc, x: acc.bitwiseXOR(x)
+        ).alias("fp_digest"),
+    )

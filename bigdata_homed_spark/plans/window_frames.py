@@ -180,3 +180,106 @@ def demand_by_type_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("type_word").agg(
         F.count(F.lit(1)).alias("n_lines"), dsum(rev, "revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# U-shaped (position-based) multi-touch attribution: where
+# `purchase_attribution` above credits ONLY the last click, marketing-grade
+# attribution splits each purchase's credit across ALL prior clicks —
+# 40% to the first touch, 40% to the last, 20% spread over the middle
+# (the standard "position-based" model; 1 touch → 100%, 2 touches →
+# 50/50).  Credit is integer permille so both engines do exact integer
+# arithmetic: the middle pot is floor(200/(n-2)) per middle touch and the
+# flooring REMAINDER goes to the last touch, so every attributed purchase
+# allocates exactly 1000 permille (audited by the oracle's arithmetic
+# being the same expression).
+#
+# Scale shape: identical to purchase_attribution — one window pass per
+# user ordered by time (count/min/max over the prior-click frame), one
+# hash aggregation; no join, no explode (bucket credits derive from the
+# COUNT alone, so the per-click credit rows never materialize).
+@query(
+    "position_attribution_credit",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    marked AS (
+      SELECT *,
+             count(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_clicks,
+             sum(CASE WHEN event_type = 'click' THEN sec END)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_sec_sum
+      FROM ev
+    ),
+    per_purchase AS (
+      SELECT user_id, n_clicks,
+             CASE WHEN n_clicks = 0 THEN 0
+                  WHEN n_clicks = 1 THEN 1000
+                  WHEN n_clicks = 2 THEN 500
+                  ELSE 400 END AS first_pm,
+             CASE WHEN n_clicks <= 1 THEN 0
+                  WHEN n_clicks = 2 THEN 500
+                  ELSE 400 + 200 - (200 // (n_clicks - 2)) * (n_clicks - 2) END AS last_pm,
+             CASE WHEN n_clicks <= 2 THEN 0
+                  ELSE (200 // (n_clicks - 2)) * (n_clicks - 2) END AS middle_pm,
+             n_clicks * sec - coalesce(click_sec_sum, 0) AS gap_sum
+      FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           cast(sum(CASE WHEN n_clicks = 0 THEN 1 ELSE 0 END) as bigint) AS n_unattributed,
+           cast(sum(first_pm) as bigint) AS first_permille,
+           cast(sum(last_pm) as bigint) AS last_permille,
+           cast(sum(middle_pm) as bigint) AS middle_permille,
+           cast(sum(gap_sum) as bigint) AS total_gap_sec
+    FROM per_purchase GROUP BY user_id
+    """,
+)
+def position_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "sec",
+        F.count(F.when(is_click, 1)).over(w).alias("n_clicks"),
+        F.sum(F.when(is_click, F.col("sec"))).over(w).alias("click_sec_sum"),
+    )
+    n = F.col("n_clicks")
+    middle_each = F.floor(F.lit(200) / (n - 2)).cast("bigint")
+    per_purchase = marked.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        n.alias("n_clicks"),
+        F.when(n == 0, 0)
+        .when(n == 1, 1000)
+        .when(n == 2, 500)
+        .otherwise(400)
+        .cast("bigint")
+        .alias("first_pm"),
+        F.when(n <= 1, 0)
+        .when(n == 2, 500)
+        .otherwise(F.lit(400) + 200 - middle_each * (n - 2))
+        .cast("bigint")
+        .alias("last_pm"),
+        F.when(n <= 2, 0)
+        .otherwise(middle_each * (n - 2))
+        .cast("bigint")
+        .alias("middle_pm"),
+        (n * F.col("sec") - F.coalesce("click_sec_sum", F.lit(0)))
+        .cast("bigint")
+        .alias("gap_sum"),
+    )
+    return per_purchase.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum((F.col("n_clicks") == 0).cast("int")).cast("bigint").alias("n_unattributed"),
+        F.sum("first_pm").cast("bigint").alias("first_permille"),
+        F.sum("last_pm").cast("bigint").alias("last_permille"),
+        F.sum("middle_pm").cast("bigint").alias("middle_permille"),
+        F.sum("gap_sum").cast("bigint").alias("total_gap_sec"),
+    )

@@ -722,3 +722,41 @@ def test_trending_daily_movers_invariants(spark, sf_dir):
         assert r["rank_gain"] == brute_rank(t, d - 1) - r["rnk"]
         prev = counts[(t, d - 1)]
         assert abs(r["delta_pct"] - round((counts[(t, d)] - prev) / prev, 6)) < 1e-9
+
+
+def test_kmv_exact_path_and_estimator_sanity(spark, sf_dir):
+    """KMV sketch: segments under K distinct hashes are EXACT (est == exact,
+    theta == 2^40); the intersection estimator can never exceed the smaller
+    sketch's estimate and is exact when both segments are exact."""
+    from bigdata_homed_spark.plans.analysis_queries import (
+        KMV_K,
+        KMV_MAXH,
+        kmv_audience_overlap,
+    )
+
+    r = kmv_audience_overlap(spark, sf_dir).collect()[0]
+    assert r["k"] == KMV_K
+    # sf0.001 has 15 users total -> both segments far under K: exact path
+    assert r["n_sketch_a"] == r["exact_a"] < KMV_K
+    assert r["n_sketch_b"] == r["exact_b"] < KMV_K
+    assert r["theta"] == KMV_MAXH
+    assert r["est_a"] == r["exact_a"]
+    assert r["est_b"] == r["exact_b"]
+    assert r["est_inter"] == r["n_inter_sketch"] == r["exact_inter"]
+
+
+def test_position_attribution_conservation(spark, sf_dir):
+    """U-shaped credit allocates exactly 1000 permille per ATTRIBUTED
+    purchase — first + last + middle == 1000 * (n_purchases -
+    n_unattributed) for every user, and nothing is credited for
+    unattributed ones."""
+    from bigdata_homed_spark.plans.window_frames import (
+        position_attribution_credit,
+    )
+
+    rows = position_attribution_credit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        attributed = r["n_purchases"] - r["n_unattributed"]
+        total = r["first_permille"] + r["last_permille"] + r["middle_permille"]
+        assert total == 1000 * attributed, r

@@ -532,3 +532,51 @@ def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_fact_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """The 100 TB fact-fact co-location strategy (SURVEY §2 scale design;
+    reference `etl/MysqlToHive.scala` writes day-partitioned facts that
+    downstream jobs re-join every night): both facts written
+    ``bucketBy(join_key)`` join with ZERO shuffle exchanges — the scan's
+    bucket hash IS the join distribution, so a nightly lineitem⋈orders at
+    any scale moves no rows.  Broadcast is disabled for the exhibit (at
+    real scale neither side fits; the point is the shuffle-free SMJ)."""
+    import pyspark.sql.functions as F
+
+    from bigdata_homed_spark.sources.tables import load_table
+
+    tmp = tmp_path_factory.mktemp("bucketed")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for name, df, key in (
+            ("b_lineitem", li, "l_orderkey"),
+            ("b_orders", orders, "o_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .option("path", str(tmp / name))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        joined.collect()  # executed plan (AQE final)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # the scan really is bucket-pruned-capable (bucketed read, not a
+        # plain file scan that happened to avoid a shuffle)
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

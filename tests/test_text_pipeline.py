@@ -377,3 +377,73 @@ def test_bpe_merge_rewrite_property(spark, tmp_path):
         assert got == expected, (docs, got, expected)
 
     run()
+
+
+def _winnow_reference(text, k=3, w=4, seed="winnow"):
+    """Independent Python winnowing mirror: lowercase-alnum tokens, k-gram
+    md5-60bit hashes, window-of-w minima, distinct set + XOR digest."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    th = [
+        int(hashlib.md5((seed + g).encode()).hexdigest()[:15], 16) for g in grams
+    ]
+    m = len(th)
+    if m == 0:
+        sel = []
+    else:
+        n_win = max(1, m - w + 1)
+        sel = [min(th[j : j + w]) for j in range(n_win)]
+    fps = set(sel)
+    digest = 0
+    for v in fps:
+        digest ^= v
+    return len(th), fps, digest
+
+
+def test_winnowing_matches_python_mirror(spark, tmp_path):
+    from bigdata_homed_spark.plans.text_pipeline import winnowing_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "completely different words here about astronomy and star maps",
+        "zz",             # 1 token < k  -> zero k-grams, digest 0
+        "aa bb cc",       # exactly k tokens -> one k-gram, one window
+        "",               # empty -> zero everything
+    ]
+    _write_docs(spark, tmp_path, texts)
+    got = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"], r["fp_digest"])
+        for r in winnowing_fingerprints(spark, str(tmp_path)).collect()
+    }
+    for i, t in enumerate(texts):
+        n_kg, fps, digest = _winnow_reference(t)
+        assert got[i] == (n_kg, len(fps), digest), (i, t, got[i])
+
+
+def test_winnowing_guarantee_shared_span_shares_fingerprint(spark, tmp_path):
+    """The winnowing guarantee (SIGMOD'03 thm 1): any copied span of at
+    least w+k-1 tokens shares >= 1 selected fingerprint between the two
+    documents, regardless of the unrelated surrounding text."""
+    span = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    doc_a = "one two three " + span + " four five six"
+    doc_b = "seven eight nine ten " + span + " eleven"
+    _write_docs(spark, tmp_path, [doc_a, doc_b])
+    _, fps_a, _ = _winnow_reference(doc_a)
+    _, fps_b, _ = _winnow_reference(doc_b)
+    assert fps_a & fps_b, "winnowing guarantee violated in the mirror"
+    # and the Spark side selects exactly the mirror's sets (digest+count
+    # pin the set through the XOR fold)
+    from bigdata_homed_spark.plans.text_pipeline import winnowing_fingerprints
+
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["fp_digest"])
+        for r in winnowing_fingerprints(spark, str(tmp_path)).collect()
+    }
+    for i, fps in ((0, fps_a), (1, fps_b)):
+        digest = 0
+        for v in fps:
+            digest ^= v
+        assert got[i] == (len(fps), digest)
