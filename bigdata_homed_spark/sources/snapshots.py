@@ -1487,6 +1487,71 @@ class SnapshotTable:
             "batch_id long, committed_at double",
         )
 
+    def files_table(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Live-file metadata table (Iceberg ``table.files`` / Delta
+        ``DESCRIBE DETAIL`` parity): one row per data file of the version —
+        partition values, footer row/byte counts, the file's dead-row count
+        under the version's deletion vectors, and its zone maps.  Metadata
+        reads only: the manifest, each file's parquet FOOTER, and the small
+        DV parquet files (O(dead rows), bounded by the MoR design) — never
+        a data pass over the table.  O(files) driver work, the same
+        contract as :meth:`history`; at 100 TB this is the table a
+        maintenance planner reads to pick OPTIMIZE bins (file sizes) and
+        DV-fold candidates (dead-row ratios) without touching data."""
+        import pyarrow.parquet as pq
+
+        from urllib.parse import urlparse
+
+        v = self.versions()[-1] if version is None else version
+        m = self._manifest(v)
+        dead: dict[str, int] = {}
+        for dvp in m.get("delete_files", []):
+            for f in pq.read_table(dvp, columns=["__file"]).column("__file").to_pylist():
+                # DVs record Spark's _metadata.file_path (a file: URI);
+                # manifest entries carry plain filesystem paths
+                p = urlparse(f).path if f.startswith("file:") else f
+                dead[p] = dead.get(p, 0) + 1
+        rows = []
+        for e in m["files"]:
+            md = pq.ParquetFile(e["path"]).metadata
+            parts = e.get("partitions")
+            rows.append(
+                (
+                    v,
+                    e["path"],
+                    json.dumps(parts, sort_keys=True) if parts else None,
+                    md.num_rows,
+                    sum(
+                        md.row_group(i).total_byte_size
+                        for i in range(md.num_row_groups)
+                    ),
+                    dead.get(e["path"], 0),
+                    json.dumps(e["stats"], sort_keys=True) if e.get("stats") else None,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, path string, partitions string, n_rows long, "
+            "bytes long, n_dead_rows long, zone_maps string",
+        )
+
+    def partitions_table(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Partition-level rollup of :meth:`files_table` (Iceberg
+        ``table.partitions`` parity): file/row/byte/dead-row totals per
+        partition-values tuple (NULL = the unpartitioned layout generation,
+        present whenever the table predates partition evolution)."""
+        from pyspark.sql import functions as F
+
+        f = self.files_table(spark, version)
+        return f.groupBy("version", "partitions").agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("bytes").cast("long").alias("bytes"),
+            F.sum("n_dead_rows").cast("long").alias("n_dead_rows"),
+        )
+
     # -- write-audit-publish -------------------------------------------------
     @property
     def staged_dir(self) -> str:

@@ -1453,7 +1453,9 @@ def test_snapshot_dv_model_based(spark, tmp_path):
     evolution) / RENAME (column mapping, toggling the key column's logical
     name) / CHECK-constraint add+drop (with batches the constraint must
     refuse) / generated-column declaration probes / shallow CLONE /
-    VACUUM must leave read() equal to a plain-dict model — plus
+    RESTORE (to a sampled surviving version — data, mapping, constraints,
+    and layout state roll back as one new commit) / VACUUM must leave
+    read() equal to a plain-dict model — plus
     version-pinned time travel (delta-chain reconstruction across
     checkpoints) and clone isolation (a mid-sequence clone still reads
     its at-clone state after the source keeps mutating).  The zero-
@@ -1489,6 +1491,7 @@ def test_snapshot_dv_model_based(spark, tmp_path):
         st.tuples(st.just("clone"), st.just(None)),
         st.tuples(st.just("vacuum"), st.just(None)),
         st.tuples(st.just("wap"), st.lists(kv, min_size=1, max_size=5)),
+        st.tuples(st.just("restore"), st.integers(0, 9)),
     )
 
     case_n = [0]
@@ -1643,6 +1646,19 @@ def test_snapshot_dv_model_based(spark, tmp_path):
                     snap()
                 else:
                     t.abort_staged(sid)
+            elif kind == "restore":
+                # Delta RESTORE interleaved with everything else: rolls
+                # data, column mapping, constraints, and layout state back
+                # to a sampled surviving version as a NEW commit (history
+                # never rewritten); the model adopts that snapshot whole
+                if not travel:
+                    continue
+                v, expect, kn = travel[arg % len(travel)]
+                t.restore(v)
+                model = dict(expect)
+                kname = kn
+                cons_active = "v_nonneg" in t.constraints()
+                snap()
             elif kind == "clone":
                 if not t.versions():
                     continue
@@ -3050,3 +3066,48 @@ def test_publish_staged_conflict_before_constraint_scan(spark, tmp_path):
     t.commit_append(spark.createDataFrame([(4, 2)], "k long, v long"))
     with pytest.raises(CommitConflictError):
         t.publish_staged(sid2, spark)
+
+
+def test_snapshot_files_and_partitions_metadata_tables(spark, tmp_path):
+    """files()/partitions() metadata tables (Iceberg table.files /
+    table.partitions, Delta DESCRIBE DETAIL): per-file partition values,
+    footer row/byte counts, DV dead-row counts; the partition rollup sums
+    them; live rows = sum(n_rows) - sum(n_dead_rows) at every step."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "meta"))
+    # flat generation, then partition evolution, then a DV delete
+    t.commit_append(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p"))
+    )
+    t.commit_append(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        ),
+        partition_by=["p"],
+        evolve=True,
+    )
+    t.commit_delete(spark, "k < 4 OR k >= 18")  # kills rows in BOTH generations
+    f = t.files_table(spark).collect()
+    m = t._manifest(t.versions()[-1])
+    assert {r["path"] for r in f} == {e["path"] for e in m["files"]}
+    live = t.read(spark).count()
+    assert sum(r["n_rows"] for r in f) - sum(r["n_dead_rows"] for r in f) == live
+    assert sum(r["n_dead_rows"] for r in f) == 6
+    # flat-generation files carry NULL partitions; evolved ones their value
+    flat = [r for r in f if r["partitions"] is None]
+    evolved = [r for r in f if r["partitions"] is not None]
+    assert flat and evolved
+    assert {r["partitions"] for r in evolved} == {'{"p": "0"}', '{"p": "1"}'}
+    assert all(r["bytes"] > 0 and r["n_rows"] > 0 for r in f)
+    # rollup is consistent with the per-file table
+    p = t.partitions_table(spark).collect()
+    assert sum(r["n_files"] for r in p) == len(f)
+    assert sum(r["n_rows"] for r in p) == sum(r["n_rows"] for r in f)
+    assert sum(r["n_dead_rows"] for r in p) == 6
+    # historical version: v1 predates the DV commit and the evolved files
+    f1 = t.files_table(spark, version=1).collect()
+    assert all(r["n_dead_rows"] == 0 for r in f1)
+    assert all(r["partitions"] is None for r in f1)
