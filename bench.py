@@ -301,6 +301,9 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "kmv_audience_overlap",
     "position_attribution_credit",
+    # late-r9: the feature-store point-in-time join — one union + one
+    # window pass assembling three feature streams from two fact tables.
+    "point_in_time_features",
 ]
 
 

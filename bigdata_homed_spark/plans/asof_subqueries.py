@@ -240,3 +240,154 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time-correct multi-source feature assembly (the feature-store
+# "training set generation" join — Feast/Tecton point-in-time join,
+# Uber Michelangelo's palette join): every label row (purchase) picks up,
+# AS OF its timestamp, features from THREE event streams of two tables —
+# cumulative click count, cumulative order count + spend (a DIFFERENT
+# fact table, orders, keyed by the same user), the seconds since the last
+# order, and the last-observed view value (LOCF).  No feature may leak
+# from the label's future.
+#
+# Spark-first shape — and the reason it scales: N feature sources are
+# assembled with ONE user-keyed shuffle and ONE sort, by tagging each
+# source, unioning, and running every running-aggregate/LOCF fill in a
+# single window pass (the asof_join union+forward-fill generalized to
+# many features).  The naive formulation is N separate as-of joins = N
+# sorts of the label table; at 100 TB the union costs one.  Within a
+# timestamp, feature rows sort BEFORE label rows (krank asc, labels
+# last): as-of-inclusive at equal timestamps, deterministic via the
+# per-source uid tiebreak.
+# Reference provenance: the reference's "latest state at event time"
+# full-outer merges (homed/UserStatusAnalysis.scala J5 family) are the
+# single-feature special case; the multi-source training-set assembly is
+# part of the LLM-pipeline widening.
+@query(
+    "point_in_time_features",
+    oracle=f"""
+    WITH ev AS ({EV_SEC}),
+    o AS (
+      SELECT o_custkey AS user_id,
+             (epoch_us(o_orderdate)//1000000//86400) * 86400 AS sec,
+             o_orderkey AS uid,
+             cast(o_totalprice as decimal(27,6)) AS amt
+      FROM orders
+    ),
+    u AS (
+      SELECT user_id, sec, 0 AS krank, uid, 0 AS click_i, 1 AS order_i,
+             amt, cast(NULL as double) AS vval, 0 AS is_label
+      FROM o
+      UNION ALL
+      SELECT user_id, sec, 1, event_id, 0, 0,
+             cast(NULL as decimal(27,6)), value, 0
+      FROM ev WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, sec, 2, event_id, 1, 0,
+             cast(NULL as decimal(27,6)), cast(NULL as double), 0
+      FROM ev WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, sec, 3, event_id, 0, 0,
+             cast(NULL as decimal(27,6)), cast(NULL as double), 1
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT *,
+             sum(click_i) OVER win AS n_clicks,
+             sum(order_i) OVER win AS n_orders,
+             sum(amt) OVER win AS spend,
+             last_value(vval IGNORE NULLS) OVER win AS last_view,
+             last_value(CASE WHEN krank = 0 THEN sec END IGNORE NULLS)
+               OVER win AS last_order_sec
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY sec, krank, uid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           uid AS label_id,
+           sec AS label_sec,
+           cast(n_clicks as bigint) AS n_prior_clicks,
+           cast(n_orders as bigint) AS n_prior_orders,
+           cast(cast(coalesce(spend, cast(0 as decimal(27,6))) as varchar) as double)
+             AS prior_spend,
+           last_view AS last_view_value,
+           cast(sec - last_order_sec as bigint) AS secs_since_last_order
+    FROM w WHERE is_label = 1
+    """,
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_sec(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint")
+            * 86400
+        ).alias("sec"),
+        F.col("o_orderkey").alias("uid"),
+        F.col("o_totalprice").cast("decimal(27,6)").alias("amt"),
+    )
+
+    def tagged(df, krank, click_i, order_i, amt_col, vval_col, is_label):
+        return df.select(
+            "user_id",
+            "sec",
+            F.lit(krank).alias("krank"),
+            "uid",
+            F.lit(click_i).alias("click_i"),
+            F.lit(order_i).alias("order_i"),
+            amt_col.alias("amt"),
+            vval_col.alias("vval"),
+            F.lit(is_label).alias("is_label"),
+        )
+
+    null_amt = F.lit(None).cast("decimal(27,6)")
+    null_v = F.lit(None).cast("double")
+    evu = ev.select("user_id", "sec", F.col("event_id").alias("uid"), "event_type", "value")
+    u = (
+        tagged(orders, 0, 0, 1, F.col("amt"), null_v, 0)
+        .unionByName(
+            tagged(evu.where(F.col("event_type") == "view"), 1, 0, 0, null_amt, F.col("value"), 0)
+        )
+        .unionByName(
+            tagged(evu.where(F.col("event_type") == "click"), 2, 1, 0, null_amt, null_v, 0)
+        )
+        .unionByName(
+            tagged(evu.where(F.col("event_type") == "purchase"), 3, 0, 0, null_amt, null_v, 1)
+        )
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "krank", "uid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = u.select(
+        "user_id",
+        "sec",
+        "uid",
+        "is_label",
+        F.sum("click_i").over(win).alias("n_clicks"),
+        F.sum("order_i").over(win).alias("n_orders"),
+        F.sum("amt").over(win).alias("spend"),
+        F.last("vval", ignorenulls=True).over(win).alias("last_view"),
+        F.last(F.when(F.col("krank") == 0, F.col("sec")), ignorenulls=True)
+        .over(win)
+        .alias("last_order_sec"),
+    )
+    return w.where(F.col("is_label") == 1).select(
+        "user_id",
+        F.col("uid").alias("label_id"),
+        F.col("sec").alias("label_sec"),
+        F.col("n_clicks").cast("bigint").alias("n_prior_clicks"),
+        F.col("n_orders").cast("bigint").alias("n_prior_orders"),
+        F.coalesce(F.col("spend"), F.lit(0).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("prior_spend"),
+        F.col("last_view").alias("last_view_value"),
+        (F.col("sec") - F.col("last_order_sec")).cast("bigint").alias("secs_since_last_order"),
+    )

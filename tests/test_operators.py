@@ -760,3 +760,60 @@ def test_position_attribution_conservation(spark, sf_dir):
         attributed = r["n_purchases"] - r["n_unattributed"]
         total = r["first_permille"] + r["last_permille"] + r["middle_permille"]
         assert total == 1000 * attributed, r
+
+
+def test_point_in_time_features_no_leakage(spark, sf_dir):
+    """Feature-store point-in-time correctness: for a sampled set of label
+    rows, every feature equals the brute-force recomputation over raw
+    events/orders strictly as-of the label (features at the same second
+    sort before the label; nothing leaks from the future)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.plans.asof_subqueries import point_in_time_features
+    from bigdata_homed_spark.plans.homed_behavior import events_sec
+    from bigdata_homed_spark.sources.tables import load_table
+
+    got = {r["label_id"]: r for r in point_in_time_features(spark, sf_dir).collect()}
+    ev = events_sec(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("day"),
+        "o_orderkey",
+        "o_totalprice",
+    ).collect()
+    purchases = [e for e in ev if e["event_type"] == "purchase"]
+    assert len(got) == len(purchases)
+    for p in purchases[:40]:
+        uid, sec = p["user_id"], p["sec"]
+        # label position: (sec, krank=3, event_id); features visible iff
+        # their (sec, krank, uid) sorts strictly before it
+        clicks = [
+            e for e in ev
+            if e["user_id"] == uid and e["event_type"] == "click"
+            and (e["sec"], 2, e["event_id"]) < (sec, 3, p["event_id"])
+        ]
+        views = [
+            e for e in ev
+            if e["user_id"] == uid and e["event_type"] == "view"
+            and (e["sec"], 1, e["event_id"]) < (sec, 3, p["event_id"])
+        ]
+        ords = [
+            o for o in orders
+            if o["o_custkey"] == uid
+            and (o["day"] * 86400, 0, o["o_orderkey"]) < (sec, 3, p["event_id"])
+        ]
+        r = got[p["event_id"]]
+        assert r["n_prior_clicks"] == len(clicks)
+        assert r["n_prior_orders"] == len(ords)
+        assert abs(r["prior_spend"] - sum(float(o["o_totalprice"]) for o in ords)) < 1e-6
+        if views:
+            last = max(views, key=lambda e: (e["sec"], e["event_id"]))
+            assert r["last_view_value"] == last["value"]
+        else:
+            assert r["last_view_value"] is None
+        if ords:
+            assert r["secs_since_last_order"] == sec - max(o["day"] for o in ords) * 86400
+        else:
+            assert r["secs_since_last_order"] is None
