@@ -49,6 +49,7 @@ INTENTIONAL_BNL = {
         "embedding_pq_search scan"
     ),
     "bm25_doc_scores": "1-row corpus-stats (N docs, total tokens) broadcast (the BM25 idf/avgdl normalizers)",
+    "kmv_audience_overlap": "all 7 BNLs are crossJoins of 1-row scalar frames (the two K-row sketch aggregates, theta, the three exact-count audits, and the intersection count \u2014 every side is <= K=32 rows by construction; the segments reach the sketches via TakeOrderedAndProject, never a cross join)",
     "multi_period_distinct_users": "~30 period rows broadcast (range join)",
     "part_share_of_total": "1-row global-total aggregate broadcast (scalar subquery)",
     "program_demand_counter_merge": "1-row max-day aggregate broadcast (lazy scalar; the < comparison makes it BNL)",
