@@ -817,3 +817,79 @@ def test_point_in_time_features_no_leakage(spark, sf_dir):
             assert r["secs_since_last_order"] == sec - max(o["day"] for o in ords) * 86400
         else:
             assert r["secs_since_last_order"] is None
+
+
+def test_kmv_property_random_segments(spark, tmp_path):
+    """Hypothesis: for random synthetic event sets (segment sizes straddling
+    K, overlap from none to total), the KMV sketch row equals an
+    independent pure-Python mirror — sketches, thetas, estimators, exact
+    counts."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_homed_spark.plans.analysis_queries import (
+        KMV_K,
+        KMV_MAXH,
+        kmv_audience_overlap,
+    )
+
+    def h40(uid: int) -> int:
+        return int(hashlib.md5(f"kmv{uid}".encode()).hexdigest()[:10], 16)
+
+    def mirror(users_a, users_b):
+        out = {"exact_a": len(users_a), "exact_b": len(users_b),
+               "exact_inter": len(users_a & users_b), "k": KMV_K}
+        ska = sorted({h40(u) for u in users_a})[:KMV_K]
+        skb = sorted({h40(u) for u in users_b})[:KMV_K]
+        out["n_sketch_a"], out["n_sketch_b"] = len(ska), len(skb)
+        th_a = KMV_MAXH if len(ska) < KMV_K else ska[-1]
+        th_b = KMV_MAXH if len(skb) < KMV_K else skb[-1]
+        theta = min(th_a, th_b)
+        out["theta"] = theta
+        inter = [h for h in set(ska) & set(skb) if h < theta]
+        out["n_inter_sketch"] = len(inter)
+        out["est_a"] = len(ska) if len(ska) < KMV_K else ((KMV_K - 1) * KMV_MAXH) // th_a
+        out["est_b"] = len(skb) if len(skb) < KMV_K else ((KMV_K - 1) * KMV_MAXH) // th_b
+        out["est_inter"] = len(inter) if theta == KMV_MAXH else (len(inter) * KMV_MAXH) // theta
+        return out
+
+    case_n = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        a=st.sets(st.integers(0, 120), min_size=0, max_size=60),
+        b=st.sets(st.integers(0, 120), min_size=0, max_size=60),
+    )
+    def run(a, b):
+        import datetime
+
+        case_n[0] += 1
+        sub = tmp_path / f"kmv_{case_n[0]}"
+        sub.mkdir()
+        # segment membership via the query's own predicates:
+        # A = click & value>150, B = purchase & value>120
+        rows, eid = [], 0
+        ts = datetime.datetime(2024, 1, 1)
+        for u in a:
+            eid += 1
+            rows.append((eid, ts, u, "click", 200.0, "{}"))
+        for u in b:
+            eid += 1
+            rows.append((eid, ts, u, "purchase", 200.0, "{}"))
+        eid += 1
+        rows.append((eid, ts, 999, "view", 1.0, "{}"))  # never segment-eligible
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(str(sub / "events.parquet"))
+        got = kmv_audience_overlap(spark, str(sub)).collect()[0].asDict()
+        assert got == mirror(a, b), (sorted(a)[:5], sorted(b)[:5], got)
+
+    run()

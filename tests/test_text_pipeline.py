@@ -447,3 +447,38 @@ def test_winnowing_guarantee_shared_span_shares_fingerprint(spark, tmp_path):
         for v in fps:
             digest ^= v
         assert got[i] == (len(fps), digest)
+
+
+def test_winnowing_property_random_docs(spark, tmp_path):
+    """Hypothesis: for arbitrary token soups (including repeats, 1-char
+    tokens, doc lengths straddling the k and w boundaries), the Spark
+    winnowing output equals the independent Python mirror on every doc."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_homed_spark.plans.text_pipeline import winnowing_fingerprints
+
+    token = st.text(alphabet="abc12", min_size=1, max_size=3)
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+    case_n = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        case_n[0] += 1
+        sub = tmp_path / f"wp_{case_n[0]}"
+        sub.mkdir()
+        _write_docs(spark, sub, texts)
+        got = {
+            r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"], r["fp_digest"])
+            for r in winnowing_fingerprints(spark, str(sub)).collect()
+        }
+        for i, t in enumerate(texts):
+            n_kg, fps, digest = _winnow_reference(t)
+            assert got[i] == (n_kg, len(fps), digest), (t, got[i])
+
+    run()
