@@ -304,6 +304,11 @@ BENCH_QUERIES = [
     # late-r9: the feature-store point-in-time join — one union + one
     # window pass assembling three feature streams from two fact tables.
     "point_in_time_features",
+    # late-r9 streaming: mergeable-KMV sketch maintenance over 4 replayed
+    # micro-batches (per-batch TakeOrdered cut to K rows, O(K) state;
+    # foreachBatch fixed costs dominate — expect ~flat across SFs like
+    # the other streaming entries).
+    "stream_kmv_sketch_merge",
 ]
 
 

@@ -1630,3 +1630,149 @@ def stream_ivm_aggregates(
             F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming KMV sketch maintenance: the mergeable-sketch property as a
+# stream job.  KMV/theta sketches merge exactly — union the value sets,
+# keep the K smallest — so maintaining one incrementally over micro-batches
+# MUST reproduce the batch sketch bit-for-bit (the oracle below is the same
+# SQL as kmv_audience_overlap's sketch columns, computed over the whole
+# table at once).  The merged top-K is always a subset of
+# state_topK ∪ batch_topK, so each batch contributes at most K rows per
+# segment: the collect is sketch-bounded (≤ 2K = 64 rows/batch), and the
+# persisted state is one tiny JSON written atomically (tmp+replace).
+# Replay safety comes free: sketch union is idempotent AND commutative, so
+# a replayed or reordered batch cannot change the converged sketch — no
+# batch-id dedup needed, unlike the additive IVM jobs (T7).
+#
+# At 100 TB this is the shape of every streaming distinct-cardinality
+# dashboard: per-batch work is one scan + a TakeOrderedAndProject cut to
+# K rows; state is O(K) regardless of history; and the exact same sketch
+# bytes can be unioned ACROSS streams/partitions/days later (the
+# DataSketches set-operation contract).
+@query(
+    "stream_kmv_sketch_merge",
+    oracle=f"""
+    WITH sega AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'click' AND value > 150),
+    segb AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase' AND value > 120),
+    ha AS (SELECT DISTINCT cast(('0x' || substr(md5('kmv' || cast(user_id as varchar)), 1, 10)) as bigint) AS h FROM sega),
+    hb AS (SELECT DISTINCT cast(('0x' || substr(md5('kmv' || cast(user_id as varchar)), 1, 10)) as bigint) AS h FROM segb),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT 32),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT 32),
+    sa AS (SELECT count(*) AS n_sketch_a, max(h) AS kth_a FROM ska),
+    sb AS (SELECT count(*) AS n_sketch_b, max(h) AS kth_b FROM skb),
+    st AS (
+      SELECT n_sketch_a, n_sketch_b,
+             CASE WHEN n_sketch_a < 32 THEN 1099511627776 ELSE kth_a END AS theta_a,
+             CASE WHEN n_sketch_b < 32 THEN 1099511627776 ELSE kth_b END AS theta_b
+      FROM sa, sb
+    ),
+    st2 AS (SELECT *, least(theta_a, theta_b) AS theta FROM st),
+    ni AS (
+      SELECT count(*) AS n_inter_sketch
+      FROM ska JOIN skb USING (h), st2 WHERE ska.h < st2.theta
+    )
+    SELECT cast(32 as bigint) AS k,
+           cast(n_sketch_a as bigint) AS n_sketch_a,
+           cast(n_sketch_b as bigint) AS n_sketch_b,
+           cast(theta as bigint) AS theta,
+           cast(n_inter_sketch as bigint) AS n_inter_sketch,
+           cast(CASE WHEN n_sketch_a < 32 THEN n_sketch_a
+                     ELSE (31 * 1099511627776) // theta_a END as bigint) AS est_a,
+           cast(CASE WHEN n_sketch_b < 32 THEN n_sketch_b
+                     ELSE (31 * 1099511627776) // theta_b END as bigint) AS est_b,
+           cast(CASE WHEN theta = 1099511627776 THEN n_inter_sketch
+                     ELSE (n_inter_sketch * 1099511627776) // theta END as bigint)
+             AS est_inter
+    FROM st2, ni
+    """,
+)
+def stream_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from .analysis_queries import (
+        KMV_K,
+        KMV_MAXH,
+        SEG_A_SQL,
+        SEG_B_SQL,
+        _h40,
+    )
+
+    # stage the fact as 4 micro-batches (narrow projection: the sketch
+    # needs nothing but the segment predicate columns)
+    staged = tempfile.mkdtemp(prefix="kmv_stream_")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).repartitionByRange(4, "event_id").write.mode("overwrite").parquet(staged)
+
+    state_path = os.path.join(tempfile.mkdtemp(prefix="kmv_state_"), "sketch.json")
+
+    def load_state() -> dict:
+        try:
+            with open(state_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"a": [], "b": []}
+
+    def merge(old: list[int], batch: list[int]) -> list[int]:
+        return sorted(set(old) | set(batch))[:KMV_K]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = load_state()
+        for seg, pred in (("a", SEG_A_SQL), ("b", SEG_B_SQL)):
+            # batch-side top-K: the merged top-K is a subset of
+            # state_topK ∪ batch_topK, so K rows is all a batch can add
+            rows = (
+                batch_df.where(F.expr(pred))
+                .select(_h40(F.col("user_id")).alias("h"))
+                .distinct()
+                .orderBy("h")
+                .limit(KMV_K)
+                .collect()
+            )
+            state[seg] = merge(state[seg], [r["h"] for r in rows])
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, state_path)  # atomic; idempotent under replay
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kmv_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # readout: the same exact-bigint estimator arithmetic as the batch
+    # query, over the converged O(K) state (sketch-sized driver math)
+    state = load_state()
+    ska, skb = state["a"], state["b"]
+    th_a = KMV_MAXH if len(ska) < KMV_K else ska[-1]
+    th_b = KMV_MAXH if len(skb) < KMV_K else skb[-1]
+    theta = min(th_a, th_b)
+    inter = [h for h in set(ska) & set(skb) if h < theta]
+    est_a = len(ska) if len(ska) < KMV_K else ((KMV_K - 1) * KMV_MAXH) // th_a
+    est_b = len(skb) if len(skb) < KMV_K else ((KMV_K - 1) * KMV_MAXH) // th_b
+    est_i = len(inter) if theta == KMV_MAXH else (len(inter) * KMV_MAXH) // theta
+    return spark.createDataFrame(
+        [(KMV_K, len(ska), len(skb), theta, len(inter), est_a, est_b, est_i)],
+        "k bigint, n_sketch_a bigint, n_sketch_b bigint, theta bigint, "
+        "n_inter_sketch bigint, est_a bigint, est_b bigint, est_inter bigint",
+    )

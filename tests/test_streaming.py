@@ -565,3 +565,50 @@ def test_kafka_probe_decision_matches_classpath(spark, monkeypatch):
         jobs, "KAFKA_PROVIDER_CLASS", "org.no.such.provider.Nowhere"
     )
     assert jobs.kafka_available(spark) is False
+
+
+def test_stream_kmv_merge_is_idempotent_and_order_free(spark, sf_dir):
+    """The property that makes the streaming KMV job replay-safe WITHOUT
+    batch-id dedup: sketch union is idempotent and commutative, so
+    replaying a batch or permuting batch order converges to the same
+    sketch — and that sketch equals the batch query's."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.plans.analysis_queries import (
+        KMV_K,
+        SEG_A_SQL,
+        _h40,
+        kmv_audience_overlap,
+    )
+    from bigdata_homed_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hashes = sorted(
+        r["h"]
+        for r in ev.where(F.expr(SEG_A_SQL))
+        .select(_h40(F.col("user_id")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    # simulate 3 batches, then replay batch 1 and apply everything reversed
+    batches = [hashes[0::3], hashes[1::3], hashes[2::3]]
+
+    def run(seq):
+        state: list[int] = []
+        for b in seq:
+            topk = sorted(b)[:KMV_K]
+            state = sorted(set(state) | set(topk))[:KMV_K]
+        return state
+
+    forward = run(batches)
+    replayed = run(batches + [batches[0]])
+    reordered = run(batches[::-1])
+    assert forward == replayed == reordered == sorted(hashes)[:KMV_K]
+    # and the streaming job's sketch columns equal the batch query's
+    from bigdata_homed_spark.plans.streaming_queries import stream_kmv_sketch_merge
+
+    batch_row = kmv_audience_overlap(spark, sf_dir).collect()[0]
+    stream_row = stream_kmv_sketch_merge(spark, sf_dir).collect()[0]
+    for c in ("k", "n_sketch_a", "n_sketch_b", "theta", "n_inter_sketch",
+              "est_a", "est_b", "est_inter"):
+        assert stream_row[c] == batch_row[c], c
