@@ -1455,7 +1455,9 @@ def test_snapshot_dv_model_based(spark, tmp_path):
     refuse) / generated-column declaration probes / shallow CLONE /
     RESTORE (to a sampled surviving version — data, mapping, constraints,
     and layout state roll back as one new commit) / VACUUM must leave
-    read() equal to a plain-dict model — plus
+    read() equal to a plain-dict model — and the files_table/
+    partitions_table metadata tables must account for exactly the live
+    rows (footer rows minus DV dead rows) at the converged state — plus
     version-pinned time travel (delta-chain reconstruction across
     checkpoints) and clone isolation (a mid-sequence clone still reads
     its at-clone state after the source keeps mutating).  The zero-
@@ -1692,6 +1694,20 @@ def test_snapshot_dv_model_based(spark, tmp_path):
         if model:
             got = {r[kname]: r["v"] for r in t.read(spark).collect()}
             assert got == model, (ops, got, model)
+            # metadata-table invariants at the converged state: files_table
+            # row/dead-row accounting must reproduce the live-row count, and
+            # the partitions_table rollup must sum to the per-file table —
+            # under every verb composition (DVs, evolution, restore, ...)
+            fmeta = t.files_table(spark).collect()
+            assert sum(r["n_rows"] for r in fmeta) - sum(
+                r["n_dead_rows"] for r in fmeta
+            ) == len(model), (ops, fmeta)
+            assert {r["path"] for r in fmeta} == set(t.files()), ops
+            pmeta = t.partitions_table(spark).collect()
+            assert sum(r["n_files"] for r in pmeta) == len(fmeta), ops
+            assert sum(r["n_rows"] for r in pmeta) == sum(
+                r["n_rows"] for r in fmeta
+            ), ops
         # version-pinned time travel: a sampled mid-sequence state must
         # reconstruct exactly (delta replay across checkpoint boundaries)
         if travel:
