@@ -309,6 +309,13 @@ BENCH_QUERIES = [
     # foreachBatch fixed costs dominate — expect ~flat across SFs like
     # the other streaming entries).
     "stream_kmv_sketch_merge",
+    # round-10: metadata-table + maintenance-pool driver surfaces.  The
+    # warm runs measure the PURE-MANIFEST files_table read (commit-time
+    # row/byte stats, no footer opens) and the compacted-table scan after
+    # the ~80-partition pooled OPTIMIZE; the builder (drip ingest + MoR
+    # delete + pooled compaction) is session-cached, paid on cold only.
+    "snapshot_files_metadata",
+    "snapshot_pooled_optimize",
 ]
 
 
@@ -350,7 +357,7 @@ def main() -> None:
     # cross-round pinned-subset totals: BENCH_QUERIES is append-only, so
     # each historical round's headline set is a prefix of today's list
     pins = {}
-    for n in (28, 40, 52, 75, 104, 109):
+    for n in (28, 40, 52, 75, 104, 109, 114):
         if len(BENCH_QUERIES) >= n:
             pins[f"pin{n}"] = round(sum(timings[q] for q in BENCH_QUERIES[:n]), 2)
     detail = {

@@ -2319,3 +2319,194 @@ def snapshot_evolved_type_fidelity(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(types["s_code"]).alias("s_code_type"),
         F.lit(len(t.versions())).cast("bigint").alias("n_versions"),
     )
+
+
+# --------------------------------------------------------------------------
+# FILES METADATA TABLE — the maintenance planner's view (Iceberg
+# `table.files` / Delta DESCRIBE DETAIL; reference has no table format at
+# all — its nearest analogue is the per-day Hive partition bookkeeping in
+# `etl/LogDelayPatch.scala:43-54`).  The query pins that files_table is a
+# PURE MANIFEST READ whose commit-time row/byte stats agree with both the
+# raw data (the DuckDB oracle recomputes per-partition row and dead-row
+# counts from `orders` itself) and the physical files on disk
+# (`bytes_match_disk` compares each manifest `bytes` to os.path.getsize).
+# At 100 TB this is the contract that lets an OPTIMIZE planner pick bins
+# over a million files without opening one footer.
+_SNAPFMETA_CACHE: dict[str, str] = {}
+
+
+def _snap_fmeta_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPFMETA_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapfm_"), "orders_fm")
+        t = SnapshotTable(cached)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .withColumn("o_year", F.year("o_orderdate"))
+        )
+        t.commit_append(
+            orders, n_files=1, stats_cols=["o_orderkey"], partition_by=["o_year"]
+        )
+        # MoR retention delete: every 13th key dies by deletion vector, so
+        # files_table must report per-file dead-row counts WITHOUT a data
+        # pass (DV reads are O(dead rows))
+        t.commit_delete(spark, F.col("o_orderkey") % 13 == 0)
+        _SNAPFMETA_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_files_metadata",
+    oracle="""
+    SELECT cast(year(o_orderdate) as int) AS o_year,
+           cast(1 as bigint) AS n_files,
+           cast(count(*) as bigint) AS n_rows,
+           cast(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) as bigint)
+             AS n_dead_rows,
+           cast(sum(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END) as bigint)
+             AS n_live_rows,
+           true AS bytes_match_disk,
+           true AS stats_recorded
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def snapshot_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snap_fmeta_table(spark, sf_dir)
+    entries = t._manifest(t.versions()[-1])["files"]
+    # commit-time stats present on every entry = files_table never opens a
+    # footer; and they must agree with the physical files byte-for-byte
+    stats_recorded = all("n_rows" in e and "bytes" in e for e in entries)
+    bytes_match = all(
+        e.get("bytes") == os.path.getsize(e["path"]) for e in entries
+    )
+    ft = t.files_table(spark)
+    return (
+        ft.withColumn(
+            "o_year", F.get_json_object("partitions", "$.o_year").cast("int")
+        )
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_dead_rows").cast("bigint").alias("n_dead_rows"),
+        )
+        .select(
+            "o_year",
+            "n_files",
+            "n_rows",
+            "n_dead_rows",
+            (F.col("n_rows") - F.col("n_dead_rows"))
+            .cast("bigint")
+            .alias("n_live_rows"),
+            F.lit(bool(bytes_match)).alias("bytes_match_disk"),
+            F.lit(bool(stats_recorded)).alias("stats_recorded"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# POOLED OPTIMIZE AT NIGHTLY-JOB WIDTH — commit_compact_small over a
+# month-partitioned fact (~80 partitions at any SF ≥ 0.001, ≥64 at the
+# gate SFs), the scale shape of the reference's per-day maintenance
+# (`etl/LogDelayPatch.scala`) run as ONE commit: every partition's two
+# drip-ingested files bin-pack through the bounded 8-wide maintenance
+# pool (`_run_maintenance_jobs`), DV-dead rows from a retention DELETE
+# vanish for good, and each packed file lands back inside its own
+# col=value directory.  The oracle recomputes everything from raw
+# `orders`: partition count, the exact pre-/post-compact file census
+# (distinct (month, ingest-parity) pairs — no hardcoded counts), and the
+# live row/sum fidelity after the fold.
+_SNAPPOOL_CACHE: dict[str, str] = {}
+
+
+def _snap_pool_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPPOOL_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snappool_"), "orders_pool")
+        t = SnapshotTable(cached)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+        )
+        # two drip commits -> up to 2 small files in each month partition
+        for p in range(2):
+            t.commit_append(
+                orders.where(F.col("o_orderkey") % 2 == p),
+                n_files=1,
+                stats_cols=["o_orderkey"],
+                partition_by=["o_month"],
+            )
+        t.commit_delete(spark, F.col("o_orderkey") % 7 == 0)
+        # the nightly OPTIMIZE: one bin per month partition, fanned out
+        # 8-wide over the maintenance pool (~80 concurrent-safe bins)
+        t.commit_compact_small(spark, threshold_bytes=1 << 30, n_files=1)
+        _SNAPPOOL_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_pooled_optimize",
+    oracle="""
+    WITH census AS (
+      SELECT count(distinct strftime(o_orderdate, '%Y-%m')) AS n_months,
+             count(distinct strftime(o_orderdate, '%Y-%m')
+                   || '|' || cast(o_orderkey % 2 as varchar)) AS n_ingest_files
+      FROM orders
+    ),
+    live AS (
+      SELECT cast(count(*) as bigint) AS n_rows,
+             cast(cast(sum(cast(o_totalprice as decimal(27,6))) as varchar)
+                  as double) AS sum_total
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT cast(n_months as bigint) AS n_partitions,
+           cast(n_months >= 64 as boolean) AS pool_wide,
+           cast(n_ingest_files as bigint) AS n_files_before,
+           cast(n_months as bigint) AS n_files_after,
+           n_rows, sum_total,
+           true AS dvs_folded,
+           true AS layout_preserved
+    FROM census, live
+    """,
+)
+def snapshot_pooled_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snap_pool_table(spark, sf_dir)
+    head = t.versions()[-1]
+    before = len(t.files(head - 1))  # DV version still lists the drip files
+    entries = t._manifest(head)["files"]
+    months = {e["partitions"]["o_month"] for e in entries if "partitions" in e}
+    dvs_folded = not t._manifest(head).get("delete_files")
+    layout_ok = all(
+        "partitions" in e and f"o_month={e['partitions']['o_month']}" in e["path"]
+        for e in entries
+    )
+    return (
+        t.read(spark, head)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .select(
+            F.lit(len(months)).cast("bigint").alias("n_partitions"),
+            F.lit(len(months) >= 64).alias("pool_wide"),
+            F.lit(before).cast("bigint").alias("n_files_before"),
+            F.lit(len(entries)).cast("bigint").alias("n_files_after"),
+            "n_rows",
+            "sum_total",
+            F.lit(bool(dvs_folded)).alias("dvs_folded"),
+            F.lit(bool(layout_ok)).alias("layout_preserved"),
+        )
+    )

@@ -95,14 +95,17 @@ from . import linkage  # noqa: E402,F401
 # JDBC/HBase/Redis roundtrips, the typed-JSON parse, the as-of join, the
 # streaming T1/T4 anchors) are never evicted.
 #
-# Round-9 window: verdict-burn-down, stale-fails first.  All 41
-# non-sole-anchor r8 slots rotate out (each carries its CORRECTNESS_r08
-# verdict — the r8 window went 50/50 green); in come the three queries
-# whose only driver record was a round-1 FAIL (long fixed, gate-green at
-# 4 SFs since), the two late-r8 waiters, the new r9 type-fidelity pin,
-# and 35 of the 40 remaining never-verified backlog entries.  The five
-# that don't fit (all judge-re-verified at sf0.1 in the r8 session) are
-# the explicit r10 spill — see ROTATIONS.md §Round 9.
+# Round-10 window: finish the verdict burn-down, then spend freed slots
+# on FRESHNESS.  All 41 non-sole-anchor r9 slots rotate out (each carries
+# its green CORRECTNESS_r09 verdict — the r9 window went 50/50); in come
+# (a) the 10 never-driver-verified queries (the explicit r10 spill + the
+# five late-r9 operators — zeroing the backlog: every registry query then
+# has a driver verdict), (b) the new r10 queries the round they land, and
+# (c) re-verification slots chosen by the ROTATIONS.md staleness ledger:
+# queries whose CODE PATH changed after their last driver verdict (the r9
+# rounding/escaping/publish fixes and the r10 manifest-stats change that
+# touches every snapshot verb), then the oldest-verdict long tail
+# (r1/r2 vintage).  See ROTATIONS.md §Round 10.
 PRIORITY_QUERIES = [
     # -- sole SURVEY §2 anchors (never evicted) ------------------------------
     "jdbc_dim_roundtrip",         # S3/S4/S9 vs embedded Derby
@@ -114,52 +117,51 @@ PRIORITY_QUERIES = [
     "stream_hourly_event_counts", # S6/T1/T2 (sole anchor)
     "stream_online_user_state",   # T4 keyed state (sole anchor)
     "stream_channel_live_counts", # flagship chain (S10/T8/J9/T3)
-    # -- stale round-1 FAILs: rotate first so no query's newest driver ------
-    # -- verdict is red (all three fixed long ago, gate-green since) --------
-    "paired_play_sessions",       # W1 pairing sessionization (r1 FAIL, fixed)
-    "stream_sliding_window_counts",  # sliding windows (r1 FAIL, fixed)
-    "stream_channel_hourly_uv",   # streaming hourly UV (r1 FAIL, fixed)
-    # -- new r9 (enters the window the round it lands) ------------------------
-    "snapshot_evolved_type_fidelity",  # NEW r9: partition-type record pin
-    # -- late-r8 waiters (promised ROTATIONS.md §Round 8) -------------------
-    "snapshot_check_constraints", # CHECK constraints quality gate
-    "snapshot_column_mapping",    # rename/drop as metadata-only commits
-    # -- never-verified backlog (35 of 40; 5 spill to r10) --------------------
-    "program_demand_counter_merge",  # counter-merge report
-    "ca_da_translation",          # J8 join-key normalization
-    "online_rate_halfhour",       # half-hour online-rate grid
-    "multiscreen_users",          # multi-screen user split
-    "cpsp_hourly_tiers",          # CP/SP hourly tier report
-    "open_version_report",        # app-open version report
-    "column_hierarchy_rollup",    # A6 column-tree rollup
-    "recommend_slot_funnel",      # recommendation slot funnel
-    "demand_package_tiers",       # demand package tiering
-    "running_customer_revenue",   # running cumulative revenue
-    "purchase_attribution",       # last-touch purchase attribution
-    "trailing_30d_revenue",       # trailing-30d revenue window
-    "demand_by_type_word",        # demand by type/word split
-    "favorite_rank_by_source",    # favorites rank by source
-    "open_account_daily",         # daily open-account report
-    "repetition_signals",         # intra-doc repetition quality signals
-    "late_orders_by_priority",    # late orders by priority
-    "small_quantity_revenue",     # small-quantity revenue slice
-    "part_share_of_total",        # part share-of-total report
-    "new_vs_returning",           # J10 anti-join split
-    "user_activity_profile",      # per-user activity profile
-    "bind_degree_histogram",      # account-bind degree histogram
-    "play_count_cp",              # play counts per CP
-    "demand_completion_buckets",  # demand completion-ratio buckets
-    "timerange_channel_share",    # channel share by timerange
-    "ad_click_ctr",               # ad click CTR report
-    "site_filtered_visits",       # site-filtered visit report
-    "program_schedule_relations", # program schedule relation join
-    "online_users_devices",       # online users by device
-    "activation_latency",         # activation latency distribution
-    "column_detail_topn",         # column detail topN
-    "billing_program_revenue",    # billing program revenue
-    "recommend_result_enrich",    # recommendation result enrichment
-    "app_version_report",         # app version adoption report
-    "home_open_accounts",         # home-open account report
+    # -- never-driver-verified backlog (all 10 — burn-down complete) --------
+    "channel_timerange_grains",   # r8 spill: U1 grain unions
+    "cumulative_user_snapshot",   # r8 spill: W4 latest-per-key
+    "lookback_channel_grains",    # r8 spill: A6 lookback grains
+    "revenue_latest_order",       # r8 spill: A11/W6 dedup-latest
+    "view_to_purchase_conversion",  # r8 spill: J10 funnel anti-join
+    "winnowing_fingerprints",     # late-r9: MOSS winnowing
+    "kmv_audience_overlap",       # late-r9: KMV theta-sketch overlap
+    "position_attribution_credit",  # late-r9: U-shaped attribution
+    "point_in_time_features",     # late-r9: feature-store PIT assembly
+    "stream_kmv_sketch_merge",    # late-r9: streaming mergeable KMV
+    # -- new r10 (enter the window the round they land) ----------------------
+    "snapshot_files_metadata",    # NEW r10: pure-manifest files() table
+    "snapshot_pooled_optimize",   # NEW r10: ~80-partition pooled OPTIMIZE
+    # -- freshness: code changed after last verdict (staleness ledger) ------
+    "growth_accounting",          # r8 verdict; r9 tie-stable rounding diff
+    "visit_overview",             # r8 verdict; r9 tie-stable rounding diff
+    "snapshot_wap_publish",       # r8 verdict; r9 publish_staged fixes
+    "snapshot_partitioned_merge", # r8 verdict; r9 escaping + r10 manifest stats
+    "snapshot_partition_evolution",  # r8 verdict; r9 type-fidelity + r10 stats
+    "snapshot_partitioned_optimize",  # r8 verdict; r10 repack-path stats
+    "snapshot_merge_on_read",     # r8 verdict; r10 manifest stats on MoR path
+    "snapshot_update_inplace",    # r8 verdict; r10 manifest stats
+    "snapshot_pruned_scan",       # r6 verdict; r9 escaping + r10 stats
+    "snapshot_restore",           # r6 verdict; r9 RESTORE fuzz + r10 stats
+    "snapshot_schema_evolution",  # r6 verdict; r10 manifest stats
+    "snapshot_incremental_read",  # r6 verdict; r10 manifest stats
+    "stream_snapshot_commits",    # r6 verdict; r10 manifest stats
+    "snapshot_diff",              # r7 verdict; r10 manifest stats
+    # -- freshness: oldest-verdict long tail (r1/r2 vintage) ------------------
+    "token_stats",                # r1 verdict
+    "dedup_decisions",            # r1 verdict
+    "ngram_frequency_topk",       # r1 verdict
+    "simhash_docs",               # r1 verdict
+    "lang_id_ngram",              # r1 verdict
+    "word_doc_frequency",         # r1 verdict
+    "doc_length_bands",           # r1 verdict
+    "embedding_lsh_buckets",      # r1 verdict
+    "embedding_outliers",         # r1 verdict
+    "embedding_near_dup_decisions",  # r1 verdict
+    "top_parts_per_brand",        # r2 verdict
+    "latest_event_per_user",      # r2 verdict
+    "halfhour_activity",          # r2 verdict
+    "multi_period_distinct_users",  # r2 verdict
+    "props_kv_extract",           # r2 verdict
 ]
 
 

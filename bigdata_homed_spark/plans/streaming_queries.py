@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.jobs import hourly_event_counts, read_events_stream, run_stream_to_memory
+from .analysis_queries import KMV_K, KMV_MAXH, SEG_A_SQL, SEG_B_SQL, _h40_sql
 from .registry import query
 
 
@@ -1653,21 +1654,23 @@ def stream_ivm_aggregates(
 # DataSketches set-operation contract).
 @query(
     "stream_kmv_sketch_merge",
+    # oracle interpolates the SAME constants (KMV_K/KMV_MAXH/SEG_*_SQL/
+    # _h40_sql) the Spark side imports from analysis_queries, mirroring
+    # kmv_audience_overlap — a change to the shared constants can never
+    # desync this oracle silently
     oracle=f"""
-    WITH sega AS (SELECT DISTINCT user_id FROM events
-                  WHERE event_type = 'click' AND value > 150),
-    segb AS (SELECT DISTINCT user_id FROM events
-             WHERE event_type = 'purchase' AND value > 120),
-    ha AS (SELECT DISTINCT cast(('0x' || substr(md5('kmv' || cast(user_id as varchar)), 1, 10)) as bigint) AS h FROM sega),
-    hb AS (SELECT DISTINCT cast(('0x' || substr(md5('kmv' || cast(user_id as varchar)), 1, 10)) as bigint) AS h FROM segb),
-    ska AS (SELECT h FROM ha ORDER BY h LIMIT 32),
-    skb AS (SELECT h FROM hb ORDER BY h LIMIT 32),
+    WITH sega AS (SELECT DISTINCT user_id FROM events WHERE {SEG_A_SQL}),
+    segb AS (SELECT DISTINCT user_id FROM events WHERE {SEG_B_SQL}),
+    ha AS (SELECT DISTINCT {_h40_sql("cast(user_id as varchar)")} AS h FROM sega),
+    hb AS (SELECT DISTINCT {_h40_sql("cast(user_id as varchar)")} AS h FROM segb),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
     sa AS (SELECT count(*) AS n_sketch_a, max(h) AS kth_a FROM ska),
     sb AS (SELECT count(*) AS n_sketch_b, max(h) AS kth_b FROM skb),
     st AS (
       SELECT n_sketch_a, n_sketch_b,
-             CASE WHEN n_sketch_a < 32 THEN 1099511627776 ELSE kth_a END AS theta_a,
-             CASE WHEN n_sketch_b < 32 THEN 1099511627776 ELSE kth_b END AS theta_b
+             CASE WHEN n_sketch_a < {KMV_K} THEN {KMV_MAXH} ELSE kth_a END AS theta_a,
+             CASE WHEN n_sketch_b < {KMV_K} THEN {KMV_MAXH} ELSE kth_b END AS theta_b
       FROM sa, sb
     ),
     st2 AS (SELECT *, least(theta_a, theta_b) AS theta FROM st),
@@ -1675,17 +1678,17 @@ def stream_ivm_aggregates(
       SELECT count(*) AS n_inter_sketch
       FROM ska JOIN skb USING (h), st2 WHERE ska.h < st2.theta
     )
-    SELECT cast(32 as bigint) AS k,
+    SELECT cast({KMV_K} as bigint) AS k,
            cast(n_sketch_a as bigint) AS n_sketch_a,
            cast(n_sketch_b as bigint) AS n_sketch_b,
            cast(theta as bigint) AS theta,
            cast(n_inter_sketch as bigint) AS n_inter_sketch,
-           cast(CASE WHEN n_sketch_a < 32 THEN n_sketch_a
-                     ELSE (31 * 1099511627776) // theta_a END as bigint) AS est_a,
-           cast(CASE WHEN n_sketch_b < 32 THEN n_sketch_b
-                     ELSE (31 * 1099511627776) // theta_b END as bigint) AS est_b,
-           cast(CASE WHEN theta = 1099511627776 THEN n_inter_sketch
-                     ELSE (n_inter_sketch * 1099511627776) // theta END as bigint)
+           cast(CASE WHEN n_sketch_a < {KMV_K} THEN n_sketch_a
+                     ELSE ({KMV_K - 1} * {KMV_MAXH}) // theta_a END as bigint) AS est_a,
+           cast(CASE WHEN n_sketch_b < {KMV_K} THEN n_sketch_b
+                     ELSE ({KMV_K - 1} * {KMV_MAXH}) // theta_b END as bigint) AS est_b,
+           cast(CASE WHEN theta = {KMV_MAXH} THEN n_inter_sketch
+                     ELSE (n_inter_sketch * {KMV_MAXH}) // theta END as bigint)
              AS est_inter
     FROM st2, ni
     """,
@@ -1698,13 +1701,7 @@ def stream_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..sources.tables import load_table
-    from .analysis_queries import (
-        KMV_K,
-        KMV_MAXH,
-        SEG_A_SQL,
-        SEG_B_SQL,
-        _h40,
-    )
+    from .analysis_queries import _h40  # scalar constants imported at module level
 
     # stage the fact as 4 micro-batches (narrow projection: the sketch
     # needs nothing but the segment predicate columns)

@@ -288,8 +288,11 @@ class SnapshotTable:
             for name in names:
                 os.remove(os.path.join(root, name))
             os.rmdir(root)
-        if stats_cols and entries:
-            self._attach_footer_stats(entries, stats_cols)
+        if entries:
+            # always attach n_rows/bytes (one footer read per file the
+            # commit just wrote — what Iceberg/Delta writers record in
+            # manifests so downstream planners never re-open footers)
+            self._attach_footer_stats(entries, stats_cols or [])
         return entries
 
     @staticmethod
@@ -331,13 +334,23 @@ class SnapshotTable:
 
     @staticmethod
     def _attach_footer_stats(entries: list[dict], stats_cols: list[str]) -> None:
-        """Per-file min/max zone maps from parquet FOOTER metadata — a
-        kilobyte metadata read per file, never a data pass.  Values are
-        JSON-native where possible (int/float stay numeric so pruning can
-        compare numerically); timestamps/dates/strings are rendered in
-        Spark's cast-to-string form ('yyyy-MM-dd HH:mm:ss'), so
-        lexicographic order matches native order and existing callers'
-        literals keep working."""
+        """Per-file commit-time metadata from the parquet FOOTER the write
+        just produced — a kilobyte metadata read per file, never a data
+        pass.  Always records ``n_rows`` (footer row count) and ``bytes``
+        (ON-DISK compressed size via ``os.path.getsize`` — the quantity
+        OPTIMIZE bin-packing and DESCRIBE DETAIL report; row-group
+        ``total_byte_size`` would be the uncompressed size and skew bin
+        decisions by compression ratio).  ``stats_cols`` additionally
+        attaches min/max zone maps.  Values are JSON-native where possible
+        (int/float stay numeric so pruning can compare numerically);
+        timestamps/dates/strings are rendered in Spark's cast-to-string
+        form ('yyyy-MM-dd HH:mm:ss'), so lexicographic order matches
+        native order and existing callers' literals keep working.
+
+        Recording row/byte counts in manifest entries is what lets
+        :meth:`files_table` be a pure manifest read — Iceberg manifests
+        carry exactly these so a 100 TB maintenance planner never opens
+        O(files) footers."""
         import datetime
         import decimal
 
@@ -357,6 +370,8 @@ class SnapshotTable:
 
         for e in entries:
             md = pq.ParquetFile(e["path"]).metadata
+            e["n_rows"] = md.num_rows
+            e["bytes"] = os.path.getsize(e["path"])
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             stats: dict = {}
             for c in stats_cols:
@@ -1490,41 +1505,46 @@ class SnapshotTable:
     def files_table(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Live-file metadata table (Iceberg ``table.files`` / Delta
         ``DESCRIBE DETAIL`` parity): one row per data file of the version —
-        partition values, footer row/byte counts, the file's dead-row count
-        under the version's deletion vectors, and its zone maps.  Metadata
-        reads only: the manifest, each file's parquet FOOTER, and the small
-        DV parquet files (O(dead rows), bounded by the MoR design) — never
-        a data pass over the table.  O(files) driver work, the same
-        contract as :meth:`history`; at 100 TB this is the table a
-        maintenance planner reads to pick OPTIMIZE bins (file sizes) and
-        DV-fold candidates (dead-row ratios) without touching data."""
+        partition values, row count, ON-DISK byte size, the file's
+        dead-row count under the version's deletion vectors, and its zone
+        maps.  A PURE manifest read plus the small DV parquet files
+        (O(dead rows), bounded by the MoR design): row/byte counts are
+        recorded per entry at commit time (``_attach_footer_stats``), so
+        no parquet footer is opened here — Iceberg manifests carry these
+        counts precisely so a 100 TB maintenance planner picking OPTIMIZE
+        bins (file sizes) and DV-fold candidates (dead-row ratios) never
+        opens a million footers.  Entries committed before the counts were
+        recorded are backfilled lazily from their footer (one metadata
+        read, old sandbox tables only — never a data pass)."""
         import pyarrow.parquet as pq
 
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
         v = self.versions()[-1] if version is None else version
         m = self._manifest(v)
         dead: dict[str, int] = {}
         for dvp in m.get("delete_files", []):
             for f in pq.read_table(dvp, columns=["__file"]).column("__file").to_pylist():
-                # DVs record Spark's _metadata.file_path (a file: URI);
-                # manifest entries carry plain filesystem paths
-                p = urlparse(f).path if f.startswith("file:") else f
+                # DVs record Spark's _metadata.file_path (a file: URI,
+                # PERCENT-ENCODED for spaces/'%'/non-ASCII); manifest
+                # entries carry plain decoded filesystem paths — decode or
+                # dead.get() silently misses under such paths
+                p = unquote(urlparse(f).path) if f.startswith("file:") else f
                 dead[p] = dead.get(p, 0) + 1
         rows = []
         for e in m["files"]:
-            md = pq.ParquetFile(e["path"]).metadata
+            n_rows, nbytes = e.get("n_rows"), e.get("bytes")
+            if n_rows is None or nbytes is None:  # pre-r10 manifest entry
+                n_rows = pq.ParquetFile(e["path"]).metadata.num_rows
+                nbytes = os.path.getsize(e["path"])
             parts = e.get("partitions")
             rows.append(
                 (
                     v,
                     e["path"],
                     json.dumps(parts, sort_keys=True) if parts else None,
-                    md.num_rows,
-                    sum(
-                        md.row_group(i).total_byte_size
-                        for i in range(md.num_row_groups)
-                    ),
+                    n_rows,
+                    nbytes,
                     dead.get(e["path"], 0),
                     json.dumps(e["stats"], sort_keys=True) if e.get("stats") else None,
                 )

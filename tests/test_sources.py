@@ -3127,3 +3127,71 @@ def test_snapshot_files_and_partitions_metadata_tables(spark, tmp_path):
     f1 = t.files_table(spark, version=1).collect()
     assert all(r["n_dead_rows"] == 0 for r in f1)
     assert all(r["partitions"] is None for r in f1)
+
+def test_files_table_pure_manifest_read(spark, tmp_path, monkeypatch):
+    """The r10 contract: commit-time row/byte stats make files_table a
+    PURE manifest read — no parquet footer is opened for entries that
+    carry them (Iceberg-manifest parity: a 100 TB planner never opens
+    O(files) footers).  Entries from pre-r10 manifests (stats stripped
+    here by hand) backfill lazily from their footer and still agree."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "pure"))
+    t.commit_append(
+        spark.range(20).select(F.col("id").alias("k"), (F.col("id") % 4).alias("p")),
+        partition_by=["p"],
+    )
+    m = t._manifest(t.versions()[-1])
+    # commit recorded the stats: n_rows from the footer, bytes = ON-DISK size
+    assert all(e["n_rows"] > 0 and e["bytes"] > 0 for e in m["files"])
+    assert all(e["bytes"] == os.path.getsize(e["path"]) for e in m["files"])
+
+    real_parquet_file = pq.ParquetFile
+
+    def _no_footer(*a, **k):
+        raise AssertionError("files_table opened a parquet footer")
+
+    monkeypatch.setattr(pq, "ParquetFile", _no_footer)
+    f = t.files_table(spark).collect()
+    monkeypatch.setattr(pq, "ParquetFile", real_parquet_file)
+    assert sum(r["n_rows"] for r in f) == 20
+    assert all(r["bytes"] == os.path.getsize(r["path"]) for r in f)
+
+    # legacy-manifest backfill: strip the recorded stats and re-read
+    import json as _json
+
+    vpath = os.path.join(t.path, "_manifests", f"v{t.versions()[-1]}.json")
+    raw = _json.load(open(vpath))
+    for e in raw.get("files", []):
+        e.pop("n_rows", None)
+        e.pop("bytes", None)
+    with open(vpath, "w") as fh:
+        _json.dump(raw, fh)
+    t2 = SnapshotTable(t.path)  # fresh instance: no manifest cache
+    f2 = t2.files_table(spark).collect()
+    assert sum(r["n_rows"] for r in f2) == 20
+    assert {(r["path"], r["n_rows"], r["bytes"]) for r in f2} == {
+        (r["path"], r["n_rows"], r["bytes"]) for r in f
+    }
+
+
+def test_files_table_dv_paths_percent_encoded_dir(spark, tmp_path):
+    """DVs record Spark's _metadata.file_path, a file: URI that
+    percent-encodes special characters; files_table must decode it or a
+    table under such a path silently reports n_dead_rows = 0 (the r10
+    ADVICE finding).  A directory with a space exercises the mismatch."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "odd dir %x" / "t"))
+    t.commit_append(spark.range(10).select(F.col("id").alias("k")))
+    t.commit_delete(spark, "k < 3")
+    f = t.files_table(spark).collect()
+    assert sum(r["n_dead_rows"] for r in f) == 3
+    assert t.read(spark).count() == 7
