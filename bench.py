@@ -316,6 +316,19 @@ BENCH_QUERIES = [
     # delete + pooled compaction) is session-cached, paid on cold only.
     "snapshot_files_metadata",
     "snapshot_pooled_optimize",
+    # round-10: the Hive-escaping contract query — CoW merge survivor
+    # relocation under escaped `part=...` dirs; warm runs measure the
+    # 15-partition grouped read (builder session-cached).
+    "snapshot_escaped_partition_values",
+    # round-10 widening: the sketch suite — HDR log-linear quantile sketch
+    # (integer-exact bucketing, one combinable groupBy + a few-hundred-row
+    # cumulative walk), theta-sketch A-not-B (K-row frames after the
+    # TakeOrderedAndProject scans), and the streaming additive-merge HDR
+    # job (per-batch bucket groupBy + batch-id dedup; foreachBatch fixed
+    # costs dominate, expect ~flat across SFs).
+    "hdr_histogram_quantiles",
+    "kmv_anotb_audience",
+    "stream_hdr_sketch_merge",
 ]
 
 

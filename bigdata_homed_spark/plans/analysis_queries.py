@@ -2003,3 +2003,238 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE (n_inter_sketch * {KMV_MAXH}L) DIV theta END as bigint)"
         ).alias("est_inter"),
     )
+
+
+# --------------------------------------------------------------------------
+# HDR-HISTOGRAM QUANTILE SKETCH — log-linear bucketed quantiles (the
+# HdrHistogram / DDSketch family: relative-error-bounded percentiles from
+# a sketch that is a pure map-combinable groupBy).  The fixed-point value
+# floor(value*100) is bucketed by (exponent via length(bin(v)), top
+# HDR_P_BITS of mantissa) — ALL integer arithmetic, so the sketch is
+# bit-identical on any engine (no transcendental log whose last-ulp
+# differs between libm and the JVM).  Quantile read-out walks the
+# cumulative counts of the ≤ few-hundred-row bucket frame; the per-rank
+# relative error is ≤ 2^-HDR_P_BITS by construction, pinned per row with
+# exact integer arithmetic ((exact-est)*32 <= est).  At 100 TB: the
+# sketch is one combinable aggregate with O(64·2^p) groups — no global
+# sort; sketches merge by adding bucket counts (the streaming job below
+# proves it).  The exact_value audit column (a global rank lookup) exists
+# only for test-SF verification, like kmv_audience_overlap's exact_*.
+# Reference provenance: the reference has no percentile machinery at all
+# (SURVEY §2.4 "no median/percentile"); this is the 100 TB widening of
+# its latency/price distribution reports.
+HDR_P_BITS = 5          # sub-bucket precision: rel. error <= 1/32
+HDR_QS = (0.5, 0.9, 0.99)
+
+
+def _hdr_bucket_sql(v: str) -> dict[str, str]:
+    """Engine-portable bucket exprs (both Spark SQL and DuckDB accept
+    these spellings): e = floor(log2(v))+1 via length(bin(v)); values
+    below 2^(p+1) are exact; larger ones keep the top p mantissa bits."""
+    e = f"length(bin({v}))"
+    small = f"{e} <= {HDR_P_BITS + 1}"
+    sub = f"({v} >> ({e} - {HDR_P_BITS + 1}))"
+    return {
+        "bucket": f"(CASE WHEN {small} THEN {v} "
+                  f"ELSE {e} * {2 ** (HDR_P_BITS + 1)} + {sub} END)",
+        "lower": f"(CASE WHEN {small} THEN {v} "
+                 f"ELSE {sub} << ({e} - {HDR_P_BITS + 1}) END)",
+    }
+
+
+_HDR_B = _hdr_bucket_sql("v")
+
+_HDR_ORACLE = f"""
+    WITH fp AS (
+      SELECT cast(floor(value * 100) as bigint) AS v FROM events
+      WHERE floor(value * 100) >= 1
+    ),
+    sketch AS (
+      SELECT {_HDR_B['bucket']} AS bucket, {_HDR_B['lower']} AS lower_fp,
+             count(*) AS cnt
+      FROM fp GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT bucket, lower_fp, cnt,
+             sum(cnt) OVER (ORDER BY lower_fp) AS cum_cnt
+      FROM sketch
+    ),
+    tot AS (SELECT cast(count(*) as bigint) AS n FROM fp),
+    qs AS (SELECT cast(unnest([{', '.join(str(q) for q in HDR_QS)}]) as double) AS q),
+    ranks AS (
+      SELECT q, cast(ceil(q * n) as bigint) AS r, n FROM qs, tot
+    ),
+    est AS (
+      SELECT r.q, r.r, r.n, min(c.lower_fp) AS est_fp
+      FROM ranks r JOIN cum c ON c.cum_cnt >= r.r
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn FROM fp
+    )
+    SELECT e.q AS q,
+           cast(e.n as bigint) AS n_total,
+           cast(e.r as bigint) AS rank_r,
+           cast(e.est_fp as double) / 100.0 AS est_value,
+           cast(rk.v as double) / 100.0 AS exact_value,
+           (rk.v - e.est_fp) * {2 ** HDR_P_BITS} <= e.est_fp AS bound_ok
+    FROM est e JOIN ranked rk ON rk.rn = e.r
+"""
+
+
+@query("hdr_histogram_quantiles", oracle=_HDR_ORACLE)
+def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("cast(floor(value * 100) as bigint)").alias("v")
+    ).where(F.col("v") >= 1)
+    sketch = (
+        ev.select(
+            F.expr(_HDR_B["bucket"]).alias("bucket"),
+            F.expr(_HDR_B["lower"]).alias("lower_fp"),
+        )
+        .groupBy("bucket", "lower_fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # the cumulative walk runs on the SKETCH (≤ ~few hundred rows at any
+    # scale — single-partition window is deliberate and bounded)
+    from pyspark.sql import Window
+
+    cum = sketch.withColumn(
+        "cum_cnt",
+        F.sum("cnt").over(
+            Window.orderBy("lower_fp").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    qs = spark.createDataFrame([(q,) for q in HDR_QS], "q double")
+    ranks = qs.crossJoin(F.broadcast(tot)).select(
+        "q", F.expr("cast(ceil(q * n) as bigint)").alias("r"), "n"
+    )
+    est = (
+        ranks.join(F.broadcast(cum), F.col("cum_cnt") >= F.col("r"))
+        .groupBy("q", "r", "n")
+        .agg(F.min("lower_fp").alias("est_fp"))
+    )
+    # exact audit (test SFs only — a production sketch read-out stops at est)
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    return (
+        est.join(ranked, F.col("rn") == F.col("r"))
+        .select(
+            "q",
+            F.col("n").cast("bigint").alias("n_total"),
+            F.col("r").cast("bigint").alias("rank_r"),
+            (F.col("est_fp").cast("double") / 100.0).alias("est_value"),
+            (F.col("v").cast("double") / 100.0).alias("exact_value"),
+            (
+                (F.col("v") - F.col("est_fp")) * (2 ** HDR_P_BITS)
+                <= F.col("est_fp")
+            ).alias("bound_ok"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# THETA-SKETCH A-NOT-B — set-difference cardinality from the same KMV
+# sketches as kmv_audience_overlap (the DataSketches aNotB operation:
+# audience suppression "clickers who did NOT purchase" without touching
+# the raw sets).  Entries of A's sketch below theta = min(theta_a,
+# theta_b) that miss in B's sketch estimate |A\B| as n·MAXH/theta; when
+# both sketches are exact (n < K) the answer is exact.  All frames are
+# ≤ K = 32 rows after the TakeOrderedAndProject scans; estimator
+# arithmetic is exact bigint.  Reference provenance: the reference
+# computes such suppressions exactly via `except` splits
+# (`etl/LogParser.scala:119`); this is the sketch-sized 100 TB path.
+@query(
+    "kmv_anotb_audience",
+    oracle=f"""
+    WITH sega AS (SELECT DISTINCT user_id FROM events WHERE {SEG_A_SQL}),
+    segb AS (SELECT DISTINCT user_id FROM events WHERE {SEG_B_SQL}),
+    ha AS (SELECT DISTINCT {_h40_sql("cast(user_id as varchar)")} AS h FROM sega),
+    hb AS (SELECT DISTINCT {_h40_sql("cast(user_id as varchar)")} AS h FROM segb),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+    sa AS (SELECT count(*) AS n_a, max(h) AS kth_a FROM ska),
+    sb AS (SELECT count(*) AS n_b, max(h) AS kth_b FROM skb),
+    st AS (
+      SELECT least(
+               CASE WHEN n_a < {KMV_K} THEN {KMV_MAXH} ELSE kth_a END,
+               CASE WHEN n_b < {KMV_K} THEN {KMV_MAXH} ELSE kth_b END
+             ) AS theta
+      FROM sa, sb
+    ),
+    nd AS (
+      SELECT count(*) AS n_diff
+      FROM ska, st
+      WHERE ska.h < st.theta AND ska.h NOT IN (SELECT h FROM skb)
+    )
+    SELECT cast({KMV_K} as bigint) AS k,
+           cast((SELECT count(*) FROM sega
+                 WHERE user_id NOT IN (SELECT user_id FROM segb)) as bigint)
+             AS exact_anotb,
+           cast(theta as bigint) AS theta,
+           cast(n_diff as bigint) AS n_diff_sketch,
+           cast(CASE WHEN theta = {KMV_MAXH} THEN n_diff
+                     ELSE (n_diff * {KMV_MAXH}) // theta END as bigint)
+             AS est_anotb
+    FROM st, nd
+    """,
+)
+def kmv_anotb_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    seg_a = ev.where(F.expr(SEG_A_SQL)).select("user_id").distinct()
+    seg_b = ev.where(F.expr(SEG_B_SQL)).select("user_id").distinct()
+    sk_a = (
+        seg_a.select(_h40(F.col("user_id")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    sk_b = (
+        seg_b.select(_h40(F.col("user_id")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    theta = (
+        sk_a.agg(F.count("h").alias("n_a"), F.max("h").alias("kth_a"))
+        .crossJoin(sk_b.agg(F.count("h").alias("n_b"), F.max("h").alias("kth_b")))
+        .select(
+            F.least(
+                F.when(F.col("n_a") < KMV_K, F.lit(KMV_MAXH).cast("bigint")).otherwise(
+                    F.col("kth_a")
+                ),
+                F.when(F.col("n_b") < KMV_K, F.lit(KMV_MAXH).cast("bigint")).otherwise(
+                    F.col("kth_b")
+                ),
+            ).alias("theta")
+        )
+    )
+    nd = (
+        sk_a.join(sk_b, "h", "left_anti")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    exact = seg_a.join(seg_b, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("exact_anotb")
+    )
+    return (
+        theta.crossJoin(nd)
+        .crossJoin(exact)
+        .select(
+            F.lit(KMV_K).cast("bigint").alias("k"),
+            F.col("exact_anotb").cast("bigint").alias("exact_anotb"),
+            F.col("theta").cast("bigint").alias("theta"),
+            F.col("n_diff").cast("bigint").alias("n_diff_sketch"),
+            F.expr(
+                f"cast(CASE WHEN theta = {KMV_MAXH}L THEN n_diff"
+                f" ELSE (n_diff * {KMV_MAXH}L) DIV theta END as bigint)"
+            ).alias("est_anotb"),
+        )
+    )

@@ -2510,3 +2510,106 @@ def snapshot_pooled_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(layout_ok)).alias("layout_preserved"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ESCAPED PARTITION VALUES — partition values containing characters Spark's
+# writer must Hive-escape in directory names (space, '=', '%').  The r9
+# ADVICE finding showed an escaped stored value comparing unequal to the
+# raw user value silently duplicates rows through commit_merge's partition
+# fast path; this query pins the whole contract in the driver gate: raw
+# values in the manifest, survivor rewrites relocated back into their
+# escaped directories by a CoW merge, a raw-value pruning probe, and the
+# row-level merge result.  (Reference: Hive's escapePathName; the
+# reference app dodges this by using digit-only day partitions —
+# `etl/LogParser.scala:92-101` — so this is new-engine hardening.)
+_SNAPESC_CACHE: dict[str, str] = {}
+
+
+def _snap_esc_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPESC_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snapesc_"), "orders_esc")
+        t = SnapshotTable(cached)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+            .withColumn(
+                "part",
+                F.concat(
+                    F.col("o_orderstatus"), F.lit(" =% "), F.col("o_orderpriority")
+                ),
+            )
+        )
+        t.commit_append(
+            orders, n_files=1, stats_cols=["o_orderkey"], partition_by=["part"]
+        )
+        # CoW merge keyed on DATA: survivors of hit files must relocate
+        # back inside their own escaped `part=...` directory
+        upd = orders.where(F.col("o_orderkey") % 11 == 0).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(27,6)") + F.lit(500.25)).cast(
+                orders.schema["o_totalprice"].dataType
+            ),
+        )
+        t.commit_merge(upd, key="o_orderkey", stats_cols=["o_orderkey"])
+        _SNAPESC_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_escaped_partition_values",
+    oracle="""
+    SELECT o_orderstatus || ' =% ' || o_orderpriority AS part,
+           cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN cast(cast(o_totalprice as decimal(27,6)) + 500.25
+                       as decimal(15,2))
+                  ELSE o_totalprice END
+             as decimal(27,6))) as varchar) as double) AS sum_total,
+           true AS raw_values_stored,
+           true AS probe_routes,
+           true AS dirs_escaped
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def snapshot_escaped_partition_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snap_esc_table(spark, sf_dir)
+    head = t.versions()[-1]
+    entries = t._manifest(head)["files"]
+    vals = {e["partitions"]["part"] for e in entries if "partitions" in e}
+    # manifest stores the RAW value (space/'='/'%' intact), the directory
+    # name the ESCAPED form — both sides of the Hive contract
+    raw_ok = all(" =% " in v for v in vals)
+    dirs_ok = all(
+        "part=" in e["path"] and " =% " not in os.path.basename(os.path.dirname(e["path"]))
+        for e in entries
+        if "partitions" in e
+    )
+    probe = t.pruned_entries(partitions={"part": sorted(vals)[0]})
+    probe_ok = bool(probe) and all(
+        e["partitions"]["part"] == sorted(vals)[0] for e in probe
+    )
+    return (
+        t.read(spark, head)
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .select(
+            "part",
+            "n_rows",
+            "sum_total",
+            F.lit(bool(raw_ok)).alias("raw_values_stored"),
+            F.lit(bool(probe_ok)).alias("probe_routes"),
+            F.lit(bool(dirs_ok)).alias("dirs_escaped"),
+        )
+    )

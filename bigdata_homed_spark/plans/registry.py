@@ -131,6 +131,10 @@ PRIORITY_QUERIES = [
     # -- new r10 (enter the window the round they land) ----------------------
     "snapshot_files_metadata",    # NEW r10: pure-manifest files() table
     "snapshot_pooled_optimize",   # NEW r10: ~80-partition pooled OPTIMIZE
+    "snapshot_escaped_partition_values",  # NEW r10: Hive-escaping contract
+    "hdr_histogram_quantiles",    # NEW r10: log-linear quantile sketch
+    "kmv_anotb_audience",         # NEW r10: theta-sketch A-not-B
+    "stream_hdr_sketch_merge",    # NEW r10: streaming additive sketch + T7
     # -- freshness: code changed after last verdict (staleness ledger) ------
     "growth_accounting",          # r8 verdict; r9 tie-stable rounding diff
     "visit_overview",             # r8 verdict; r9 tie-stable rounding diff
@@ -158,10 +162,6 @@ PRIORITY_QUERIES = [
     "embedding_outliers",         # r1 verdict
     "embedding_near_dup_decisions",  # r1 verdict
     "top_parts_per_brand",        # r2 verdict
-    "latest_event_per_user",      # r2 verdict
-    "halfhour_activity",          # r2 verdict
-    "multi_period_distinct_users",  # r2 verdict
-    "props_kv_extract",           # r2 verdict
 ]
 
 

@@ -14,7 +14,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.jobs import hourly_event_counts, read_events_stream, run_stream_to_memory
-from .analysis_queries import KMV_K, KMV_MAXH, SEG_A_SQL, SEG_B_SQL, _h40_sql
+from .analysis_queries import (
+    HDR_QS,
+    KMV_K,
+    KMV_MAXH,
+    SEG_A_SQL,
+    SEG_B_SQL,
+    _h40_sql,
+    _HDR_B,
+)
 from .registry import query
 
 
@@ -1772,4 +1780,160 @@ def stream_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(KMV_K, len(ska), len(skb), theta, len(inter), est_a, est_b, est_i)],
         "k bigint, n_sketch_a bigint, n_sketch_b bigint, theta bigint, "
         "n_inter_sketch bigint, est_a bigint, est_b bigint, est_inter bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming HDR-histogram sketch maintenance: the ADDITIVE-merge
+# counterpart of stream_kmv_sketch_merge.  Bucket counts merge by
+# addition, which — unlike KMV set-union — is NOT idempotent, so this job
+# carries the T7 exactly-once contract explicitly: the persisted state
+# records processed batch ids and a replayed batch is skipped whole (the
+# same batch-id-stamped-commit recipe as the snapshot sinks,
+# `sources/snapshots.py::commit_append`).  The query re-plays batch 0
+# through the sink after convergence and pins that the state did not
+# move.  Per-batch work: one combinable groupBy cut to the O(64·2^p)
+# bucket frame; state is O(buckets) regardless of history; the readout
+# must reproduce the whole-table batch sketch bucket-for-bucket (the
+# oracle is the same SQL as hdr_histogram_quantiles' sketch walk).
+@query(
+    "stream_hdr_sketch_merge",
+    oracle=f"""
+    WITH fp AS (
+      SELECT cast(floor(value * 100) as bigint) AS v FROM events
+      WHERE floor(value * 100) >= 1
+    ),
+    sketch AS (
+      SELECT {_HDR_B['bucket']} AS bucket, {_HDR_B['lower']} AS lower_fp, count(*) AS cnt
+      FROM fp GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT bucket, lower_fp, cnt,
+             sum(cnt) OVER (ORDER BY lower_fp) AS cum_cnt
+      FROM sketch
+    ),
+    tot AS (SELECT cast(count(*) as bigint) AS n FROM fp),
+    qs AS (SELECT cast(unnest([{', '.join(str(q) for q in HDR_QS)}]) as double) AS q),
+    ranks AS (SELECT q, cast(ceil(q * n) as bigint) AS r, n FROM qs, tot),
+    est AS (
+      SELECT r.q, r.r, r.n, min(c.lower_fp) AS est_fp
+      FROM ranks r JOIN cum c ON c.cum_cnt >= r.r
+      GROUP BY 1, 2, 3
+    )
+    SELECT q,
+           cast(n as bigint) AS n_total,
+           cast(r as bigint) AS rank_r,
+           cast(est_fp as double) / 100.0 AS est_value,
+           cast((SELECT count(*) FROM sketch) as bigint) AS n_buckets,
+           cast(4 as bigint) AS n_batches,
+           true AS replay_safe
+    FROM est
+    """,
+)
+def stream_hdr_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import math
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    staged = tempfile.mkdtemp(prefix="hdr_stream_")
+    load_table(spark, sf_dir, "events").select("event_id", "value").repartitionByRange(
+        4, "event_id"
+    ).write.mode("overwrite").parquet(staged)
+
+    state_path = os.path.join(tempfile.mkdtemp(prefix="hdr_state_"), "sketch.json")
+
+    def load_state() -> dict:
+        try:
+            with open(state_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"seen": [], "buckets": {}}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = load_state()
+        if batch_id in state["seen"]:
+            return  # replayed batch: additive merge must skip it whole
+        rows = (
+            batch_df.select(
+                F.expr("cast(floor(value * 100) as bigint)").alias("v")
+            )
+            .where(F.col("v") >= 1)
+            .select(
+                F.expr(_HDR_B["bucket"]).alias("bucket"),
+                F.expr(_HDR_B["lower"]).alias("lower_fp"),
+            )
+            .groupBy("bucket", "lower_fp")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()  # bounded: O(64 * 2^p) bucket rows, never data-sized
+        )
+        for r in rows:
+            key = str(r["bucket"])
+            lo, cnt = state["buckets"].get(key, (r["lower_fp"], 0))
+            state["buckets"][key] = [r["lower_fp"], cnt + r["cnt"]]
+        state["seen"].append(batch_id)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, state_path)  # atomic commit of state + dedup record
+
+    stream = (
+        spark.readStream.schema("event_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hdr_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # replay probe: push a seen batch id through the sink again — the
+    # batch-id guard must leave the persisted state bit-identical
+    before = json.dumps(load_state(), sort_keys=True)
+    first = sorted(os.listdir(staged))
+    replay_df = spark.read.parquet(
+        os.path.join(staged, next(n for n in first if n.endswith(".parquet")))
+    )
+    process_batch(replay_df, 0)
+    replay_safe = json.dumps(load_state(), sort_keys=True) == before
+
+    # sketch-sized driver readout, same arithmetic as the batch oracle
+    state = load_state()
+    buckets = sorted(
+        ((v[0], v[1]) for v in state["buckets"].values()), key=lambda t: t[0]
+    )
+    n = sum(c for _, c in buckets)
+    out = []
+    for qq in HDR_QS:
+        r = math.ceil(qq * n)
+        cum = 0
+        est_fp = None
+        for lo, c in buckets:
+            cum += c
+            if cum >= r:
+                est_fp = lo
+                break
+        out.append(
+            (
+                qq,
+                n,
+                r,
+                est_fp / 100.0,
+                len(buckets),
+                len(state["seen"]),
+                bool(replay_safe),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "q double, n_total bigint, rank_r bigint, est_value double, "
+        "n_buckets bigint, n_batches bigint, replay_safe boolean",
     )

@@ -3195,3 +3195,143 @@ def test_files_table_dv_paths_percent_encoded_dir(spark, tmp_path):
     f = t.files_table(spark).collect()
     assert sum(r["n_dead_rows"] for r in f) == 3
     assert t.read(spark).count() == 7
+
+def test_snapshot_hostile_partition_values_model_based(spark, tmp_path):
+    """Hive path-escaping model check (the r9 ADVICE medium generalized):
+    partition VALUES drawn from a hostile alphabet — spaces, '=', '%',
+    ':', '#', unicode — fuzzed across partitioned append, CoW merge keyed
+    on the partition column (the manifest-only fast path that silently
+    duplicated rows when escaped stored values were compared against raw
+    keys), CoW merge keyed on data (survivor rewrite + relocation back
+    into the escaped directory), MoR merge, DV delete by partition value,
+    and per-partition OPTIMIZE.  End state must equal a plain-dict model,
+    the partitions_table must account per-value for exactly the live
+    rows, and a raw-value pruned_entries probe must route to files for
+    every live value.  Depth env-tunable: HOSTILE_FUZZ_EXAMPLES (default
+    10)."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    HOSTILE = [
+        "a b",            # space (Spark escapes to %20)
+        "x=1",            # '=' would split the dir segment if unescaped
+        "100%",           # '%' itself must round-trip (%25)
+        "a:b",            # ':' illegal in path segments
+        "héllo",     # non-ASCII
+        "c#4 =%",         # everything at once
+        "2020-01-01 00:00:00",  # timestamp-shaped string
+        "plain",          # control: no escaping
+    ]
+    kv = st.tuples(st.integers(0, 15), st.integers(0, len(HOSTILE) - 1))
+    op = st.one_of(
+        st.tuples(st.just("append"), st.lists(kv, min_size=1, max_size=5)),
+        st.tuples(st.just("merge_k"), st.lists(kv, min_size=1, max_size=5)),
+        st.tuples(st.just("merge_p"), st.lists(kv, min_size=1, max_size=3)),
+        st.tuples(st.just("mor_merge"), st.lists(kv, min_size=1, max_size=5)),
+        st.tuples(st.just("delete_p"), st.integers(0, len(HOSTILE) - 1)),
+        st.tuples(st.just("optimize"), st.just(None)),
+    )
+
+    case_n = [0]
+
+    @settings(
+        max_examples=int(os.environ.get("HOSTILE_FUZZ_EXAMPLES", "10")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=5))
+    def run(ops):
+        case_n[0] += 1
+        t = SnapshotTable(os.path.join(str(tmp_path), f"hpv_{case_n[0]}"))
+        model: dict[int, str] = {}  # k -> partition value
+        appended = 0
+
+        def df_of(rows):
+            return spark.createDataFrame(rows, "k long, p string")
+
+        for kind, arg in ops:
+            if kind == "append":
+                appended += 1
+                rows = [(k + appended * 100, HOSTILE[i]) for k, i in dict(arg).items()]
+                t.commit_append(df_of(rows), n_files=1, partition_by=["p"])
+                model.update({k: p for k, p in rows})
+            elif kind == "merge_k":
+                if not t.versions():
+                    continue
+                # upsert by data key: updates may MOVE a key to another
+                # partition (the update row lands under its own p; the old
+                # row dies in the survivor rewrite of its escaped dir)
+                rows = [(k, HOSTILE[i]) for k, i in dict(arg).items()]
+                t.commit_merge(df_of(rows), key="k")
+                model.update({k: p for k, p in rows})
+            elif kind == "merge_p":
+                if not t.versions():
+                    continue
+                # upsert keyed ON the partition column: the manifest-only
+                # fast path — every file of a matched value disappears
+                # whole, no data file opened for hit detection.  Keys are
+                # freshly minted (one per value) so the k->p model dict
+                # stays well-defined.
+                appended += 1
+                vals = sorted({HOSTILE[i] for _, i in arg})
+                rows = [(appended * 100 + j, p) for j, p in enumerate(vals)]
+                t.commit_merge(df_of(rows), key="p")
+                model = {k: p for k, p in model.items() if p not in set(vals)}
+                model.update({k: p for k, p in rows})
+            elif kind == "mor_merge":
+                if not t.versions():
+                    continue
+                rows = [(k, HOSTILE[i]) for k, i in dict(arg).items()]
+                t.commit_merge_on_read(df_of(rows), key="k")
+                model.update({k: p for k, p in rows})
+            elif kind == "delete_p":
+                if not t.versions():
+                    continue
+                hv = HOSTILE[arg]
+                files_before = set(t.files())
+                t.commit_delete(spark, F.col("p") == hv)
+                model = {k: p for k, p in model.items() if p != hv}
+                assert set(t.files()) == files_before  # zero rewrite
+            elif kind == "optimize":
+                if t.versions():
+                    t.commit_compact_small(spark, threshold_bytes=1 << 30)
+
+        if not t.versions():
+            return
+        got = {r["k"]: r["p"] for r in t.read(spark).collect()}
+        assert got == model, (ops, got, model)
+        # per-value live accounting through the metadata tables (manifest
+        # tags + DV paths, both escaping-sensitive)
+        import json as _json
+        want: dict[str, int] = {}
+        for p in model.values():
+            want[p] = want.get(p, 0) + 1
+        pmeta = t.partitions_table(spark).collect()
+        got_counts: dict[str, int] = {}
+        for r in pmeta:
+            if r["partitions"] is None:
+                pv = None  # MoR update files land flat
+            else:
+                pv = _json.loads(r["partitions"])["p"]
+            live = r["n_rows"] - r["n_dead_rows"]
+            if pv is not None and live:
+                got_counts[pv] = got_counts.get(pv, 0) + live
+        flat_live = sum(
+            r["n_rows"] - r["n_dead_rows"] for r in pmeta if r["partitions"] is None
+        )
+        assert sum(got_counts.values()) + flat_live == len(model), (ops, pmeta)
+        for pv, n in got_counts.items():
+            assert want.get(pv, 0) >= n, (ops, pv, got_counts, want)
+        # raw-value probe: every live value routes to at least one file
+        for pv in set(model.values()):
+            probe = t.pruned_entries(partitions={"p": pv})
+            flat = [e for e in t._manifest(t.versions()[-1])["files"]
+                    if "partitions" not in e]
+            assert probe or flat, (ops, pv)
+
+    run()
