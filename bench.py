@@ -329,6 +329,11 @@ BENCH_QUERIES = [
     "hdr_histogram_quantiles",
     "kmv_anotb_audience",
     "stream_hdr_sketch_merge",
+    # round-10 widening 2: epochs-per-source mix materialization (explode
+    # <=4 + combinable agg, zero extra shuffle) and the tagged-dataset pin
+    # (three pinned manifest reads; builder session-cached).
+    "source_epoch_mixing",
+    "snapshot_tag_dataset_pin",
 ]
 
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64, hash64_sql
+from ..functions.hashing import HASH_BITS, hash64, hash64_sql
 from ..functions.text import tokens
 from .homed_behavior import EV_SEC, events_sec
 from .registry import query
@@ -897,3 +897,97 @@ def priority_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 priority_sample_per_source.__doc__ = priority_sample_per_source.__doc__.format(
     k=_PS_K
 )
+
+
+# --------------------------------------------------------------------------
+# SOURCE EPOCH MIXING — materialize a training mix where higher-quality
+# sources repeat for more epochs (the FineWeb/Dolma "epochs per source"
+# upsampling recipe; `source_mixing_weights` computes proportions, THIS
+# op turns integer epoch counts into actual sample instances).  Sources
+# rank into 4 quality tiers (avg doc length proxy, ntile over the
+# source-count-sized frame) = epochs 1..4; each doc explodes into `epochs`
+# sample instances carrying a portable 60-bit shuffle key
+# hash(doc_id||epoch), so a downstream shard writer range-partitions on
+# the key and every epoch of every source interleaves uniformly — no
+# global sort, no RNG.  The per-source readout pins n_samples =
+# n_docs × epochs and the interleave itself: the count of samples in the
+# lower half of the key domain (~n_samples/2 for a uniform hash, exact
+# integer both engines).  100 TB shape: explode factor ≤ 4, one
+# map-combinable agg; the expansion is a zero-shuffle projection.
+@query(
+    "source_epoch_mixing",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, count(*) AS n_docs,
+             sum(n_chars) AS sum_chars
+      FROM documents GROUP BY source
+    ),
+    tiers AS (
+      SELECT source, n_docs,
+             ntile(4) OVER (ORDER BY sum_chars * 1000 / n_docs, source)
+               AS epochs
+      FROM stats
+    ),
+    samples AS (
+      SELECT d.source, t.epochs,
+             {hash64_sql("cast(d.doc_id as varchar) || '#' || cast(e.epoch as varchar)", "mix")} AS skey
+      FROM documents d
+      JOIN tiers t USING (source)
+      CROSS JOIN (SELECT unnest(range(1, 5)) AS epoch) e
+      WHERE e.epoch <= t.epochs
+    )
+    SELECT source,
+           cast(any_value(epochs) as bigint) AS epochs,
+           cast(count(*) as bigint) AS n_samples,
+           cast(sum(CASE WHEN skey < {1 << (HASH_BITS - 1)} THEN 1 ELSE 0 END)
+                as bigint) AS n_lower_half
+    FROM samples
+    GROUP BY source
+    """,
+)
+def source_epoch_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    # quality proxy in exact integer arithmetic (sum*1000 DIV n) so the
+    # tier boundaries are engine-independent; the ntile window runs on the
+    # source-count-sized frame (20 rows here, thousands at worst)
+    tiers = stats.withColumn(
+        "epochs",
+        F.ntile(4).over(
+            Window.orderBy(
+                F.expr("sum_chars * 1000 DIV n_docs"), F.col("source")
+            )
+        ),
+    ).select("source", "epochs")
+    samples = (
+        docs.join(F.broadcast(tiers), "source")
+        .select(
+            "source",
+            "epochs",
+            F.explode(F.expr("sequence(1, epochs)")).alias("epoch"),
+            "doc_id",
+        )
+        .select(
+            "source",
+            "epochs",
+            hash64(
+                F.concat_ws("#", F.col("doc_id"), F.col("epoch")), "mix"
+            ).alias("skey"),
+        )
+    )
+    return samples.groupBy("source").agg(
+        F.first("epochs").cast("bigint").alias("epochs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum(
+            F.when(F.col("skey") < (1 << (HASH_BITS - 1)), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_lower_half"),
+    )

@@ -2613,3 +2613,125 @@ def snapshot_escaped_partition_values(spark: SparkSession, sf_dir: str) -> DataF
             F.lit(bool(dirs_ok)).alias("dirs_escaped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TAGGED DATASET PINS — Iceberg-refs tags as the dataset-versioning
+# primitive (`ALTER TABLE ... CREATE TAG` / DVC-style training-set pins):
+# a training run tags the exact table version it consumed, and that
+# version stays readable bit-for-bit forever — through later restatements,
+# MoR deletes, and a vacuum(keep_last=1) that expires every untagged
+# intermediate.  The builder tags v1, restates prices (untagged v2),
+# appends a keyed batch and tags v3, MoR-deletes at v4, then vacuums:
+# v2 expires, v3 (a delta whose parent vanished) is re-checkpointed, and
+# the query reads BOTH tags plus head and pins all three states against
+# raw-data reconstructions.  Reference provenance: the reference rewrites
+# report tables in place (DELETE-then-append, `utils/DBUtils.scala:36-44`)
+# — zero reproducibility; this is the 100 TB lineage answer.
+_SNAPTAG_CACHE: dict[str, str] = {}
+
+
+def _snap_tag_table(spark: SparkSession, sf_dir: str):
+    from ..session import session_cache_key, session_scoped_path
+    from ..sources.snapshots import SnapshotTable
+
+    cached = session_scoped_path(_SNAPTAG_CACHE, spark, sf_dir)
+    if cached is None:
+        cached = os.path.join(tempfile.mkdtemp(prefix="homed_snaptag_"), "orders_tag")
+        t = SnapshotTable(cached)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.commit_append(orders, n_files=2, stats_cols=["o_orderkey"])   # v1
+        t.tag("train-v1")
+        restated = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(27,6)") + F.lit(100.50)).cast(
+                orders.schema["o_totalprice"].dataType
+            ),
+        )
+        t.commit_merge(restated, key="o_orderkey", stats_cols=["o_orderkey"])  # v2
+        extra = orders.where(F.col("o_orderkey") % 10 == 0).select(
+            (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        t.commit_append(extra, n_files=1, stats_cols=["o_orderkey"])    # v3
+        t.tag("train-v2")
+        t.commit_delete(spark, F.col("o_orderkey") % 5 == 0)            # v4
+        t.vacuum(keep_last=1)  # v2 expires; v3 survives tagged (gap repair)
+        _SNAPTAG_CACHE[session_cache_key(spark, sf_dir)] = cached
+    from ..sources.snapshots import SnapshotTable as _ST
+
+    return _ST(cached)
+
+
+@query(
+    "snapshot_tag_dataset_pin",
+    oracle="""
+    WITH orig AS (
+      SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+    ),
+    restated AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN cast(cast(o_totalprice as decimal(27,6)) + 100.50
+                       as decimal(15,2))
+                  ELSE o_totalprice END AS price
+      FROM orders
+    ),
+    extra AS (
+      SELECT o_orderkey + 1000000000 AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    v2state AS (SELECT * FROM restated UNION ALL SELECT * FROM extra)
+    SELECT 'train-v1' AS ref, cast(count(*) as bigint) AS n_rows,
+           cast(cast(sum(cast(price as decimal(27,6))) as varchar) as double)
+             AS sum_total,
+           cast(3 as bigint) AS n_versions_after,
+           true AS gap_checkpointed
+    FROM orig
+    UNION ALL
+    SELECT 'train-v2', cast(count(*) as bigint),
+           cast(cast(sum(cast(price as decimal(27,6))) as varchar) as double),
+           cast(3 as bigint), true
+    FROM v2state
+    UNION ALL
+    SELECT 'head', cast(count(*) as bigint),
+           cast(cast(sum(cast(price as decimal(27,6))) as varchar) as double),
+           cast(3 as bigint), true
+    FROM v2state WHERE k % 5 <> 0
+    """,
+)
+def snapshot_tag_dataset_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snap_tag_table(spark, sf_dir)
+    n_versions = len(t.versions())
+    # no surviving delta may point at an expired parent: the tagged delta
+    # whose parent vanished (v3 on v2) must have been re-checkpointed,
+    # while deltas on surviving parents legitimately stay deltas
+    alive = set(t.versions())
+    gap_ok = all(
+        "files" in t._raw_manifest(v) or t._raw_manifest(v).get("parent") in alive
+        for v in t.versions()
+    )
+
+    def state_of(version: int, ref: str) -> DataFrame:
+        return (
+            t.read(spark, version)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum(F.col("o_totalprice"), "sum_total"),
+            )
+            .select(
+                F.lit(ref).alias("ref"),
+                "n_rows",
+                "sum_total",
+                F.lit(n_versions).cast("bigint").alias("n_versions_after"),
+                F.lit(bool(gap_ok)).alias("gap_checkpointed"),
+            )
+        )
+
+    return (
+        state_of(t.resolve_tag("train-v1"), "train-v1")
+        .unionByName(state_of(t.resolve_tag("train-v2"), "train-v2"))
+        .unionByName(state_of(t.versions()[-1], "head"))
+    )

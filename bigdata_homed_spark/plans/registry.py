@@ -135,6 +135,8 @@ PRIORITY_QUERIES = [
     "hdr_histogram_quantiles",    # NEW r10: log-linear quantile sketch
     "kmv_anotb_audience",         # NEW r10: theta-sketch A-not-B
     "stream_hdr_sketch_merge",    # NEW r10: streaming additive sketch + T7
+    "source_epoch_mixing",        # NEW r10: epochs-per-source training mix
+    "snapshot_tag_dataset_pin",   # NEW r10: Iceberg-refs tags + vacuum
     # -- freshness: code changed after last verdict (staleness ledger) ------
     "growth_accounting",          # r8 verdict; r9 tie-stable rounding diff
     "visit_overview",             # r8 verdict; r9 tie-stable rounding diff
@@ -160,8 +162,6 @@ PRIORITY_QUERIES = [
     "doc_length_bands",           # r1 verdict
     "embedding_lsh_buckets",      # r1 verdict
     "embedding_outliers",         # r1 verdict
-    "embedding_near_dup_decisions",  # r1 verdict
-    "top_parts_per_brand",        # r2 verdict
 ]
 
 

@@ -1572,6 +1572,69 @@ class SnapshotTable:
             F.sum("n_dead_rows").cast("long").alias("n_dead_rows"),
         )
 
+    # -- refs: immutable named tags (Iceberg table-refs parity) ---------------
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, "_refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named refs: tag name -> pinned version.  Tags are IMMUTABLE
+        pointers (Iceberg `ALTER TABLE ... CREATE TAG` semantics): the
+        dataset-versioning primitive — a training run pins `train-v1`
+        and every later read of that name sees bit-identical data no
+        matter how the table mutates, because :meth:`vacuum` never
+        expires a tagged version."""
+        try:
+            with open(self._refs_path) as f:
+                return {k: int(v) for k, v in json.load(f)["tags"].items()}
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create tag ``name`` at ``version`` (default: current head).
+        Refusals: unborn table, unknown/expired version, existing name
+        (tags are immutable — ``delete_tag`` first).  Atomic tmp+replace,
+        like every metadata write here."""
+        versions = self.versions()
+        if not versions:
+            raise ValueError(f"snapshot table {self.path} has no commits to tag")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(
+                f"cannot tag: version {v} does not exist (or was vacuumed)"
+            )
+        cur = self.tags()
+        if name in cur:
+            raise ValueError(
+                f"tag {name!r} already points at v{cur[name]}; tags are "
+                f"immutable — delete_tag it first"
+            )
+        cur[name] = v
+        tmp = self._refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tags": cur}, f)
+        os.replace(tmp, self._refs_path)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        """Drop a tag; the version it pinned becomes vacuum-eligible."""
+        cur = self.tags()
+        if name not in cur:
+            raise ValueError(f"no tag {name!r} on snapshot table {self.path}")
+        del cur[name]
+        tmp = self._refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tags": cur}, f)
+        os.replace(tmp, self._refs_path)
+
+    def resolve_tag(self, name: str) -> int:
+        """Tag name -> version, for ``read(spark, t.resolve_tag(name))``,
+        ``files_table(spark, ...)`` and every other version-pinned verb."""
+        try:
+            return self.tags()[name]
+        except KeyError:
+            raise ValueError(f"no tag {name!r} on snapshot table {self.path}")
+
     # -- write-audit-publish -------------------------------------------------
     @property
     def staged_dir(self) -> str:
@@ -2421,7 +2484,12 @@ class SnapshotTable:
     # -- retention -----------------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> dict:
         """Expire all but the newest ``keep_last`` versions and delete data
-        files no surviving version references.
+        files no surviving version references.  TAGGED versions (see
+        :meth:`tag`) are retention-exempt: they and their files survive
+        any ``keep_last`` until the tag is deleted — which also gives a
+        shallow clone a first-class lifetime guarantee (tag the source
+        head at clone time and the clone's referenced files can never be
+        collected by source vacuums).
 
         Order matters for crash safety: expired batch_ids are folded into
         the ``_txn.json`` sidecar FIRST (tmp+replace; so exactly-once dedup
@@ -2445,27 +2513,38 @@ class SnapshotTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self.versions()
-        expired = versions[:-keep_last]
-        survivors = versions[-keep_last:]
+        # TAGGED versions are retention-exempt (Iceberg ref-retention
+        # semantics): a tag is a promise that the pinned version stays
+        # readable, so expiry skips it and keeps its files referenced
+        tagged = set(self.tags().values())
+        expired = [v for v in versions[:-keep_last] if v not in tagged]
+        expired_set = set(expired)
+        survivors = [v for v in versions if v not in expired_set]
         referenced = set()
         for v in survivors:
             referenced.update(self.files(v))
             referenced.update(self._manifest(v).get("delete_files", []))
         for sid in self.staged_ids():  # staged-but-unaudited data survives
             referenced.update(e["path"] for e in self._staged_manifest(sid)["entries"])
-        # the oldest SURVIVOR may be a delta whose replay chain reaches
-        # into the expired range — materialize it as a full checkpoint
-        # FIRST (same logical content, so a crash right after is benign:
-        # readers see the identical file list either way)
-        if expired and survivors:
-            oldest = survivors[0]
-            if "files" not in self._raw_manifest(oldest):
-                full = dict(self._manifest(oldest))
-                p = os.path.join(self.manifest_dir, f"v{oldest}.json")
-                tmp = p + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(full, f)
-                os.replace(tmp, p)
+        # a SURVIVOR may be a delta whose replay chain (consecutive parent
+        # pointers) reaches into the expired range — tag protection can
+        # leave gaps BETWEEN surviving runs, so materialize the lowest
+        # member of every run (any survivor whose parent is expired or
+        # pre-history) as a full checkpoint FIRST (same logical content,
+        # so a crash right after is benign: readers see the identical
+        # file list either way)
+        if expired:
+            for sv in survivors:
+                raw = self._raw_manifest(sv)
+                if "files" in raw:
+                    continue
+                if raw.get("parent") in expired_set:
+                    full = dict(self._manifest(sv))
+                    p = os.path.join(self.manifest_dir, f"v{sv}.json")
+                    tmp = p + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(full, f)
+                    os.replace(tmp, p)
         expired_batch_ids = set()
         for v in expired:
             b = self._raw_manifest(v).get("batch_id")

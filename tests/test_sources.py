@@ -1494,6 +1494,7 @@ def test_snapshot_dv_model_based(spark, tmp_path):
         st.tuples(st.just("vacuum"), st.just(None)),
         st.tuples(st.just("wap"), st.lists(kv, min_size=1, max_size=5)),
         st.tuples(st.just("restore"), st.integers(0, 9)),
+        st.tuples(st.just("tag"), st.just(None)),
     )
 
     case_n = [0]
@@ -1661,6 +1662,13 @@ def test_snapshot_dv_model_based(spark, tmp_path):
                 kname = kn
                 cons_active = "v_nonneg" in t.constraints()
                 snap()
+            elif kind == "tag":
+                # Iceberg-refs tag on the current head: a retention-exempt
+                # pin — the tagged version must stay time-travelable
+                # through every later vacuum until released
+                if not t.versions():
+                    continue
+                t.tag(f"tg{len(t.tags())}")
             elif kind == "clone":
                 if not t.versions():
                     continue
@@ -1679,12 +1687,14 @@ def test_snapshot_dv_model_based(spark, tmp_path):
             elif kind == "vacuum":
                 if len(t.versions()) < 2:
                     continue
-                survivors = t.versions()[-2:]
                 t.vacuum(keep_last=2)
-                # expired versions are gone for time travel; clones hold
-                # their OWN manifests but may reference collected files —
-                # drop clones whose backing files a source vacuum removed
-                travel = [s for s in travel if s[0] >= survivors[0]]
+                # expired versions are gone for time travel — but TAGGED
+                # versions are retention-exempt, so filter by the actual
+                # surviving set, not a boundary; clones hold their OWN
+                # manifests but may reference collected files — drop
+                # clones whose backing files a source vacuum removed
+                alive = set(t.versions())
+                travel = [s for s in travel if s[0] in alive]
                 clones = [
                     c
                     for c in clones
@@ -3335,3 +3345,78 @@ def test_snapshot_hostile_partition_values_model_based(spark, tmp_path):
             assert probe or flat, (ops, pv)
 
     run()
+
+def test_snapshot_tags_pin_versions_and_survive_vacuum(spark, tmp_path):
+    """Iceberg-refs tags: immutable named version pins.  A tagged version
+    — and its files — survives vacuum(keep_last=1) even when every
+    untagged older version expires; reads by resolve_tag stay
+    bit-identical across later mutations; tag protection may leave GAPS
+    in the surviving version sequence, so survivors whose parent expired
+    must be re-checkpointed (the delta-chain repair) and still read
+    correctly; delete_tag releases the version to the next vacuum."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tags"))
+    t.commit_append(spark.range(10).select(F.col("id").alias("k")))        # v1
+    t.tag("train-v1")
+    assert t.resolve_tag("train-v1") == 1
+    t.commit_append(spark.range(10, 15).select(F.col("id").alias("k")))   # v2
+    t.commit_delete(spark, "k < 3")                                        # v3
+    t.commit_append(spark.range(15, 18).select(F.col("id").alias("k")))  # v4
+    t.commit_append(spark.range(18, 20).select(F.col("id").alias("k")))  # v5
+    # tags are immutable; unknown versions refused
+    with pytest.raises(ValueError, match="immutable"):
+        t.tag("train-v1", 2)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.tag("nope", 99)
+    # v1 pinned read BEFORE vacuum
+    assert t.read(spark, t.resolve_tag("train-v1")).count() == 10
+    res = t.vacuum(keep_last=1)
+    # v1 survives (tagged), v2..v4 expired, v5 survives (keep_last)
+    assert t.versions() == [1, 5]
+    assert res["expired_versions"] == [2, 3, 4]
+    # the gap: v5 was a delta on v4 — must have been checkpointed
+    assert "files" in t._raw_manifest(5)
+    assert t.read(spark, 1).count() == 10          # tag-pinned, bit-stable
+    assert t.read(spark, 5).count() == 17          # 15 - 3 dead + 3 + 2
+    # metadata tables work on the pinned version too
+    f1 = t.files_table(spark, version=t.resolve_tag("train-v1")).collect()
+    assert sum(r["n_rows"] for r in f1) == 10
+    # release the tag: the next vacuum collects v1
+    t.delete_tag("train-v1")
+    with pytest.raises(ValueError, match="no tag"):
+        t.resolve_tag("train-v1")
+    t.vacuum(keep_last=1)
+    assert t.versions() == [5]
+    with pytest.raises(Exception):
+        t.read(spark, 1).count()
+    assert t.read(spark).count() == 17
+
+
+def test_snapshot_multiple_tags_and_gap_chains(spark, tmp_path):
+    """Two tags create two surviving runs with gaps on both sides; every
+    run-lowest delta is re-checkpointed and all pinned reads resolve."""
+    from pyspark.sql import functions as F
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tags2"))
+    counts = {}
+    for i in range(8):  # v1..v8, each +5 rows
+        t.commit_append(
+            spark.range(i * 5, i * 5 + 5).select(F.col("id").alias("k"))
+        )
+        counts[i + 1] = (i + 1) * 5
+    t.tag("a", 2)
+    t.tag("b", 5)
+    t.vacuum(keep_last=2)
+    assert t.versions() == [2, 5, 7, 8]
+    for v in t.versions():
+        assert t.read(spark, v).count() == counts[v]
+    # refs listing is stable
+    assert t.tags() == {"a": 2, "b": 5}
