@@ -580,3 +580,29 @@ def test_bucketed_fact_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_r10_sketch_and_mixing_family_plans(spark, sf_dir):
+    """r10 family plan pins: the HDR sketch aggregate keeps a partial
+    (map-side) phase — the whole point of a mergeable sketch is that the
+    combine happens before the exchange; the KMV A-not-B reaches its
+    sketches through TakeOrderedAndProject K-row cuts (never a data-sized
+    sort or cross join); the epoch-mixing expansion broadcasts the
+    source-count-sized tier table and the explode adds no exchange of its
+    own."""
+    from bigdata_homed_spark.plans import QUERIES
+
+    hdr = plan_of(QUERIES["hdr_histogram_quantiles"](spark, sf_dir))
+    assert re.search(r"HashAggregate.*partial", hdr, re.IGNORECASE) or (
+        "partial_count" in hdr or "Partial" in hdr
+    ), hdr
+    anotb = plan_of(QUERIES["kmv_anotb_audience"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in anotb, anotb
+    mix = plan_of(QUERIES["source_epoch_mixing"](spark, sf_dir))
+    assert "BroadcastExchange" in mix or "BroadcastHashJoin" in mix, mix
+    assert "Generate explode" in mix or "Generate" in mix, mix
+    # the expansion path scan -> explode -> hash -> partial agg is one
+    # codegen'd stage: no exchange between the fact scan and the partial
+    # aggregate beyond the broadcast side
+    shuffles = len(re.findall(r"Exchange hashpartitioning", mix))
+    assert shuffles <= 3, mix
