@@ -334,6 +334,12 @@ BENCH_QUERIES = [
     # (three pinned manifest reads; builder session-cached).
     "source_epoch_mixing",
     "snapshot_tag_dataset_pin",
+    # round-10 widening 3: per-dimension sketch quantiles (one combinable
+    # groupBy; per-group bucket-frame windows) and the one-scan
+    # expectation suite (conditional agg + PK-dup agg + broadcast RI
+    # anti-join).
+    "hdr_grouped_percentiles",
+    "data_quality_expectations",
 ]
 
 

@@ -2238,3 +2238,100 @@ def kmv_anotb_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_anotb"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPED HDR PERCENTILES — the production shape of the quantile sketch:
+# one sketch PER DIMENSION VALUE (p50/p95 latency-style dashboards per
+# event_type), still a single combinable groupBy over the fact; the
+# cumulative walks and rank lookups run on per-group bucket frames
+# (O(groups × 64·2^p) rows total).  At 100 TB this replaces a per-group
+# global sort with a per-group few-hundred-row window — group count
+# scales the OUTPUT, not the shuffle width.  Same integer-exact bucket
+# arithmetic as hdr_histogram_quantiles (shared _hdr_bucket_sql).
+HDR_GQS = (0.5, 0.95)
+
+
+@query(
+    "hdr_grouped_percentiles",
+    oracle=f"""
+    WITH fp AS (
+      SELECT event_type, cast(floor(value * 100) as bigint) AS v FROM events
+      WHERE floor(value * 100) >= 1
+    ),
+    sketch AS (
+      SELECT event_type, {_HDR_B['bucket']} AS bucket,
+             {_HDR_B['lower']} AS lower_fp, count(*) AS cnt
+      FROM fp GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT event_type, lower_fp, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY lower_fp)
+               AS cum_cnt
+      FROM sketch
+    ),
+    tot AS (
+      SELECT event_type, cast(count(*) as bigint) AS n FROM fp GROUP BY 1
+    ),
+    qs AS (SELECT cast(unnest([{', '.join(str(q) for q in HDR_GQS)}]) as double) AS q),
+    ranks AS (
+      SELECT t.event_type, q.q, cast(ceil(q.q * t.n) as bigint) AS r, t.n
+      FROM tot t CROSS JOIN qs q
+    )
+    SELECT r.event_type, r.q AS q,
+           cast(r.n as bigint) AS n_total,
+           cast(min(c.lower_fp) as double) / 100.0 AS est_value
+    FROM ranks r
+    JOIN cum c ON c.event_type = r.event_type AND c.cum_cnt >= r.r
+    GROUP BY r.event_type, r.q, r.n
+    """,
+)
+def hdr_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    fp = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("cast(floor(value * 100) as bigint)").alias("v"),
+        )
+        .where(F.col("v") >= 1)
+    )
+    sketch = (
+        fp.select(
+            "event_type",
+            F.expr(_HDR_B["bucket"]).alias("bucket"),
+            F.expr(_HDR_B["lower"]).alias("lower_fp"),
+        )
+        .groupBy("event_type", "bucket", "lower_fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = sketch.withColumn(
+        "cum_cnt",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type")
+            .orderBy("lower_fp")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = fp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    qs = spark.createDataFrame([(q,) for q in HDR_GQS], "q double")
+    ranks = tot.crossJoin(F.broadcast(qs)).select(
+        "event_type", "q", F.expr("cast(ceil(q * n) as bigint)").alias("r"), "n"
+    )
+    return (
+        ranks.join(
+            cum.withColumnRenamed("event_type", "et"),
+            (F.col("et") == F.col("event_type")) & (F.col("cum_cnt") >= F.col("r")),
+        )
+        .groupBy("event_type", "q", "n")
+        .agg(F.min("lower_fp").alias("est_fp"))
+        .select(
+            "event_type",
+            "q",
+            F.col("n").cast("bigint").alias("n_total"),
+            (F.col("est_fp").cast("double") / 100.0).alias("est_value"),
+        )
+    )

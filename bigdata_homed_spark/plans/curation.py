@@ -991,3 +991,127 @@ def source_epoch_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_lower_half"),
     )
+
+
+# --------------------------------------------------------------------------
+# DATA-QUALITY EXPECTATION SUITE — the Great-Expectations/dbt-test shape a
+# production pipeline runs before publishing a fact: declarative
+# expectations (not-null, value range, primary-key uniqueness,
+# referential integrity to a dim, freshness window, row-count floor)
+# evaluated in as few passes as the expectation mix allows — here ONE
+# conditional-aggregate scan over orders + one duplicate-count aggregate
+# + one broadcast anti-join against the customer dim.  Output is the
+# violations report: one row per expectation with its violation count and
+# pass verdict, which is what a publish gate consumes.  At 100 TB: the
+# scan-expectations fold into a single map-combinable pass; the RI check
+# broadcasts the dim key set; the uniqueness check is the only key-wide
+# shuffle (and rides the PK the table is typically already bucketed by).
+# Reference provenance: the reference's MonitorApp checks only per-day
+# row EXISTENCE (`monitor/MonitorApp.scala:16-48`); this is the
+# column-level widening of that completeness gate.
+@query(
+    "data_quality_expectations",
+    oracle="""
+    WITH scan AS (
+      SELECT
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+        sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000 THEN 1
+                 ELSE 0 END) AS range_price,
+        sum(CASE WHEN year(o_orderdate) < 1992 OR year(o_orderdate) > 1998
+                 THEN 1 ELSE 0 END) AS fresh_date,
+        count(*) AS n_rows
+      FROM orders
+    ),
+    dup AS (
+      SELECT coalesce(sum(c - 1), 0) AS dup_keys FROM (
+        SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+      ) g WHERE c > 1
+    ),
+    ri AS (
+      SELECT count(*) AS orphans FROM orders o
+      WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT e.expectation, e.violations, e.violations = 0 AS passed
+    FROM (
+      SELECT 'not_null:o_custkey' AS expectation,
+             cast(null_cust as bigint) AS violations FROM scan
+      UNION ALL
+      SELECT 'range:o_totalprice(0,1e6]', cast(range_price as bigint) FROM scan
+      UNION ALL
+      SELECT 'freshness:o_orderdate[1992,1998]', cast(fresh_date as bigint)
+      FROM scan
+      UNION ALL
+      SELECT 'row_count>=1000', cast(CASE WHEN n_rows >= 1000 THEN 0
+                                          ELSE 1 END as bigint) FROM scan
+      UNION ALL
+      SELECT 'unique:o_orderkey', cast(dup_keys as bigint) FROM dup
+      UNION ALL
+      SELECT 'ref_integrity:o_custkey->customer', cast(orphans as bigint)
+      FROM ri
+    ) e
+    """,
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # pass 1: every scan-expressible expectation in ONE conditional agg
+    scan = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_cust"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1000000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("range_price"),
+        F.sum(
+            F.when(
+                (F.year("o_orderdate") < 1992) | (F.year("o_orderdate") > 1998), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fresh_date"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    # pass 2: PK uniqueness (the one key-wide shuffle)
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("dup_keys"))
+    )
+    # pass 3: referential integrity via broadcast anti-join on the dim
+    ri = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("orphans")
+    )
+
+    def row(name: str, col: F.Column, src: DataFrame) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("expectation"),
+            col.cast("bigint").alias("violations"),
+        )
+
+    report = (
+        row("not_null:o_custkey", F.col("null_cust"), scan)
+        .unionByName(row("range:o_totalprice(0,1e6]", F.col("range_price"), scan))
+        .unionByName(
+            row("freshness:o_orderdate[1992,1998]", F.col("fresh_date"), scan)
+        )
+        .unionByName(
+            row(
+                "row_count>=1000",
+                F.when(F.col("n_rows") >= 1000, 0).otherwise(1),
+                scan,
+            )
+        )
+        .unionByName(row("unique:o_orderkey", F.col("dup_keys"), dup))
+        .unionByName(row("ref_integrity:o_custkey->customer", F.col("orphans"), ri))
+    )
+    return report.withColumn("passed", F.col("violations") == 0)

@@ -137,6 +137,8 @@ PRIORITY_QUERIES = [
     "stream_hdr_sketch_merge",    # NEW r10: streaming additive sketch + T7
     "source_epoch_mixing",        # NEW r10: epochs-per-source training mix
     "snapshot_tag_dataset_pin",   # NEW r10: Iceberg-refs tags + vacuum
+    "hdr_grouped_percentiles",    # NEW r10: per-dimension sketch quantiles
+    "data_quality_expectations",  # NEW r10: GE/dbt-style publish gate
     # -- freshness: code changed after last verdict (staleness ledger) ------
     "growth_accounting",          # r8 verdict; r9 tie-stable rounding diff
     "visit_overview",             # r8 verdict; r9 tie-stable rounding diff
@@ -155,8 +157,6 @@ PRIORITY_QUERIES = [
     # -- freshness: oldest-verdict long tail (r1/r2 vintage) ------------------
     "token_stats",                # r1 verdict
     "dedup_decisions",            # r1 verdict
-    "ngram_frequency_topk",       # r1 verdict
-    "simhash_docs",               # r1 verdict
     "lang_id_ngram",              # r1 verdict
     "word_doc_frequency",         # r1 verdict
     "doc_length_bands",           # r1 verdict
