@@ -340,6 +340,9 @@ BENCH_QUERIES = [
     # anti-join).
     "hdr_grouped_percentiles",
     "data_quality_expectations",
+    # native session windows on the event stream (single-batch replay +
+    # final-watermark flush; Spark's session-merge stateful operator).
+    "stream_session_windows",
 ]
 
 

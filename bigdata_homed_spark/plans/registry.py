@@ -139,6 +139,7 @@ PRIORITY_QUERIES = [
     "snapshot_tag_dataset_pin",   # NEW r10: Iceberg-refs tags + vacuum
     "hdr_grouped_percentiles",    # NEW r10: per-dimension sketch quantiles
     "data_quality_expectations",  # NEW r10: GE/dbt-style publish gate
+    "stream_session_windows",     # NEW r10: native watermark session windows
     # -- freshness: code changed after last verdict (staleness ledger) ------
     "growth_accounting",          # r8 verdict; r9 tie-stable rounding diff
     "visit_overview",             # r8 verdict; r9 tie-stable rounding diff
@@ -159,7 +160,6 @@ PRIORITY_QUERIES = [
     "dedup_decisions",            # r1 verdict
     "lang_id_ngram",              # r1 verdict
     "word_doc_frequency",         # r1 verdict
-    "doc_length_bands",           # r1 verdict
     "embedding_lsh_buckets",      # r1 verdict
     "embedding_outliers",         # r1 verdict
 ]

@@ -1937,3 +1937,78 @@ def stream_hdr_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q double, n_total bigint, rank_r bigint, est_value double, "
         "n_buckets bigint, n_batches bigint, replay_safe boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming SESSION WINDOWS — the native dynamic-gap windowing the
+# reference never had (its sessions are batch-derived lead() pairings,
+# SURVEY §2.9 "no session windows"): per-user sessions that extend while
+# events keep arriving within the gap and close when the event-time
+# watermark passes the session end.  Event time is floored to integral
+# seconds BEFORE windowing (the registry's cross-engine time contract —
+# the raw microsecond timestamps would make gap comparisons
+# sub-second-sensitive and unportable).  Append mode emits only
+# watermark-finalized sessions, so sessions still open at end-of-stream
+# (end > the final watermark = max event time) are withheld — the oracle
+# applies the same cut.  At 100 TB this is the native stateful shape for
+# the reference's online-session estimation: state is per-OPEN-session
+# (bounded by the watermark), merged by Spark's session-merge operator,
+# no shuffle beyond the user keying.
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts)//1000000 AS sec FROM events
+    ),
+    mx AS (SELECT max(sec) AS max_sec FROM ev),
+    s AS (
+      SELECT user_id, sec,
+             CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+                       IS NULL
+                  OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+                       >= 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev
+    ),
+    g AS (
+      SELECT user_id, sec,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id,
+             min(sec) AS session_start,
+             max(sec) + 1800 AS session_end,
+             count(*) AS n_events
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT cast(user_id as bigint) AS user_id,
+           cast(session_start as bigint) AS session_start,
+           cast(session_end as bigint) AS session_end,
+           cast(n_events as bigint) AS n_events
+    FROM sess, mx WHERE session_end <= max_sec
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "event_sec", F.timestamp_seconds(F.col("ts_sec"))
+    )
+    agg = (
+        ev.withWatermark("event_sec", "0 seconds")
+        .groupBy(F.session_window("event_sec", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.unix_timestamp("session_window.start")
+            .cast("bigint")
+            .alias("session_start"),
+            F.unix_timestamp("session_window.end")
+            .cast("bigint")
+            .alias("session_end"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="append")
