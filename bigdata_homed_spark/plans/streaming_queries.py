@@ -1944,7 +1944,10 @@ def stream_hdr_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference never had (its sessions are batch-derived lead() pairings,
 # SURVEY §2.9 "no session windows"): per-user sessions that extend while
 # events keep arriving within the gap and close when the event-time
-# watermark passes the session end.  Event time is floored to integral
+# watermark passes the session end (an event at EXACTLY gap distance
+# extends the session — Spark's boundary is inclusive, pinned by the
+# sf0.1 gate where a real 1800-second-exact pair exists).  Event time is
+# floored to integral
 # seconds BEFORE windowing (the registry's cross-engine time contract —
 # the raw microsecond timestamps would make gap comparisons
 # sub-second-sensitive and unportable).  Append mode emits only
@@ -1966,7 +1969,7 @@ def stream_hdr_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
                        IS NULL
                   OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
-                       >= 1800
+                       > 1800
                   THEN 1 ELSE 0 END AS brk
       FROM ev
     ),
