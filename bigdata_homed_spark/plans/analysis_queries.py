@@ -2087,7 +2087,7 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
-        F.expr("cast(floor(value * 100) as bigint)").alias("v")
+        "event_id", F.expr("cast(floor(value * 100) as bigint)").alias("v")
     ).where(F.col("v") >= 1)
     sketch = (
         ev.select(
@@ -2117,10 +2117,12 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q", "r", "n")
         .agg(F.min("lower_fp").alias("est_fp"))
     )
-    # exact audit (test SFs only — a production sketch read-out stops at est)
-    ranked = ev.withColumn(
-        "rn", F.row_number().over(Window.orderBy("v"))
-    )
+    # exact audit (test SFs only — a production sketch read-out stops at
+    # est).  Distributed global rank, never a partition-less window (ties
+    # share v, so the value at rank r is tiebreak-independent)
+    from ..operators.rank import global_row_number
+
+    ranked = global_row_number(ev, ["v", "event_id"], "rn").select("v", "rn")
     return (
         est.join(ranked, F.col("rn") == F.col("r"))
         .select(

@@ -924,7 +924,7 @@ priority_sample_per_source.__doc__ = priority_sample_per_source.__doc__.format(
     ),
     tiers AS (
       SELECT source, n_docs,
-             ntile(4) OVER (ORDER BY sum_chars * 1000 / n_docs, source)
+             ntile(4) OVER (ORDER BY sum_chars * 1000 // n_docs, source)
                AS epochs
       FROM stats
     ),
@@ -1028,8 +1028,13 @@ def source_epoch_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) g WHERE c > 1
     ),
     ri AS (
+      -- NULL keys are the not_null expectation's finding, not an RI
+      -- orphan (and NOT IN would silently drop them anyway): both
+      -- engines check non-null keys only
       SELECT count(*) AS orphans FROM orders o
-      WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+      WHERE o.o_custkey IS NOT NULL
+        AND o.o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL)
     )
     SELECT e.expectation, e.violations, e.violations = 0 AS passed
     FROM (
@@ -1087,9 +1092,14 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") > 1)
         .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("dup_keys"))
     )
-    # pass 3: referential integrity via broadcast anti-join on the dim
-    ri = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_anti").agg(
-        F.count(F.lit(1)).cast("bigint").alias("orphans")
+    # pass 3: referential integrity via broadcast anti-join on the dim.
+    # NULL keys are excluded on BOTH sides (they are the not_null
+    # expectation's finding; a left_anti would count them, SQL NOT IN
+    # would drop them — either way an engine mismatch on dirty data)
+    ri = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphans"))
     )
 
     def row(name: str, col: F.Column, src: DataFrame) -> DataFrame:
