@@ -172,3 +172,53 @@ def test_rag_chunking_covers_every_token(spark, sf_dir):
     )
     bad = docs.join(covered, "doc_id").where(F.col("covered") < F.col("n"))
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_hdr_bucket_invariants_and_engine_parity(spark):
+    """HDR log-linear bucket properties, fuzzed: for every fixed-point
+    value v >= 1 the bucket lower bound satisfies lower <= v (estimates
+    never overshoot), the relative-error contract (v - lower) * 2^p <=
+    lower (error <= 2^-p of the true value), and bucket/lower are
+    monotone in v (the cumulative quantile walk depends on it).  A Spark
+    evaluation of the shared SQL expressions must match the Python
+    mirror bit-for-bit (the expressions are the cross-engine contract —
+    DuckDB runs the identical strings in the oracle)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_homed_spark.plans.analysis_queries import HDR_P_BITS, _HDR_B
+
+    p = HDR_P_BITS
+
+    def mirror(v: int) -> tuple[int, int]:
+        e = v.bit_length()
+        if e <= p + 1:
+            return v, v
+        sub = v >> (e - p - 1)
+        return e * (2 ** (p + 1)) + sub, sub << (e - p - 1)
+
+    @settings(max_examples=300, deadline=None)
+    @given(v=st.integers(1, 1 << 52))
+    def props(v):
+        b, lo = mirror(v)
+        assert lo <= v
+        assert (v - lo) * (2 ** p) <= lo
+        b2, lo2 = mirror(v + 1)
+        assert b2 >= b and lo2 >= lo
+
+    props()
+
+    import random
+
+    rnd = random.Random(42)
+    sample = sorted({rnd.randint(1, 1 << 52) for _ in range(500)} | {1, 2, 63, 64, 65, (1 << 52) - 1})
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in sample], "v long").select(
+        "v",
+        F.expr(_HDR_B["bucket"]).alias("b"),
+        F.expr(_HDR_B["lower"]).alias("lo"),
+    )
+    for r in df.collect():
+        b, lo = mirror(r["v"])
+        assert (r["b"], r["lo"]) == (b, lo), r["v"]
