@@ -909,7 +909,6 @@ def stream_channel_live_counts(
     hi = {"max_sec": None}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sparkb = batch_df.sparkSession
         # heartbeat filter (P3 analog) + parse into the realtime columns
         parsed = batch_df.where(F.col("event_type") == "view").select(
             "user_id",
@@ -946,15 +945,27 @@ def stream_channel_live_counts(
                 ),
             )
         )
-        # S10+T3: one-pass merge against the existing snapshot rows for
-        # these keys, keeping the newer (sec, event_id) — replay/
-        # out-of-order safe, one state read per batch
-        store.merge_latest(enriched, ["sec", "event_id"])
-        # T8/S13: monotonic event-time horizon, 1-day retention
-        row = parsed.agg(F.max("sec").alias("mx")).collect()[0]
-        if row.mx is not None:
-            hi["max_sec"] = max(hi["max_sec"] or int(row.mx), int(row.mx))
-            store.expire(sparkb, f"sec < {hi['max_sec'] - 86400}")
+        # T8/S13 horizon first (one cached-batch agg — `parsed` is
+        # persisted so the merge below reuses it instead of re-reading the
+        # batch file), then S10+T3+T8 in ONE state pass: the newest-wins
+        # merge rewrites the touched buckets WITH the retention filter
+        # fused (merge_latest(expire_predicate=...)), so the per-batch
+        # expire() re-read/re-write of the state is gone — 4 driver jobs
+        # per batch instead of 7.  Buckets untouched by any later batch
+        # are swept once after the drain (below); with the monotone
+        # horizon the converged snapshot is identical (an intermediate-
+        # expired row is final-expired too).
+        parsed_c = parsed.persist()
+        try:
+            row = parsed_c.agg(F.max("sec").alias("mx")).collect()[0]
+            if row.mx is not None:
+                hi["max_sec"] = max(hi["max_sec"] or int(row.mx), int(row.mx))
+            pred = (
+                f"sec < {hi['max_sec'] - 86400}" if hi["max_sec"] is not None else None
+            )
+            store.merge_latest(enriched, ["sec", "event_id"], expire_predicate=pred)
+        finally:
+            parsed_c.unpersist()
 
     schema = (
         "event_id bigint, user_id bigint, event_type string, "
@@ -971,6 +982,12 @@ def stream_channel_live_counts(
         .start()
     )
     q.awaitTermination()
+
+    # final retention sweep (S13): buckets no later batch touched may
+    # still hold rows the fused per-batch filter never saw — one expire()
+    # against the final monotone horizon converges them (see merge_latest)
+    if hi["max_sec"] is not None:
+        store.expire(spark, f"sec < {hi['max_sec'] - 86400}")
 
     # dual-grain report off the final snapshot: channel grain, then the
     # region (all-channel) grain re-aggregated from it, channel_id = -1

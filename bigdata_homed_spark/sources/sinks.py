@@ -121,28 +121,55 @@ class PartitionedStateStore:
 
         spark = updates.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        upd = self._bucketed(updates).localCheckpoint()
-        # driver-side list is ≤ n_buckets ints by construction — a bounded
-        # metadata collect (the partition-pruning predicate), not data
-        touched = [r[0] for r in upd.select(self.BUCKET_COL).distinct().collect()]
-        if not self._state_exists(spark):
-            upd.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(self.path)
-            self._known_initialized = True
+        # lazy persist, not eager localCheckpoint: the touched-bucket
+        # collect below materializes the cache in the SAME job, saving one
+        # driver round-trip per micro-batch (batch job count, not data
+        # volume, bounds micro-batch throughput — see merge_latest)
+        upd = self._bucketed(updates).persist()
+        try:
+            # driver-side list is ≤ n_buckets ints by construction — a bounded
+            # metadata collect (the partition-pruning predicate), not data
+            touched = [r[0] for r in upd.select(self.BUCKET_COL).distinct().collect()]
+            if not self._state_exists(spark):
+                upd.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
+                    self.path
+                )
+                self._known_initialized = True
+                return touched
+            existing = spark.read.parquet(self.path).where(
+                F.col(self.BUCKET_COL).isin(touched)
+            )
+            merged = upsert_by_key(existing, upd, self.key_cols)
+            # localCheckpoint: materialize before overwriting the files being
+            # read (upd's cache makes the batch side replay-free here)
+            merged.localCheckpoint().write.mode("overwrite").partitionBy(
+                self.BUCKET_COL
+            ).parquet(self.path)
             return touched
-        existing = spark.read.parquet(self.path).where(
-            F.col(self.BUCKET_COL).isin(touched)
-        )
-        merged = upsert_by_key(existing, upd, self.key_cols)
-        # localCheckpoint: materialize before overwriting the files being read
-        merged.localCheckpoint().write.mode("overwrite").partitionBy(
-            self.BUCKET_COL
-        ).parquet(self.path)
-        return touched
+        finally:
+            upd.unpersist()
 
-    def merge_latest(self, updates: DataFrame, order_cols: Sequence[str]) -> list[int]:
+    def merge_latest(
+        self,
+        updates: DataFrame,
+        order_cols: Sequence[str],
+        expire_predicate=None,
+    ) -> list[int]:
         """One-pass newest-wins merge (S10 + T3 fused): union the batch
         with the touched buckets' existing rows and keep, per key, the row
         with the greatest ``order_cols`` tuple.
+
+        ``expire_predicate`` (SQL string or Column, same NULL-safe contract
+        as :meth:`expire`) fuses the retention DELETE into the merge's
+        bucket rewrite: winners matching it are dropped from the touched
+        buckets in the SAME write, instead of a separate expire() pass
+        re-reading and re-writing the state per batch.  Buckets the batch
+        does not touch keep their expired rows until the caller's final
+        sweep — with a monotone horizon the converged state is identical
+        (an intermediate-expired row is final-expired too, and keep-latest
+        is idempotent), while per-batch job count drops from ~7 to ~4;
+        in a micro-batch loop job count, not data volume, bounds
+        throughput at every scale.
 
         Equivalent to ``read_for_keys`` + keep-latest + ``upsert`` — the
         shape the keyed streaming jobs used through r6 — but reads the
@@ -161,30 +188,45 @@ class PartitionedStateStore:
 
         spark = updates.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        upd = self._bucketed(updates).localCheckpoint()
-        # bounded metadata collect: ≤ n_buckets ints (the pruning predicate)
-        touched = [r[0] for r in upd.select(self.BUCKET_COL).distinct().collect()]
-        merged = upd
-        if self._state_exists(spark):
-            merged = upd.unionByName(
-                spark.read.parquet(self.path).where(
-                    F.col(self.BUCKET_COL).isin(touched)
+        # lazy persist instead of an eager localCheckpoint: the
+        # touched-bucket collect below is the first action anyway, so the
+        # cache materializes inside it — one fewer driver job per batch
+        upd = self._bucketed(updates).persist()
+        try:
+            # bounded metadata collect: ≤ n_buckets ints (the pruning predicate)
+            touched = [r[0] for r in upd.select(self.BUCKET_COL).distinct().collect()]
+            merged = upd
+            if self._state_exists(spark):
+                merged = upd.unionByName(
+                    spark.read.parquet(self.path).where(
+                        F.col(self.BUCKET_COL).isin(touched)
+                    )
                 )
+            w = Window.partitionBy(*self.key_cols).orderBy(
+                *[F.desc(c) for c in order_cols]
             )
-        w = Window.partitionBy(*self.key_cols).orderBy(
-            *[F.desc(c) for c in order_cols]
-        )
-        winners = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        # localCheckpoint: materialize before overwriting the files being read
-        winners.localCheckpoint().write.mode("overwrite").partitionBy(
-            self.BUCKET_COL
-        ).parquet(self.path)
-        self._known_initialized = True
-        return touched
+            winners = (
+                merged.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            if expire_predicate is not None:
+                pred = (
+                    F.expr(expire_predicate)
+                    if isinstance(expire_predicate, str)
+                    else expire_predicate
+                )
+                # same NULL-safe survivor rule as expire(): NULL retains
+                winners = winners.where(~F.coalesce(pred, F.lit(False)))
+            # localCheckpoint: materialize before overwriting the files being
+            # read (the state-side lineage must be cut; upd rides its cache)
+            winners.localCheckpoint().write.mode("overwrite").partitionBy(
+                self.BUCKET_COL
+            ).parquet(self.path)
+            self._known_initialized = True
+            return touched
+        finally:
+            upd.unpersist()
 
     def expire(self, spark: SparkSession, predicate) -> list[int]:
         """Retention delete (S13 analog): remove rows matching ``predicate``
@@ -203,31 +245,37 @@ class PartitionedStateStore:
             return []
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         state = spark.read.parquet(self.path)
-        # bounded metadata collect: ≤ n_buckets ints
-        touched = [
-            r[0]
-            for r in state.where(predicate)
-            .select(self.BUCKET_COL)
-            .distinct()
+        # ONE bounded stats collect (≤ n_buckets rows) answers both driver
+        # questions — which buckets hold expired rows, and which of those
+        # still have survivors — instead of two separate scan+distinct
+        # passes over the state (one scan, map-combinable agg)
+        expired_flag = F.when(F.coalesce(predicate, F.lit(False)), 1).otherwise(0)
+        stats = (
+            state.groupBy(self.BUCKET_COL)
+            .agg(
+                F.sum(expired_flag).alias("__n_exp"),
+                F.count(F.lit(1)).alias("__n"),
+            )
             .collect()
-        ]
+        )
+        touched = [r[0] for r in stats if r["__n_exp"] > 0]
         if not touched:
             return []
         # NULL-safe survivor logic: a NULL predicate (e.g. NULL retention
         # column) must RETAIN the row — plain ~predicate would evaluate
         # NULL and silently delete it
-        survivors = (
-            state.where(F.col(self.BUCKET_COL).isin(touched))
-            .where(~F.coalesce(predicate, F.lit(False)))
-            .localCheckpoint()
-        )
-        # dynamic overwrite only rewrites partitions PRESENT in the output;
-        # a bucket whose every row expired has no survivors, so its
-        # directory must be dropped explicitly or the expired rows live on
-        surv_buckets = {
-            r[0] for r in survivors.select(self.BUCKET_COL).distinct().collect()
-        }
+        surv_buckets = {r[0] for r in stats if 0 < r["__n_exp"] < r["__n"]}
         if surv_buckets:
+            survivors = (
+                state.where(F.col(self.BUCKET_COL).isin(list(surv_buckets)))
+                .where(~F.coalesce(predicate, F.lit(False)))
+                # localCheckpoint: materialize before overwriting the files
+                # being read
+                .localCheckpoint()
+            )
+            # dynamic overwrite only rewrites partitions PRESENT in the
+            # output; fully-expired buckets (no survivors) are dropped as
+            # directories below
             survivors.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
                 self.path
             )

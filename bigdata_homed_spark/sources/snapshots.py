@@ -1339,14 +1339,20 @@ class SnapshotTable:
         versions = self.versions()
         head = self._head()
         m = self._manifest(head)
+        # persisted: the emptiness probe and the DV write would otherwise
+        # each run the full table scan + filter
         doomed = (
             self._scan_with_pos(spark, m)
             .where(condition)
             .select("__file", "__pos")
+            .persist()
         )
-        if not doomed.limit(1).count():
-            return head
-        new_dvs = self._write_delete_files(doomed)
+        try:
+            if not doomed.count():
+                return head
+            new_dvs = self._write_delete_files(doomed)
+        finally:
+            doomed.unpersist()
         return self._publish(
             list(m["files"]),
             expected_parent=head,
@@ -1371,37 +1377,43 @@ class SnapshotTable:
         # updated rows land as flat files even on a Hive-partitioned
         # parent: layout generations are grouped at read (_read_entries),
         # so the mix is safe — no guard needed here
-        live = self._scan_with_pos(spark, m).where(condition)
-        if not live.limit(1).count():
-            return head
-        doomed = live.select("__file", "__pos")
-        updated = live.drop("__file", "__pos").withColumns(dict(assignments))
-        gcols = self.generated_columns()
-        if gcols:
-            from pyspark.sql import functions as _F
+        # matched rows feed FOUR actions (emptiness probe, constraint
+        # check, DV write, re-insert write): persist the scan-with-filter
+        # once instead of re-running the table scan per action
+        live = self._scan_with_pos(spark, m).where(condition).persist()
+        try:
+            if not live.count():
+                return head
+            doomed = live.select("__file", "__pos")
+            updated = live.drop("__file", "__pos").withColumns(dict(assignments))
+            gcols = self.generated_columns()
+            if gcols:
+                from pyspark.sql import functions as _F
 
-            # assignments may have moved a source column: recompute, never
-            # trust a stale stored value through an UPDATE
-            updated = updated.withColumns(
-                {n: _F.expr(sql) for n, sql in gcols.items()}
+                # assignments may have moved a source column: recompute, never
+                # trust a stale stored value through an UPDATE
+                updated = updated.withColumns(
+                    {n: _F.expr(sql) for n, sql in gcols.items()}
+                )
+            self._enforce_constraints(updated, self._incoming_constraints())
+            mapping = m.get("column_map", {})
+            # assignments may introduce a NEW column: extend the mapping like
+            # every other ingest verb, or reads would silently drop it
+            ext = self._extended_map(updated.columns, mapping)
+            if stats_cols and mapping:
+                stats_cols = [mapping.get(c, c) for c in stats_cols]
+            dvs = list(m.get("delete_files", [])) + self._write_delete_files(doomed)
+            new = self._write_data_files(
+                self._to_physical(updated, mapping), n_new_files, stats_cols
             )
-        self._enforce_constraints(updated, self._incoming_constraints())
-        mapping = m.get("column_map", {})
-        # assignments may introduce a NEW column: extend the mapping like
-        # every other ingest verb, or reads would silently drop it
-        ext = self._extended_map(updated.columns, mapping)
-        if stats_cols and mapping:
-            stats_cols = [mapping.get(c, c) for c in stats_cols]
-        dvs = list(m.get("delete_files", [])) + self._write_delete_files(doomed)
-        new = self._write_data_files(
-            self._to_physical(updated, mapping), n_new_files, stats_cols
-        )
-        return self._publish(
-            list(m["files"]) + new,
-            expected_parent=head,
-            delete_files=dvs,
-            column_map=ext,
-        )
+            return self._publish(
+                list(m["files"]) + new,
+                expected_parent=head,
+                delete_files=dvs,
+                column_map=ext,
+            )
+        finally:
+            live.unpersist()
 
     def commit_merge_on_read(
         self,
@@ -1438,45 +1450,58 @@ class SnapshotTable:
         self._enforce_constraints(updates, self._incoming_constraints())
         head = versions[-1]
         m = self._manifest(head)
-        # the updates land as FLAT new files even on a Hive-partitioned
-        # parent — safe since reads group the layout generations
-        # (_read_entries / _scan_with_pos); the strict guard applies only
-        # to commit_append without evolve=True
-        upd_keys = updates.select(key).distinct()
-        # zone-map routing, same as commit_merge: only files whose key
-        # stats overlap the batch's [min,max] can hold a matched row
-        lo_hi = updates.agg(F.min(key), F.max(key)).first()
-        scan = (
-            self.pruned_entries(col=key, lo=lo_hi[0], hi=lo_hi[1], version=head)
-            if lo_hi[0] is not None
-            else []
-        )
-        doomed = (
-            self._scan_with_pos(spark, m, entries=scan)
-            .join(F.broadcast(upd_keys), key, "left_semi")
-            .select("__file", "__pos")
-            if scan
-            else None
-        )
-        dvs = list(m.get("delete_files", []))
-        if doomed is not None and doomed.limit(1).count():
-            dvs += self._write_delete_files(doomed)
-        mapping = m.get("column_map", {})
-        ext = self._extended_map(updates.columns, mapping)
-        phys_stats = (
-            [mapping.get(c, c) for c in stats_cols] if stats_cols and mapping
-            else stats_cols
-        )
-        new = self._write_data_files(
-            self._to_physical(updates, mapping), n_new_files, phys_stats
-        )
-        return self._publish(
-            list(m["files"]) + new,
-            batch_id=batch_id,
-            expected_parent=head,
-            delete_files=dvs or None,
-            column_map=ext,
-        )
+        # the verb runs THREE actions over `updates` (key-range agg, the
+        # DV semi-join probe, the data-file write): persist the batch once
+        # instead of recomputing its upstream plan — which in a streaming
+        # merge includes the incumbent-read join — per action.  Batch-sized
+        # memory, guide §5's "reused AND expensive to recompute" case.
+        updates = updates.persist()
+        doomed = None
+        try:
+            # the updates land as FLAT new files even on a Hive-partitioned
+            # parent — safe since reads group the layout generations
+            # (_read_entries / _scan_with_pos); the strict guard applies only
+            # to commit_append without evolve=True
+            upd_keys = updates.select(key).distinct()
+            # zone-map routing, same as commit_merge: only files whose key
+            # stats overlap the batch's [min,max] can hold a matched row
+            lo_hi = updates.agg(F.min(key), F.max(key)).first()
+            scan = (
+                self.pruned_entries(col=key, lo=lo_hi[0], hi=lo_hi[1], version=head)
+                if lo_hi[0] is not None
+                else []
+            )
+            doomed = (
+                self._scan_with_pos(spark, m, entries=scan)
+                .join(F.broadcast(upd_keys), key, "left_semi")
+                .select("__file", "__pos")
+                .persist()  # reused by the emptiness probe AND the DV write
+                if scan
+                else None
+            )
+            dvs = list(m.get("delete_files", []))
+            if doomed is not None and doomed.count():
+                dvs += self._write_delete_files(doomed)
+            mapping = m.get("column_map", {})
+            ext = self._extended_map(updates.columns, mapping)
+            phys_stats = (
+                [mapping.get(c, c) for c in stats_cols] if stats_cols and mapping
+                else stats_cols
+            )
+            new = self._write_data_files(
+                self._to_physical(updates, mapping), n_new_files, phys_stats
+            )
+            return self._publish(
+                list(m["files"]) + new,
+                batch_id=batch_id,
+                expected_parent=head,
+                delete_files=dvs or None,
+                column_map=ext,
+            )
+        finally:
+            updates.unpersist()
+            if doomed is not None:
+                doomed.unpersist()
 
     def history(self, spark: SparkSession) -> DataFrame:
         """The table's commit lineage as a DataFrame (Delta DESCRIBE
@@ -2185,6 +2210,30 @@ class SnapshotTable:
             return self.commit_append(updates, n_new_files, stats_cols)
         updates = self._apply_generated(updates)
         self._enforce_constraints(updates, self._incoming_constraints())
+        # `updates` feeds the key-range agg, the hit-detection semi-joins
+        # and the final data-file write: persist once (batch-sized), don't
+        # recompute the caller's upstream plan per action (guide §5)
+        updates = updates.persist()
+        try:
+            return self._commit_merge_inner(
+                updates, key, n_new_files, stats_cols, versions
+            )
+        finally:
+            updates.unpersist()
+
+    def _commit_merge_inner(
+        self,
+        updates: DataFrame,
+        key: str,
+        n_new_files: int,
+        stats_cols: list[str] | None,
+        versions: list[int],
+    ) -> int:
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        spark = updates.sparkSession
         cur = self._manifest(versions[-1])
         cur_entries = cur["files"]
         dvs = list(cur.get("delete_files", []))
