@@ -82,13 +82,22 @@ def pagerank_ranks(
     shuffle join, O(E) per round, for graphs whose vertex set itself is
     data-sized (e.g. per-document graphs).  Same math, same result.
     """
+    # the edge list feeds BOTH the strength aggregate and the join below;
+    # without the persist the caller's whole edge-build subtree (pair
+    # expansion + aggregation) executes once per consumer — persist it for
+    # the duration of the checkpoint build, then drop the cache
+    edges = edges.persist()
     strength = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("s"))
     # attach strength once; the loop re-reads this checkpoint every round
     edges_s = (
         edges.join(strength, "src").select("src", "dst", "w", "s").localCheckpoint()
     )
-    ranks = strength.select(
-        F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("pr")
+    edges.unpersist()
+    # initial ranks come from the CHECKPOINTED frame (distinct src ==
+    # strength's key set), not from `strength`, whose plan would re-run
+    # the edge build a third time after the unpersist
+    ranks = edges_s.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(PR_SCALE).cast("bigint").alias("pr")
     )
     for i in range(iterations):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
@@ -274,10 +283,14 @@ def trustrank_ranks(
     """``edges``: (src, dst, w) directed (symmetrize for undirected);
     ``seeds``: (node,).  Returns (node, trust) for nodes with trust > 0
     after ``iterations`` rounds."""
+    # same dedup as pagerank_ranks: the edge subtree feeds strength AND
+    # the join — persist across the checkpoint build
+    edges = edges.persist()
     strength = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("s"))
     edges_s = (
         edges.join(strength, "src").select("src", "dst", "w", "s").localCheckpoint()
     )
+    edges.unpersist()
     seed_tp = seeds.select(
         "node", F.lit(PR_TELEPORT).cast("bigint").alias("tp")
     ).localCheckpoint()

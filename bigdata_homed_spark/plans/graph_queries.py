@@ -98,9 +98,7 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pp.p1", "pp.p2")
     )
     e0 = pairs.groupBy("p1", "p2").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    edges = e0.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst"), "w"
-    ).union(e0.select(F.col("p2").alias("src"), F.col("p1").alias("dst"), "w"))
+    edges = _symmetrize(e0, "w")
     # V here is the PART dimension (dim-sized at every SF: ~2 MB per
     # million parts at 16 B/row), so the broadcast-ranks mode applies —
     # each round is a map-side join over the checkpointed edge list.
@@ -118,6 +116,33 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order's distinct part set (arrays bounded by order size), then the i<j
 # expansion is whole-stage-codegen array algebra — the fact is NEVER
 # self-joined, so there is exactly one shuffle regardless of basket skew.
+def _symmetrize(e0: DataFrame, w_col: str) -> DataFrame:
+    """(p1, p2, w) -> both edge directions in ONE pass over e0.
+
+    The previous ``e0.select(...).union(e0.select(...))`` spelling embeds
+    the whole pair-build subtree twice in the plan; physical exchange
+    reuse does not always recover that (and never recovers the duplicated
+    map-side work before the agg).  An in-row explode of the two
+    directions reads e0 once — same rows, same schema (src, dst, w).
+    """
+    return e0.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("src"),
+                    F.col("p2").alias("dst"),
+                    F.col(w_col).alias("w"),
+                ),
+                F.struct(
+                    F.col("p2").alias("src"),
+                    F.col("p1").alias("dst"),
+                    F.col(w_col).alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+
+
 def copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(p1, p2, n_pair) with p1 < p2: co-occurrence counts over orders."""
     from ..sources.tables import load_table
@@ -521,15 +546,7 @@ def label_spread_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = copurchase_pair_counts(spark, sf_dir).where(
         F.col("n_pair") >= _LP_MIN_W
     )
-    edges = e0.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst"),
-        F.col("n_pair").alias("w"),
-    ).union(
-        e0.select(
-            F.col("p2").alias("src"), F.col("p1").alias("dst"),
-            F.col("n_pair").alias("w"),
-        )
-    )
+    edges = _symmetrize(e0, "n_pair")
     seeds = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_partkey") % 5 == 0)
@@ -588,15 +605,7 @@ def trustrank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = copurchase_pair_counts(spark, sf_dir).where(
         F.col("n_pair") >= _TR_MIN_W
     )
-    edges = e0.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst"),
-        F.col("n_pair").alias("w"),
-    ).union(
-        e0.select(
-            F.col("p2").alias("src"), F.col("p1").alias("dst"),
-            F.col("n_pair").alias("w"),
-        )
-    )
+    edges = _symmetrize(e0, "n_pair")
     seeds = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_partkey") % 7 == 0)

@@ -2245,6 +2245,13 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.col("mmr").desc(), "vec_id")
             .limit(1)
+            # each pick is referenced TWICE (the next round's selected set
+            # and the output union), and sel{r} nests every earlier pick —
+            # without cutting the lineage here the final plan embeds
+            # pick{1}'s subtree O(2^K) times and planning+execution repeat
+            # it; the lazy local checkpoint makes round r's 1-row result
+            # compute exactly once (still entirely on executors)
+            .localCheckpoint(eager=False)
         )
         sel = sel.unionByName(
             cand.join(F.broadcast(pick.select("vec_id")), "vec_id").select(

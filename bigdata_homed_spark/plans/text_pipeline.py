@@ -1673,12 +1673,25 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         m = marked.crossJoin(F.broadcast(best)).withColumn(
             "is_match", F.coalesce(pair_key == F.col("best_pair"), F.lit(False))
         )
-        w_island = Window.partitionBy("doc_id", "is_match").orderBy("pos")
-        g = m.withColumn("grp", F.col("pos") - F.row_number().over(w_island))
-        w_grp = Window.partitionBy("doc_id", "is_match", "grp").orderBy("pos")
-        kept = g.withColumn(
+        # greedy parity on ONE doc-keyed window pass: `pos` is consecutive
+        # (row_number re-rank each round), so a matched position's island
+        # index is  pos − (last unmatched pos before it) − 1  — no
+        # (doc,is_match[,grp])-keyed windows, which each forced their own
+        # full-corpus exchange+sort per round (3 exchanges → 1).  Same
+        # islands, same parity, pinned by the DuckDB oracle's original
+        # islands-and-row_number formulation.
+        w_prev = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        last_nm = F.last(
+            F.when(~F.col("is_match"), F.col("pos")), ignorenulls=True
+        ).over(w_prev)
+        kept = m.withColumn(
             "kept",
-            F.col("is_match") & (((F.row_number().over(w_grp) - 1) % 2) == 0),
+            F.col("is_match")
+            & (((F.col("pos") - F.coalesce(last_nm, F.lit(0)) - 1) % 2) == 0),
         )
         cons = kept.withColumn(
             "consumed", F.coalesce(F.lag("kept").over(w_doc), F.lit(False))
