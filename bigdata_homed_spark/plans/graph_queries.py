@@ -143,28 +143,40 @@ def _symmetrize(e0: DataFrame, w_col: str) -> DataFrame:
     ).select("e.src", "e.dst", "e.w")
 
 
-def copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(p1, p2, n_pair) with p1 < p2: co-occurrence counts over orders."""
+def order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, ps): each order's sorted distinct part set — ONE keyed
+    shuffle over the fact.  Pair expansion, per-item frequencies and the
+    order count are all derivable from this frame, so queries that need
+    several of those share one fact pass (guide §2.4) instead of
+    re-scanning + re-distinct-ing lineitem per aggregate."""
     from ..sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS p1, y AS p2))))"
-                )
-            ).alias("pp")
-        )
-        .select("pp.p1", "pp.p2")
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
+
+
+def basket_pair_counts(baskets: DataFrame) -> DataFrame:
+    """(p1, p2, n_pair) with p1 < p2 from the basket frame: the i<j pair
+    expansion is pure whole-stage-codegen array algebra."""
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pp")
+    ).select("pp.p1", "pp.p2")
     return pairs.groupBy("p1", "p2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pair")
     )
+
+
+def copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p1, p2, n_pair) with p1 < p2: co-occurrence counts over orders."""
+    return basket_pair_counts(order_baskets(spark, sf_dir))
 
 
 _AR_TOP_K = 100
@@ -224,21 +236,25 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     every SF, so both enrichment joins broadcast; n_orders is a 1-row
     scalar broadcast (whitelisted crossJoin).
     """
-    from ..sources.tables import load_table
-
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # ONE fact pass: baskets feed the pair expansion, the per-item
+    # frequencies (explode of the part sets — identical to the distinct
+    # (order, part) count) and the order count; the before-plan scanned
+    # lineitem 8 times for those three aggregates (guide §2.4).  Lazy
+    # localCheckpoint: materialized by the first consumer, reused by the
+    # rest; block cleanup rides the ContextCleaner like the graph kernels.
+    baskets = order_baskets(spark, sf_dir).localCheckpoint(eager=False)
     top = (
-        copurchase_pair_counts(spark, sf_dir)
+        basket_pair_counts(baskets)
         .orderBy(F.desc("n_pair"), "p1", "p2")
         .limit(_AR_TOP_K)
     )
-    item_n = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    item_n = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+        .localCheckpoint(eager=False)  # broadcast twice below (i1, i2)
     )
-    n_orders = items.agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
-    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     i1 = item_n.select(
         F.col("l_partkey").alias("p1"), F.col("n_item").alias("n_p1")
     )
@@ -339,16 +355,24 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the per-node explode so the output is orientation-free.  The
     final cut is TakeOrderedAndProject with a full tiebreak.
     """
+    # the sparsified edge list feeds FOUR consumers (degrees, the
+    # orientation join, the wedge closure semi-join, the final report
+    # join): without a lineage cut the whole fact pair-build subtree is
+    # embedded per consumer — the before-plan held 26 parquet scans for
+    # one lineitem table.  Lazy localCheckpoints materialize each frame
+    # once; the degree explode replaces the e.union(e) spelling that
+    # doubled the subtree again (guide §2.4).
     e = (
         copurchase_pair_counts(spark, sf_dir)
         .where(F.col("n_pair") >= _TC_MIN_W)
         .select("p1", "p2")
+        .localCheckpoint(eager=False)
     )
     deg = (
-        e.select(F.col("p1").alias("v"))
-        .union(e.select(F.col("p2").alias("v")))
+        e.select(F.explode(F.array("p1", "p2")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=False)  # consumed by d1, d2 and the report
     )
     # degree orientation: src = lower (deg, id) endpoint
     d1 = deg.select(F.col("v").alias("p1"), F.col("deg").alias("deg1"))
@@ -360,7 +384,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oe = ed.select(
         F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
-    )
+    ).localCheckpoint(eager=False)  # both wedge legs read it
     w1 = oe.select(F.col("src").alias("u"), F.col("dst").alias("v1"))
     w2 = oe.select(F.col("src").alias("u"), F.col("dst").alias("v2"))
     # unordered neighbor pair, deduped by id order; closure key is the
@@ -456,21 +480,35 @@ _CF_TOP_N = 5
 def item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..sources.tables import load_table
-
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    item_n = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    # one fact pass shared by the pair counts and the item frequencies
+    # (the before-plan scanned lineitem 8 times); the symmetrization is an
+    # in-row explode instead of p0.union(p0), which embedded the whole
+    # pair-build subtree twice (same fix as _symmetrize for the rank
+    # kernels — guide §2.4)
+    baskets = order_baskets(spark, sf_dir).localCheckpoint(eager=False)
+    item_n = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+        .localCheckpoint(eager=False)  # broadcast twice below (ni, nn)
     )
-    p0 = copurchase_pair_counts(spark, sf_dir).where(
-        F.col("n_pair") >= _CF_MIN_W
-    )
+    p0 = basket_pair_counts(baskets).where(F.col("n_pair") >= _CF_MIN_W)
     pairs = p0.select(
-        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "n_pair"
-    ).union(
-        p0.select(F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "n_pair")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("item"),
+                    F.col("p2").alias("neighbor"),
+                    F.col("n_pair").alias("n_pair"),
+                ),
+                F.struct(
+                    F.col("p2").alias("item"),
+                    F.col("p1").alias("neighbor"),
+                    F.col("n_pair").alias("n_pair"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.item", "e.neighbor", "e.n_pair")
     ni = item_n.select(F.col("l_partkey").alias("item"), F.col("n_item").alias("n_i"))
     nn = item_n.select(
         F.col("l_partkey").alias("neighbor"), F.col("n_item").alias("n_n")

@@ -566,28 +566,47 @@ def star_rank_period_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cast(floor((day - 4)/7)*7 + 4 as int)), 'yyyy-MM-dd')"
     )
     month = F.expr("date_format(date_add(DATE'1970-01-01', cast(day as int)), 'yyyy-MM')")
-    labelled = base.select(
-        F.lit(2).alias("f_period_type"), week.alias("f_date"), "*"
-    ).unionByName(
-        base.select(F.lit(3).alias("f_period_type"), month.alias("f_date"), "*")
-    )
 
     # The reference unions three feeds because they come from three
     # different log tables; with one synthetic fact the idiomatic plan is
     # ONE conditional aggregation — identical per-star rows (each feed's
     # zero-fill + re-sum collapses to a filtered aggregate), one fact
     # shuffle instead of three (the cpsp_hourly_tiers precedent).
+    #
+    # Period labelling happens AFTER a (day, star) pre-aggregation, not by
+    # unioning two selects over the joined fact: Catalyst does not
+    # de-duplicate common subtrees, so the old union shape scanned
+    # lineitem/orders and ran the orderkey join TWICE (6 scans / 8 join
+    # nodes in plans/r10/star_rank_period_heat_before.txt).  `day` is
+    # functional on l_orderkey (one o_orderdate per order), so per-day
+    # DISTINCT order counts partition the per-period distinct sets and
+    # their sums are exact — every other measure is a plain sum.  The
+    # fact is scanned, joined and shuffled ONCE; the week/month explode
+    # runs over the (day, star)-grain frame (guide §2.3/§2.4).  Verified
+    # row-identical to the union shape at sf0.1 (363,204 rows).
+    day_star = base.groupBy("day", "f_star_id", "f_star_name").agg(
+        F.count(F.lit(1)).alias("d_click"),
+        F.countDistinct("l_orderkey").alias("d_search"),
+        F.sum("l_quantity").alias("d_attention"),
+        F.sum(F.when(F.col("l_linenumber") == 1, 1).otherwise(0)).alias("d_net"),
+        F.sum(F.when(F.col("l_returnflag") != "R", F.col("rev"))).alias("d_heat"),
+    )
+    labelled = day_star.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).alias("f_period_type"), week.alias("f_date")),
+                F.struct(F.lit(3).alias("f_period_type"), month.alias("f_date")),
+            )
+        ).alias("__p"),
+        "*",
+    ).select("__p.*", *day_star.columns)
     keys = ["f_period_type", "f_date", "f_star_id", "f_star_name"]
     per_star = labelled.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("bigint").alias("f_click_count"),
-        F.countDistinct("l_orderkey").cast("bigint").alias("f_search_count"),
-        F.sum("l_quantity").cast("bigint").alias("f_attention_count"),
-        F.sum(F.when(F.col("l_linenumber") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("f_net_attention_count"),
-        F.sum(F.when(F.col("l_returnflag") != "R", F.col("rev")))
-        .cast("decimal(27,6)")
-        .alias("heat_dec_raw"),
+        F.sum("d_click").cast("bigint").alias("f_click_count"),
+        F.sum("d_search").cast("bigint").alias("f_search_count"),
+        F.sum("d_attention").cast("bigint").alias("f_attention_count"),
+        F.sum("d_net").cast("bigint").alias("f_net_attention_count"),
+        F.sum("d_heat").cast("decimal(27,6)").alias("heat_dec_raw"),
     ).withColumn(
         # feeds that contributed nothing summed to 0 in the union shape
         "heat_dec", F.coalesce(F.col("heat_dec_raw"), F.lit(0).cast("decimal(27,6)"))

@@ -218,7 +218,13 @@ def stream_online_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import online_user_state
 
     events = read_events_stream(spark, sf_dir)
-    out = run_stream_to_memory(online_user_state(events), output_mode="update")
+    # size_state_partitions=False: applyInPandasWithState is
+    # Python-stateful — its cost is per-group Arrow/Python compute that
+    # wants core-count parallelism, not fewer state-store instances
+    # (see run_stream_to_memory)
+    out = run_stream_to_memory(
+        online_user_state(events), output_mode="update", size_state_partitions=False
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         out.withColumn("rn", F.row_number().over(w))
@@ -599,8 +605,12 @@ def stream_user_status_by_user_log(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.jobs import read_events_stream, user_status_by_user_log
 
     events = read_events_stream(spark, sf_dir)
+    # Python-stateful (applyInPandasWithState): keep core-count
+    # parallelism, see stream_online_user_state
     out = run_stream_to_memory(
-        user_status_by_user_log(events), output_mode="update"
+        user_status_by_user_log(events),
+        output_mode="update",
+        size_state_partitions=False,
     )
     w = Window.partitionBy("f_user_id").orderBy(
         F.col("f_log_sec").desc(), F.col("f_play_count").desc()
