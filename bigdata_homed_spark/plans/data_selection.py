@@ -569,7 +569,16 @@ def incremental_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(index_dir)
     hist = spark.read.parquet(index_dir)
 
-    new_win = win.where(F.col("is_new")).select("doc_id", "pos", "wh")
+    # batch-scale frame with THREE consumers (newdup, both semi-joins):
+    # without the lineage cut each one re-runs the regex tokenization +
+    # window explode + hash over the new docs (the before-plan scanned
+    # documents 16 times).  History stays a single streamed pass (the
+    # parquet index write above) — only the batch is materialized.
+    new_win = (
+        win.where(F.col("is_new"))
+        .select("doc_id", "pos", "wh")
+        .localCheckpoint(eager=False)
+    )
     newdup = (
         new_win.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("n_occ"))

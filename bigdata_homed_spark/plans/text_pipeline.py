@@ -2046,17 +2046,28 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("term"))
-    sketch = (
-        toks.select(F.posexplode(cms_cells(F.col("term"))).alias("r", "cms_col"))
-        .groupBy("r", "cms_col")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_n"))
-    )
-    exact = (
+    # ONE tokenize pass: the sketch and the exact top-k both derive from
+    # the per-term counts (vocab-sized after the map-combinable agg).  A
+    # cell's count is the sum of the counts of the terms hashing into it,
+    # so building the sketch FROM the vocab is exactly equal to counting
+    # token occurrences per cell — and the D-way cell fan-out runs over
+    # vocab rows instead of every token occurrence (the before-shape
+    # tokenized the corpus twice and exploded tokens x D; guide §2.3
+    # "aggregate before you shuffle").
+    term_counts = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("term"))
-        .limit(CMS_TOP_K)
+        .localCheckpoint(eager=False)  # consumed by sketch AND top-k
     )
+    sketch = (
+        term_counts.select(
+            F.posexplode(cms_cells(F.col("term"))).alias("r", "cms_col"),
+            "exact_n",
+        )
+        .groupBy("r", "cms_col")
+        .agg(F.sum("exact_n").cast("bigint").alias("cell_n"))
+    )
+    exact = term_counts.orderBy(F.desc("exact_n"), F.asc("term")).limit(CMS_TOP_K)
     probes = exact.select(
         "term", "exact_n", F.posexplode(cms_cells(F.col("term"))).alias("r", "cms_col")
     )

@@ -301,17 +301,22 @@ def channel_report_full(spark: SparkSession, sf_dir: str, top_n: int = 3) -> Dat
     )
 
     # ---- region grain (the fact-touching pass) -------------------------
-    # each region-grain output feeds its own grain AND the city/province
-    # re-aggregations — cache them like the reference's df_[012]_region
-    # .cache() calls (ChannelReport.scala:165/181/212)
-    df0_r = base.groupBy(*_REG).agg(
+    # TWO fact shuffles, not three: the per-user frame df_1 needs anyway
+    # (region, channel, user → playtime) also answers df_0's region UV as
+    # a re-aggregation — countDistinct(user) over the reduced per-user
+    # rows is exactly the distinct-user count of the base (guide §2.3
+    # "aggregate before you shuffle").  Only df_2 (per-program playtime)
+    # still shuffles the base directly; each output feeds its own grain
+    # AND the city/province re-aggregations — cache them like the
+    # reference's df_[012]_region .cache() calls
+    # (ChannelReport.scala:165/181/212).
+    pu = base.groupBy(*_REG, *_CH, "f_user_id").agg(
+        F.sum("f_play_sec").alias("upt")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    df0_r = pu.groupBy(*_REG).agg(
         F.countDistinct("f_user_id").alias("f_uv")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    per_user_r = (
-        base.groupBy(*_REG, *_CH, "f_user_id")
-        .agg(F.sum("f_play_sec").alias("upt"))
-        .crossJoin(scal)
-    )
+    per_user_r = pu.crossJoin(scal)
     df1_r = _tier_counts(per_user_r, _REG + _CH).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -416,6 +421,6 @@ def channel_report_full(spark: SparkSession, sf_dir: str, top_n: int = 3) -> Dat
     # ChannelReport.scala:362/368/402); localCheckpoint keeps only the
     # final rows resident
     out = out.localCheckpoint(eager=True)
-    for df in (base, df0_r, df1_r, df2_r):
+    for df in (base, pu, df0_r, df1_r, df2_r):
         df.unpersist()
     return out
