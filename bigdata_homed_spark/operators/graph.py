@@ -88,9 +88,15 @@ def pagerank_ranks(
     # the duration of the checkpoint build, then drop the cache
     edges = edges.persist()
     strength = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("s"))
-    # attach strength once; the loop re-reads this checkpoint every round
+    # attach strength once; the loop re-reads this checkpoint every round.
+    # In dim-sized-V mode the strength frame is V-sized by the same
+    # argument as the rank broadcast — force the broadcast so the E-sized
+    # edge list is never shuffled for this join (post-aggregation size
+    # estimates are unreliable, guide §3.1; measured 3.0 → 2.3 s warm on
+    # the sf0.1 co-purchase build)
+    s_side = F.broadcast(strength) if broadcast_ranks else strength
     edges_s = (
-        edges.join(strength, "src").select("src", "dst", "w", "s").localCheckpoint()
+        edges.join(s_side, "src").select("src", "dst", "w", "s").localCheckpoint()
     )
     edges.unpersist()
     # initial ranks come from the CHECKPOINTED frame (distinct src ==
@@ -279,16 +285,24 @@ def trustrank_ranks(
     seeds: DataFrame,
     iterations: int = 4,
     checkpoint_every: int = 4,
+    dim_sized_v: bool = False,
 ) -> DataFrame:
     """``edges``: (src, dst, w) directed (symmetrize for undirected);
     ``seeds``: (node,).  Returns (node, trust) for nodes with trust > 0
-    after ``iterations`` rounds."""
+    after ``iterations`` rounds.
+
+    ``dim_sized_v=True`` is the pagerank_ranks ``broadcast_ranks`` analog
+    for the strength attachment: when the vertex set is dimension-sized,
+    broadcasting the V-row strength frame keeps the E-sized edge list
+    un-shuffled through this join (guide §3.1 — post-agg size estimates
+    are unreliable, so the hint is explicit)."""
     # same dedup as pagerank_ranks: the edge subtree feeds strength AND
     # the join — persist across the checkpoint build
     edges = edges.persist()
     strength = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("s"))
+    s_side = F.broadcast(strength) if dim_sized_v else strength
     edges_s = (
-        edges.join(strength, "src").select("src", "dst", "w", "s").localCheckpoint()
+        edges.join(s_side, "src").select("src", "dst", "w", "s").localCheckpoint()
     )
     edges.unpersist()
     seed_tp = seeds.select(

@@ -649,7 +649,9 @@ def trustrank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_partkey") % 7 == 0)
         .select(F.col("p_partkey").alias("node"))
     )
-    ranks = trustrank_ranks(edges, seeds, iterations=_TR_ROUNDS)
+    # V is the part dimension — broadcast the strength attachment like
+    # pagerank's broadcast_ranks mode
+    ranks = trustrank_ranks(edges, seeds, iterations=_TR_ROUNDS, dim_sized_v=True)
     seed_flag = seeds.withColumn("is_seed", F.lit(1).cast("bigint"))
     return (
         ranks.join(seed_flag, "node", "left")

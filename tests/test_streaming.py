@@ -612,3 +612,48 @@ def test_stream_kmv_merge_is_idempotent_and_order_free(spark, sf_dir):
     for c in ("k", "n_sketch_a", "n_sketch_b", "theta", "n_inter_sketch",
               "est_a", "est_b", "est_inter"):
         assert stream_row[c] == batch_row[c], c
+
+
+def test_stream_state_partition_sizing(spark):
+    """Stateful stream partition count derives from recorded source bytes:
+    ceil(bytes / target), floor 1, None when no source was recorded, and
+    the env knob rescales the target (the 100 TB contract — partitions
+    follow the data, never a local constant)."""
+    import importlib
+
+    from bigdata_homed_spark.streaming import jobs
+
+    conf_key = jobs._SOURCE_BYTES_CONF
+    prev = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.unset(conf_key)
+        assert jobs.stream_state_partitions(spark) is None
+        target = jobs.STREAM_STATE_TARGET_BYTES
+        jobs._record_source_bytes(spark, 1)  # tiny source -> 1 partition
+        assert jobs.stream_state_partitions(spark) == 1
+        jobs._record_source_bytes(spark, target)  # exactly one target unit
+        assert jobs.stream_state_partitions(spark) == 1
+        jobs._record_source_bytes(spark, target + 1)  # ceil, not floor
+        assert jobs.stream_state_partitions(spark) == 2
+        # a 100 TB topic yields thousands of partitions, uncapped
+        jobs._record_source_bytes(spark, 100 * (1 << 40))
+        assert jobs.stream_state_partitions(spark) == -(-100 * (1 << 40) // target)
+    finally:
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
+        else:
+            spark.conf.unset(conf_key)
+    # env override rescales the target on module reload
+    import os
+
+    old = os.environ.get("SPARK_GRAFT_STREAM_TARGET_BYTES")
+    try:
+        os.environ["SPARK_GRAFT_STREAM_TARGET_BYTES"] = str(1 << 20)
+        importlib.reload(jobs)
+        assert jobs.STREAM_STATE_TARGET_BYTES == 1 << 20
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_STREAM_TARGET_BYTES", None)
+        else:
+            os.environ["SPARK_GRAFT_STREAM_TARGET_BYTES"] = old
+        importlib.reload(jobs)
