@@ -348,6 +348,11 @@ def test_bpe_merge_rewrite_property(spark, tmp_path):
             )
         return merges
 
+    # counter-keyed like every other fuzz fixture dir: a fresh path per
+    # example, so the session-scoped scan catalog (sources/tables.py)
+    # can never serve a stale file listing on a hash collision
+    case_n = [0]
+
     @settings(
         max_examples=5,
         deadline=None,
@@ -363,7 +368,8 @@ def test_bpe_merge_rewrite_property(spark, tmp_path):
         )
     )
     def run(docs):
-        d = tmp_path / f"case_{abs(hash(tuple(docs))) % 10**9}"
+        case_n[0] += 1
+        d = tmp_path / f"case_{case_n[0]}"
         rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
         spark.createDataFrame(
             rows,
