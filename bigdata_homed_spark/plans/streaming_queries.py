@@ -955,27 +955,30 @@ def stream_channel_live_counts(
                 ),
             )
         )
-        # T8/S13 horizon first (one cached-batch agg — `parsed` is
-        # persisted so the merge below reuses it instead of re-reading the
-        # batch file), then S10+T3+T8 in ONE state pass: the newest-wins
-        # merge rewrites the touched buckets WITH the retention filter
-        # fused (merge_latest(expire_predicate=...)), so the per-batch
-        # expire() re-read/re-write of the state is gone — 4 driver jobs
-        # per batch instead of 7.  Buckets untouched by any later batch
+        # S10+T3+T8 in ONE state pass: the newest-wins merge rewrites the
+        # touched buckets WITH the retention filter fused, and the T8/S13
+        # horizon max rides the merge's own bounded touched-bucket collect
+        # (merge_latest(horizon_col=...)) instead of a separate
+        # agg+collect job over the batch — 2 driver jobs per batch, down
+        # from 7 in r9 and 4 after the first fusion.  The left broadcast
+        # enrichment is row-preserving, so max(sec) over `enriched` is
+        # max(sec) over `parsed`.  Buckets untouched by any later batch
         # are swept once after the drain (below); with the monotone
         # horizon the converged snapshot is identical (an intermediate-
         # expired row is final-expired too).
-        parsed_c = parsed.persist()
-        try:
-            row = parsed_c.agg(F.max("sec").alias("mx")).collect()[0]
-            if row.mx is not None:
-                hi["max_sec"] = max(hi["max_sec"] or int(row.mx), int(row.mx))
-            pred = (
-                f"sec < {hi['max_sec'] - 86400}" if hi["max_sec"] is not None else None
-            )
-            store.merge_latest(enriched, ["sec", "event_id"], expire_predicate=pred)
-        finally:
-            parsed_c.unpersist()
+        def horizon_pred(mx):
+            if mx is not None:
+                hi["max_sec"] = max(hi["max_sec"] or int(mx), int(mx))
+            if hi["max_sec"] is None:
+                return None
+            return f"sec < {hi['max_sec'] - 86400}"
+
+        store.merge_latest(
+            enriched,
+            ["sec", "event_id"],
+            horizon_col="sec",
+            horizon_to_predicate=horizon_pred,
+        )
 
     schema = (
         "event_id bigint, user_id bigint, event_type string, "

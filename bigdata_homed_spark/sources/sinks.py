@@ -154,6 +154,8 @@ class PartitionedStateStore:
         updates: DataFrame,
         order_cols: Sequence[str],
         expire_predicate=None,
+        horizon_col: str | None = None,
+        horizon_to_predicate=None,
     ) -> list[int]:
         """One-pass newest-wins merge (S10 + T3 fused): union the batch
         with the touched buckets' existing rows and keep, per key, the row
@@ -182,10 +184,24 @@ class PartitionedStateStore:
         commutative and idempotent, so a reprocessed or late batch can
         never regress the snapshot (same argument as the unfused path).
         ``updates`` may contain several rows per key; exactly one survives.
+
+        ``horizon_col`` + ``horizon_to_predicate`` fold the caller's
+        event-time-horizon aggregation into the touched-bucket collect:
+        the bounded per-bucket collect additionally carries
+        ``max(horizon_col)`` (same job, same ≤ n_buckets rows), the global
+        max is handed to ``horizon_to_predicate(batch_max_or_None)``, and
+        whatever predicate it returns (or None) is applied exactly like
+        ``expire_predicate``.  This removes the separate driver job per
+        micro-batch that a caller-side ``agg(max(...)).collect()`` costs —
+        the callback owns the monotone-horizon state, so replay safety is
+        unchanged (max is idempotent).  Mutually exclusive with
+        ``expire_predicate``.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        if expire_predicate is not None and horizon_col is not None:
+            raise ValueError("pass expire_predicate OR horizon_col, not both")
         spark = updates.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # lazy persist instead of an eager localCheckpoint: the
@@ -193,8 +209,23 @@ class PartitionedStateStore:
         # cache materializes inside it — one fewer driver job per batch
         upd = self._bucketed(updates).persist()
         try:
-            # bounded metadata collect: ≤ n_buckets ints (the pruning predicate)
-            touched = [r[0] for r in upd.select(self.BUCKET_COL).distinct().collect()]
+            # bounded metadata collect: ≤ n_buckets rows (the pruning
+            # predicate, plus the per-bucket horizon max when requested)
+            if horizon_col is not None:
+                stats = (
+                    upd.groupBy(self.BUCKET_COL)
+                    .agg(F.max(horizon_col).alias("__hmax"))
+                    .collect()
+                )
+                touched = [r[0] for r in stats]
+                hmaxes = [r["__hmax"] for r in stats if r["__hmax"] is not None]
+                expire_predicate = horizon_to_predicate(
+                    max(hmaxes) if hmaxes else None
+                )
+            else:
+                touched = [
+                    r[0] for r in upd.select(self.BUCKET_COL).distinct().collect()
+                ]
             merged = upd
             if self._state_exists(spark):
                 merged = upd.unionByName(
