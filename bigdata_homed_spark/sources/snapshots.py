@@ -1327,6 +1327,25 @@ class SnapshotTable:
         os.rmdir(stage)
         return out
 
+    def _write_delete_files_nonempty(self, doomed: DataFrame) -> list[str]:
+        """DV write and emptiness probe fused into ONE action: write the
+        vector, then read the row count from the parquet footer the write
+        just produced (a kilobyte metadata read, same trick as
+        ``_attach_footer_stats``).  Callers that used to run a separate
+        ``count()`` probe before writing save one full execution of the
+        doomed plan — scan + predicate/semi-join — per commit, and the
+        doomed frame no longer needs a persist (it has exactly one
+        consumer).  An empty vector is removed and reported as [] so
+        no-match verbs stay version-free no-ops."""
+        import pyarrow.parquet as pq
+
+        files = self._write_delete_files(doomed)
+        if sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 0:
+            for f in files:
+                os.remove(f)
+            return []
+        return files
+
     def commit_delete(self, spark: SparkSession, condition) -> int:
         """Merge-on-read DELETE: rows matching ``condition`` (a SQL string
         or Column over the table's schema) are recorded in a new deletion
@@ -1336,23 +1355,18 @@ class SnapshotTable:
         no-match delete is a no-op (returns the current head, writes
         nothing).  The next ``commit_rewrite`` folds DVs into a clean file
         set."""
-        versions = self.versions()
         head = self._head()
         m = self._manifest(head)
-        # persisted: the emptiness probe and the DV write would otherwise
-        # each run the full table scan + filter
+        # ONE action: the DV write doubles as the emptiness probe (footer
+        # row count) — the old probe-then-write shape ran the scan twice
         doomed = (
             self._scan_with_pos(spark, m)
             .where(condition)
             .select("__file", "__pos")
-            .persist()
         )
-        try:
-            if not doomed.count():
-                return head
-            new_dvs = self._write_delete_files(doomed)
-        finally:
-            doomed.unpersist()
+        new_dvs = self._write_delete_files_nonempty(doomed)
+        if not new_dvs:
+            return head
         return self._publish(
             list(m["files"]),
             expected_parent=head,
@@ -1377,14 +1391,17 @@ class SnapshotTable:
         # updated rows land as flat files even on a Hive-partitioned
         # parent: layout generations are grouped at read (_read_entries),
         # so the mix is safe — no guard needed here
-        # matched rows feed FOUR actions (emptiness probe, constraint
-        # check, DV write, re-insert write): persist the scan-with-filter
+        # matched rows feed THREE actions (the DV write — which doubles as
+        # the emptiness probe via its footer row count — the constraint
+        # check, and the re-insert write): persist the scan-with-filter
         # once instead of re-running the table scan per action
         live = self._scan_with_pos(spark, m).where(condition).persist()
         try:
-            if not live.count():
+            new_dvs = self._write_delete_files_nonempty(
+                live.select("__file", "__pos")
+            )
+            if not new_dvs:
                 return head
-            doomed = live.select("__file", "__pos")
             updated = live.drop("__file", "__pos").withColumns(dict(assignments))
             gcols = self.generated_columns()
             if gcols:
@@ -1395,14 +1412,21 @@ class SnapshotTable:
                 updated = updated.withColumns(
                     {n: _F.expr(sql) for n, sql in gcols.items()}
                 )
-            self._enforce_constraints(updated, self._incoming_constraints())
+            try:
+                self._enforce_constraints(updated, self._incoming_constraints())
+            except ConstraintViolationError:
+                # the DV was written before the check (the write IS the
+                # match probe); a refused commit must not leave it behind
+                for f in new_dvs:
+                    os.remove(f)
+                raise
             mapping = m.get("column_map", {})
             # assignments may introduce a NEW column: extend the mapping like
             # every other ingest verb, or reads would silently drop it
             ext = self._extended_map(updated.columns, mapping)
             if stats_cols and mapping:
                 stats_cols = [mapping.get(c, c) for c in stats_cols]
-            dvs = list(m.get("delete_files", [])) + self._write_delete_files(doomed)
+            dvs = list(m.get("delete_files", [])) + new_dvs
             new = self._write_data_files(
                 self._to_physical(updated, mapping), n_new_files, stats_cols
             )
@@ -1450,47 +1474,67 @@ class SnapshotTable:
         self._enforce_constraints(updates, self._incoming_constraints())
         head = versions[-1]
         m = self._manifest(head)
-        # the verb runs THREE actions over `updates` (key-range agg, the
-        # DV semi-join probe, the data-file write): persist the batch once
-        # instead of recomputing its upstream plan — which in a streaming
-        # merge includes the incumbent-read join — per action.  Batch-sized
+        # the verb runs TWO actions over `updates` (the data-file write,
+        # then the DV semi-join + write): persist the batch once instead
+        # of recomputing its upstream plan — which in a streaming merge
+        # includes the incumbent-read join — per action.  Batch-sized
         # memory, guide §5's "reused AND expensive to recompute" case.
         updates = updates.persist()
-        doomed = None
         try:
+            mapping = m.get("column_map", {})
+            ext = self._extended_map(updates.columns, mapping)
+            phys_key = mapping.get(key, key)
+            phys_stats = [mapping.get(c, c) for c in (stats_cols or [])]
+            if phys_key not in phys_stats:
+                # the key's zone map rides along in the new files' footers:
+                # it feeds this commit's incumbent pruning (below) AND lets
+                # every LATER merge prune these files too
+                phys_stats.append(phys_key)
             # the updates land as FLAT new files even on a Hive-partitioned
             # parent — safe since reads group the layout generations
             # (_read_entries / _scan_with_pos); the strict guard applies only
-            # to commit_append without evolve=True
-            upd_keys = updates.select(key).distinct()
-            # zone-map routing, same as commit_merge: only files whose key
-            # stats overlap the batch's [min,max] can hold a matched row
-            lo_hi = updates.agg(F.min(key), F.max(key)).first()
-            scan = (
-                self.pruned_entries(col=key, lo=lo_hi[0], hi=lo_hi[1], version=head)
-                if lo_hi[0] is not None
-                else []
-            )
-            doomed = (
-                self._scan_with_pos(spark, m, entries=scan)
-                .join(F.broadcast(upd_keys), key, "left_semi")
-                .select("__file", "__pos")
-                .persist()  # reused by the emptiness probe AND the DV write
-                if scan
-                else None
-            )
-            dvs = list(m.get("delete_files", []))
-            if doomed is not None and doomed.count():
-                dvs += self._write_delete_files(doomed)
-            mapping = m.get("column_map", {})
-            ext = self._extended_map(updates.columns, mapping)
-            phys_stats = (
-                [mapping.get(c, c) for c in stats_cols] if stats_cols and mapping
-                else stats_cols
-            )
+            # to commit_append without evolve=True.
+            # Data files are written FIRST: the footers the write just
+            # produced carry the batch's key [min,max], so the old separate
+            # key-range agg job folds into the write action for free.
             new = self._write_data_files(
                 self._to_physical(updates, mapping), n_new_files, phys_stats
             )
+            lo = hi = None
+            vouched = True
+            for e in new:
+                if e.get("n_rows", 0) == 0:
+                    continue
+                st = e.get("stats", {}).get(phys_key)
+                if st is None:
+                    vouched = False  # footer can't vouch -> no pruning (safe)
+                    break
+                lo = st["min"] if lo is None else min(lo, st["min"])
+                hi = st["max"] if hi is None else max(hi, st["max"])
+            if not vouched:
+                scan = list(m["files"])
+            elif lo is None:
+                # empty batch (or all-vouched files carry no rows): no key
+                # can match; all-NULL-key batches land under `not vouched`
+                # and take the full (still correct: NULL never equi-joins)
+                # scan instead
+                scan = []
+            else:
+                # zone-map routing, same as commit_merge: only files whose
+                # key stats overlap the batch's [min,max] can hold a match.
+                # Footer stats are safe even when inexact: parquet
+                # truncation only ever WIDENS [min,max]
+                scan = self.pruned_entries(col=key, lo=lo, hi=hi, version=head)
+            dvs = list(m.get("delete_files", []))
+            if scan:
+                doomed = (
+                    self._scan_with_pos(spark, m, entries=scan)
+                    .join(F.broadcast(updates.select(key).distinct()), key, "left_semi")
+                    .select("__file", "__pos")
+                )
+                # write IS the emptiness probe (footer row count): one
+                # action instead of probe + write, and no doomed persist
+                dvs += self._write_delete_files_nonempty(doomed)
             return self._publish(
                 list(m["files"]) + new,
                 batch_id=batch_id,
@@ -1500,8 +1544,6 @@ class SnapshotTable:
             )
         finally:
             updates.unpersist()
-            if doomed is not None:
-                doomed.unpersist()
 
     def history(self, spark: SparkSession) -> DataFrame:
         """The table's commit lineage as a DataFrame (Delta DESCRIBE
