@@ -2098,22 +2098,24 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     # the cumulative walk runs on the SKETCH (≤ ~few hundred rows at any
-    # scale — single-partition window is deliberate and bounded)
+    # scale — single-partition window is deliberate and bounded).  The
+    # total n rides the SAME window pass (full-frame sum of the bucket
+    # counts ≡ count over fp): the fact is scanned once for the sketch,
+    # not a second time for a separate count aggregate (guide §2.3)
     from pyspark.sql import Window
 
-    cum = sketch.withColumn(
-        "cum_cnt",
-        F.sum("cnt").over(
-            Window.orderBy("lower_fp").rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    w_cum = Window.orderBy("lower_fp").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.orderBy("lower_fp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    cum = sketch.withColumn("cum_cnt", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_tot)
+    )
     qs = spark.createDataFrame([(q,) for q in HDR_QS], "q double")
-    ranks = qs.crossJoin(F.broadcast(tot)).select(
-        "q", F.expr("cast(ceil(q * n) as bigint)").alias("r"), "n"
-    )
     est = (
-        ranks.join(F.broadcast(cum), F.col("cum_cnt") >= F.col("r"))
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("r", F.expr("cast(ceil(q * n) as bigint)"))
+        .where(F.col("cum_cnt") >= F.col("r"))
         .groupBy("q", "r", "n")
         .agg(F.min("lower_fp").alias("est_fp"))
     )
@@ -2310,24 +2312,29 @@ def hdr_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket", "lower_fp")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cum = sketch.withColumn(
-        "cum_cnt",
-        F.sum("cnt").over(
-            Window.partitionBy("event_type")
-            .orderBy("lower_fp")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    # per-group total n rides the SAME window pass as the cumulative walk
+    # (full-frame sum of bucket counts ≡ count over fp per group): one fact
+    # scan for the sketch instead of a second count aggregate + join
+    # (guide §2.3); the quantile probe is then a broadcast cross join +
+    # filter over the tiny sketch frame
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("lower_fp")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    tot = fp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w_tot = (
+        Window.partitionBy("event_type")
+        .orderBy("lower_fp")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = sketch.withColumn("cum_cnt", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_tot)
+    )
     qs = spark.createDataFrame([(q,) for q in HDR_GQS], "q double")
-    ranks = tot.crossJoin(F.broadcast(qs)).select(
-        "event_type", "q", F.expr("cast(ceil(q * n) as bigint)").alias("r"), "n"
-    )
     return (
-        ranks.join(
-            cum.withColumnRenamed("event_type", "et"),
-            (F.col("et") == F.col("event_type")) & (F.col("cum_cnt") >= F.col("r")),
-        )
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("r", F.expr("cast(ceil(q * n) as bigint)"))
+        .where(F.col("cum_cnt") >= F.col("r"))
         .groupBy("event_type", "q", "n")
         .agg(F.min("lower_fp").alias("est_fp"))
         .select(
