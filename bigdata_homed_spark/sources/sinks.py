@@ -115,12 +115,48 @@ class PartitionedStateStore:
             F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets)).cast("int"),
         )
 
+    def _overwrite_buckets(self, df: DataFrame) -> None:
+        """Rewrite exactly the bucket dirs present in ``df`` — WITHOUT the
+        eager pre-write localCheckpoint the old in-place dynamic overwrite
+        needed (its plan read the very files the write was replacing).
+        The rows are staged to a sibling directory in ONE Spark job —
+        reading the live state files is safe, nothing overwrites them —
+        then each staged ``__bucket=N`` dir is swapped into place with
+        filesystem renames (driver metadata ops, O(touched buckets)).
+
+        This halves the per-batch write cost: the checkpoint wrote every
+        surviving state row twice (block store + parquet); now the merged
+        state is written once.  Crash atomicity is unchanged — dynamic
+        partition overwrite was never atomic across partition dirs either,
+        and the store's at-least-once replay contract (keep-latest /
+        retention predicates are idempotent) covers a torn swap exactly as
+        it covered a torn multi-dir overwrite."""
+        import uuid
+
+        spark = df.sparkSession
+        stage = f"{self.path}_stage_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(stage)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        stage_p = jvm.org.apache.hadoop.fs.Path(stage)
+        fs = stage_p.getFileSystem(conf)
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        if not fs.exists(root):
+            fs.mkdirs(root)
+        for st in fs.listStatus(stage_p):
+            name = st.getPath().getName()
+            if not name.startswith(f"{self.BUCKET_COL}="):
+                continue
+            dest = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{name}")
+            fs.delete(dest, True)
+            fs.rename(st.getPath(), dest)
+        fs.delete(stage_p, True)
+
     def upsert(self, updates: DataFrame) -> list[int]:
         """Merge a batch (new rows win per key); returns touched buckets."""
         from pyspark.sql import functions as F
 
         spark = updates.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # lazy persist, not eager localCheckpoint: the touched-bucket
         # collect below materializes the cache in the SAME job, saving one
         # driver round-trip per micro-batch (batch job count, not data
@@ -140,11 +176,9 @@ class PartitionedStateStore:
                 F.col(self.BUCKET_COL).isin(touched)
             )
             merged = upsert_by_key(existing, upd, self.key_cols)
-            # localCheckpoint: materialize before overwriting the files being
-            # read (upd's cache makes the batch side replay-free here)
-            merged.localCheckpoint().write.mode("overwrite").partitionBy(
-                self.BUCKET_COL
-            ).parquet(self.path)
+            # staged write + bucket-dir swap: one job, no pre-write
+            # checkpoint materialization (see _overwrite_buckets)
+            self._overwrite_buckets(merged)
             return touched
         finally:
             upd.unpersist()
@@ -203,7 +237,6 @@ class PartitionedStateStore:
         if expire_predicate is not None and horizon_col is not None:
             raise ValueError("pass expire_predicate OR horizon_col, not both")
         spark = updates.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # lazy persist instead of an eager localCheckpoint: the
         # touched-bucket collect below is the first action anyway, so the
         # cache materializes inside it — one fewer driver job per batch
@@ -249,11 +282,9 @@ class PartitionedStateStore:
                 )
                 # same NULL-safe survivor rule as expire(): NULL retains
                 winners = winners.where(~F.coalesce(pred, F.lit(False)))
-            # localCheckpoint: materialize before overwriting the files being
-            # read (the state-side lineage must be cut; upd rides its cache)
-            winners.localCheckpoint().write.mode("overwrite").partitionBy(
-                self.BUCKET_COL
-            ).parquet(self.path)
+            # staged write + bucket-dir swap: one job, no pre-write
+            # checkpoint materialization (see _overwrite_buckets)
+            self._overwrite_buckets(winners)
             self._known_initialized = True
             return touched
         finally:
@@ -274,7 +305,6 @@ class PartitionedStateStore:
             predicate = F.expr(predicate)
         if not self._state_exists(spark):
             return []
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         state = spark.read.parquet(self.path)
         # ONE bounded stats collect (≤ n_buckets rows) answers both driver
         # questions — which buckets hold expired rows, and which of those
@@ -297,19 +327,14 @@ class PartitionedStateStore:
         # NULL and silently delete it
         surv_buckets = {r[0] for r in stats if 0 < r["__n_exp"] < r["__n"]}
         if surv_buckets:
-            survivors = (
-                state.where(F.col(self.BUCKET_COL).isin(list(surv_buckets)))
-                .where(~F.coalesce(predicate, F.lit(False)))
-                # localCheckpoint: materialize before overwriting the files
-                # being read
-                .localCheckpoint()
-            )
-            # dynamic overwrite only rewrites partitions PRESENT in the
-            # output; fully-expired buckets (no survivors) are dropped as
+            survivors = state.where(
+                F.col(self.BUCKET_COL).isin(list(surv_buckets))
+            ).where(~F.coalesce(predicate, F.lit(False)))
+            # staged write + bucket-dir swap: one job, no pre-write
+            # checkpoint materialization (see _overwrite_buckets);
+            # fully-expired buckets (no survivors) are dropped as
             # directories below
-            survivors.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
-                self.path
-            )
+            self._overwrite_buckets(survivors)
         jvm = spark._jvm
         fs = jvm.org.apache.hadoop.fs.Path(self.path).getFileSystem(
             spark._jsc.hadoopConfiguration()
