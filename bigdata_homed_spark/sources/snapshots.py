@@ -2293,18 +2293,48 @@ class SnapshotTable:
         ext = self._extended_map(updates.columns, mapping)
         phys_key = mapping.get(key, key)
         upd_keys = updates.select(key).distinct()
+        # the update rows' data files are written FIRST (they join the
+        # manifest only at the atomic publish below, so ordering vs hit
+        # detection is free): their footers carry the batch's key [min,max]
+        # for free, folding the old separate key-range agg job into the
+        # write action.  The key's zone map also lands in the new entries,
+        # so later merges prune these files too.
+        phys_stats = [mapping.get(c, c) for c in (stats_cols or [])]
+        if phys_key not in phys_stats:
+            phys_stats.append(phys_key)
+        new = self._write_data_files(
+            self._to_physical(updates, mapping),
+            n_new_files,
+            phys_stats,
+            partition_by=list(lay) or None,
+        )
+        lo = hi = None
+        vouched = True
+        for e in new:
+            if e.get("n_rows", 0) == 0:
+                continue
+            st = e.get("stats", {}).get(phys_key)
+            if st is None:
+                vouched = False
+                break
+            lo = st["min"] if lo is None else min(lo, st["min"])
+            hi = st["max"] if hi is None else max(hi, st["max"])
+        if not vouched:
+            # footer can't vouch (e.g. the key IS a partition column of the
+            # declared layout, so it lives in the path, not the file):
+            # fall back to the key-range agg over the persisted batch —
+            # same job the pre-fold code always paid
+            lo_hi = updates.agg(F.min(key), F.max(key)).first()
+            lo, hi = lo_hi[0], lo_hi[1]
         # zone-map routing: files whose [min,max] stats for the key can't
         # overlap the update batch's key range can't contain a match — the
         # hit-detection scan reads only the overlap-surviving files (at
         # 100 TB with clustered layout, that's the handful the keys live
         # in).  pruned_entries is a safe superset: stat-less files are
         # always scanned.
-        lo_hi = updates.agg(F.min(key), F.max(key)).first()
         scan_entries = (
-            self.pruned_entries(
-                col=key, lo=lo_hi[0], hi=lo_hi[1], version=versions[-1]
-            )
-            if lo_hi[0] is not None
+            self.pruned_entries(col=key, lo=lo, hi=hi, version=versions[-1])
+            if lo is not None
             else []  # empty/all-null-key batch: nothing can match
         )
         # entries whose KEY is path-encoded never open a data file for hit
@@ -2374,13 +2404,6 @@ class SnapshotTable:
             for lst in self._run_maintenance_jobs(_rewrite_survivors, hit_entries)
             for e in lst
         ]
-        new = self._write_data_files(
-            self._to_physical(updates, mapping),
-            n_new_files,
-            [mapping.get(c, c) for c in stats_cols] if stats_cols and mapping
-            else stats_cols,
-            partition_by=list(lay) or None,
-        )
         # trim DVs to carried files: rewritten/vanished files folded their
         # dead rows in above, so only kept-file positions stay live
         new_dvs = self._trim_dvs(spark, dvs, kept)
