@@ -213,6 +213,7 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        narrow: bool = False,
     ) -> list[dict]:
         """Materialize df as immutable parquet files and return their
         manifest entries.  Files go through a staging dir so a crash
@@ -258,6 +259,16 @@ class SnapshotTable:
                 ).parquet(stage)
             else:
                 clustered.write.mode("overwrite").parquet(stage)
+        elif narrow and n_files == 1:
+            # file-bounded rewrite (one hit file / one OPTIMIZE bin): the
+            # input is a narrow scan of the very files being replaced, so
+            # a repartition(1) would shuffle every surviving row through a
+            # full-data Exchange just to land in one task.  coalesce(1)
+            # writes straight out of the scan stage — zero exchange; the
+            # parallelism at scale lives ACROSS files in the maintenance
+            # pool, not within one file's rewrite (how Iceberg/Delta
+            # schedule CoW rewrites: one file group per task).
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
         else:
             df.repartition(n_files).write.mode("overwrite").parquet(stage)
         entries = []
@@ -1991,9 +2002,8 @@ class SnapshotTable:
             .where(F.element_at(F.split(F.col("__file"), "/"), -1).isin(kept_names))
             .select("__file", "__pos")
         )
-        if surviving.limit(1).count():
-            return self._write_delete_files(surviving)
-        return []
+        # write IS the probe (footer row count) — one action, not two
+        return self._write_delete_files_nonempty(surviving)
 
     def _scan_flat_live(
         self, spark: SparkSession, paths: list[str], dv_df: DataFrame | None
@@ -2088,7 +2098,7 @@ class SnapshotTable:
         (DV-dead rows subtracted), pack them, land the replacements back
         inside the same ``col=value`` directory."""
         packed = self._scan_flat_live(spark, [e["path"] for e in grp], dv_df)
-        written = self._write_data_files(packed, n_files, stats_cols)
+        written = self._write_data_files(packed, n_files, stats_cols, narrow=True)
         return self._relocate_into_partition(written, grp[0])
 
     def commit_compact_small(
@@ -2390,12 +2400,17 @@ class SnapshotTable:
                 phys_key,
                 "left_anti",
             )
-            if not survivors.limit(1).count():
-                return []  # fully-matched file: disappears from the manifest
+            # ONE action per hit file: the narrow write doubles as the
+            # emptiness probe (footer row count) — the old probe-then-write
+            # shape ran the scan+anti-join twice for every partially-matched
+            # file, the common case at scale (same fold as the DV writes)
             cols = list(e.get("stats", {})) or None
-            return self._relocate_into_partition(
-                self._write_data_files(survivors, 1, cols), e
-            )
+            written = self._write_data_files(survivors, 1, cols, narrow=True)
+            if sum(w.get("n_rows", 0) for w in written) == 0:
+                for w in written:
+                    os.remove(w["path"])
+                return []  # fully-matched file: disappears from the manifest
+            return self._relocate_into_partition(written, e)
 
         # per-hit-file rewrites are independent jobs: fan out over the
         # maintenance pool (file-count-bounded, same as the OPTIMIZE bins)

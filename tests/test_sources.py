@@ -3420,3 +3420,47 @@ def test_snapshot_multiple_tags_and_gap_chains(spark, tmp_path):
         assert t.read(spark, v).count() == counts[v]
     # refs listing is stable
     assert t.tags() == {"a": 2, "b": 5}
+
+
+def test_merge_write_as_probe_leaves_no_orphans(spark, tmp_path):
+    """The CoW merge's survivor rewrite and DV trim use the write itself as
+    the emptiness probe (footer row count): a fully-matched file's empty
+    survivor write and an empty DV trim must clean up after themselves —
+    every parquet on disk is referenced by SOME manifest version (nothing
+    for vacuum to chase), and the live manifest carries no 0-row files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id AS k", "cast(id * 10 as double) AS v"
+    )
+    t.commit_append(mk(0, 100), n_files=1, stats_cols=["k"])    # file A
+    t.commit_append(mk(100, 200), n_files=1, stats_cols=["k"])  # file B
+    # MoR delete marks rows ONLY in file B -> after the merge below fully
+    # rewrites B, the DV trim's surviving frame is empty
+    t.commit_delete(spark, "k >= 190")
+    # merge matches ALL of B (fully-matched: disappears) + new keys
+    upd = spark.range(100, 210).selectExpr("id AS k", "cast(-1.0 as double) AS v")
+    v = t.commit_merge(upd, key="k", n_new_files=1, stats_cols=["k"])
+
+    rows = {r.k: r.v for r in t.read(spark, v).collect()}
+    assert len(rows) == 210 and rows[0] == 0.0 and rows[150] == -1.0
+
+    # every data file on disk belongs to some manifest version (the empty
+    # survivor write was removed, not leaked)
+    on_disk = set(glob.glob(os.path.join(t.data_dir, "**", "*.parquet"), recursive=True))
+    referenced = {p for ver in t.versions() for p in t.files(ver)}
+    assert on_disk == referenced
+    # the live manifest has no 0-row file, and no empty DV survived the trim
+    m = t._manifest(v)
+    assert all(pq.ParquetFile(e["path"]).metadata.num_rows > 0 for e in m["files"])
+    assert m.get("delete_files", []) == []
+    dvs_on_disk = glob.glob(os.path.join(t.delete_dir, "*.parquet"))
+    # any DV still on disk belongs to an OLDER version (time travel), and
+    # none of them is empty
+    assert all(pq.ParquetFile(f).metadata.num_rows > 0 for f in dvs_on_disk)
