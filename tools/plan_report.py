@@ -52,7 +52,7 @@ INTENTIONAL_BNL = {
     "kmv_audience_overlap": "all 7 BNLs are crossJoins of 1-row scalar frames (the two K-row sketch aggregates, theta, the three exact-count audits, and the intersection count \u2014 every side is <= K=32 rows by construction; the segments reach the sketches via TakeOrderedAndProject, never a cross join)",
     "kmv_anotb_audience": "same machinery as kmv_audience_overlap: crossJoins of 1-row scalar frames (sketch aggregates, theta, the exact A\\B audit) and the <=K-row anti-joined sketch \u2014 every side sketch-sized by construction",
     "hdr_histogram_quantiles": "the 3-row constant quantile list cross-joins the O(64*2^p)-row bucket frame (the rank filter is a post-join predicate) \u2014 sketch-sized sides only; the total n rides the cumulative window pass, so the sketch branch consumes the fact ONCE (the remaining shuffles are the exact-audit global rank, test-SF-only by design)",
-    "hdr_grouped_percentiles": "the constant quantile list (|qs| rows) cross-joins the per-group bucket frame \u2014 the only BNL side is the tiny literal frame; per-group totals ride the same window pass as the cumulative walk, so the fact passes ONCE through the combinable groupBy",
+    "hdr_grouped_percentiles": "the constant quantile list (|qs| rows) cross-joins the per-group bucket frame \u2014 the only BNL side is the tiny literal frame; per-group totals ride the same window pass as the cumulative walk, so the fact passes ONCE through the combinable groupBy (r10-opt: was 2 fact passes + an equi+range join)",
     "multi_period_distinct_users": "~30 period rows broadcast (range join)",
     "part_share_of_total": "1-row global-total aggregate broadcast (scalar subquery)",
     "program_demand_counter_merge": "1-row max-day aggregate broadcast (lazy scalar; the < comparison makes it BNL)",
