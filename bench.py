@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigdata_homed_spark.plans import QUERIES  # noqa: E402
-from bigdata_homed_spark.session import get_spark  # noqa: E402
+from bigdata_homed_spark.session import DEFAULT_CPUS, get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -413,6 +413,12 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(BENCH_QUERIES),
                 "detail_file": "BENCH_DETAIL.json",
+                # make the core-count contract visible to the driver's
+                # scaling probe: the resolved $SPARK_GRAFT_CPUS (drives
+                # local[cpus] + shuffle partitions, session.py) and the
+                # parallelism the context actually came up with
+                "cpus": DEFAULT_CPUS,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
             },
             separators=(",", ":"),
         )

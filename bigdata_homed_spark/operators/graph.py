@@ -182,23 +182,35 @@ def pagerank_oracle_ctes(
 
 
 def label_propagation(
-    edges: DataFrame, seeds: DataFrame, rounds: int = 3
+    edges: DataFrame, seeds: DataFrame, rounds: int = 3,
+    dim_sized_v: bool = False,
 ) -> DataFrame:
     """``edges``: (src, dst, w) DIRECTED (pass both directions for an
     undirected graph); ``seeds``: (node, label).  Returns (node, label,
     is_seed, vote) for every node labeled after ``rounds`` rounds — vote
-    is the winning integer weight sum (NULL for seeds)."""
+    is the winning integer weight sum (NULL for seeds).
+
+    ``dim_sized_v=True`` is the pagerank ``broadcast_ranks`` analog: when
+    the vertex set is a dim (parts, hosts, channels), the per-round label
+    frame is V-sized, so broadcasting it turns every round's edges ⋈
+    labels into a map-side hash join over the (big, never re-shuffled)
+    edge list — no per-round O(E) exchange (guide §3.1).  The seed
+    anti-join is V-sized on BOTH sides and rides the same broadcast.
+    Default False is the huge-V mode: keyed shuffle joins, for graphs
+    whose vertex set itself is data-sized.  Same math, same result."""
     from pyspark.sql import Window
 
     edges = edges.localCheckpoint(eager=False)
     seeds = seeds.localCheckpoint(eager=False)
     seed_nodes = seeds.select("node")
+    anti_side = F.broadcast(seed_nodes) if dim_sized_v else seed_nodes
     w = Window.partitionBy("node").orderBy(F.desc("vote"), F.asc("label"))
     labels = seeds
     winners = None
     for _ in range(rounds):
+        label_side = F.broadcast(labels) if dim_sized_v else labels
         votes = (
-            edges.join(labels, edges["src"] == labels["node"])
+            edges.join(label_side, edges["src"] == label_side["node"])
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.sum("w").cast("bigint").alias("vote"))
         )
@@ -206,7 +218,7 @@ def label_propagation(
             votes.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
-            .join(seed_nodes, "node", "left_anti")
+            .join(anti_side, "node", "left_anti")
             .localCheckpoint(eager=False)
         )
         labels = seeds.unionByName(winners.select("node", "label"))

@@ -590,7 +590,9 @@ def label_spread_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_partkey") % 5 == 0)
         .select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
     )
-    out = label_propagation(edges, seeds, rounds=_LP_ROUNDS)
+    # V is the part dimension — broadcast the per-round label frame like
+    # trustrank's dim_sized_v / pagerank's broadcast_ranks modes
+    out = label_propagation(edges, seeds, rounds=_LP_ROUNDS, dim_sized_v=True)
     return out.select(
         F.col("node").alias("part_key"), "label", "is_seed", "vote"
     )

@@ -41,7 +41,9 @@ file set.  Positions are stable because data files are immutable.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import math
 import os
 import uuid
 
@@ -2327,6 +2329,16 @@ class SnapshotTable:
             if st is None:
                 vouched = False
                 break
+            # NaN poisons Python's min/max fold (max(7.0, nan) == 7.0, so a
+            # NaN-keyed row in a later-walked file would silently shrink the
+            # range, while Spark joins match NaN = NaN) — only the agg
+            # fallback, whose F.max orders NaN greatest, is safe there
+            if any(
+                isinstance(v, float) and math.isnan(v)
+                for v in (st["min"], st["max"])
+            ):
+                vouched = False
+                break
             lo = st["min"] if lo is None else min(lo, st["min"])
             hi = st["max"] if hi is None else max(hi, st["max"])
         if not vouched:
@@ -2408,7 +2420,10 @@ class SnapshotTable:
             written = self._write_data_files(survivors, 1, cols, narrow=True)
             if sum(w.get("n_rows", 0) for w in written) == 0:
                 for w in written:
-                    os.remove(w["path"])
+                    # tolerant: a concurrent vacuum scanning for unreferenced
+                    # files may have deleted the never-published file first
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(w["path"])
                 return []  # fully-matched file: disappears from the manifest
             return self._relocate_into_partition(written, e)
 

@@ -3464,3 +3464,35 @@ def test_merge_write_as_probe_leaves_no_orphans(spark, tmp_path):
     # any DV still on disk belongs to an OLDER version (time travel), and
     # none of them is empty
     assert all(pq.ParquetFile(f).metadata.num_rows > 0 for f in dvs_on_disk)
+
+
+def test_snapshot_merge_nan_keyed_rows_replaced_not_duplicated(spark, tmp_path):
+    """A NaN-keyed float update must REPLACE the NaN-keyed incumbent row.
+
+    Python's min/max silently drop NaN (max(7.0, nan) == 7.0), so a
+    footer-stat fold over multiple new files could compute a finite
+    [lo, hi] that zone-map-prunes the incumbent NaN file — while Spark's
+    join semantics treat NaN = NaN as a match.  The fold must detect NaN
+    (or stat-less footers, the common parquet rendering of NaN columns)
+    and fall back to the F.max agg, whose NaN orders greatest."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "snap_nan"))
+    base = spark.sql(
+        "SELECT * FROM VALUES (cast(1.0 as double), 10), (cast(2.0 as double), 20),"
+        " (cast('NaN' as double), 30) AS t(k, v)"
+    )
+    t.commit_append(base, n_files=1, stats_cols=["k"])
+    # two update files so the fold actually walks more than one footer,
+    # with the NaN row landing apart from the finite keys
+    upd = spark.sql(
+        "SELECT * FROM VALUES (cast('NaN' as double), 999),"
+        " (cast(7.0 as double), 70) AS t(k, v)"
+    ).repartition(2, "v")
+    v = t.commit_merge(upd, key="k", n_new_files=2, stats_cols=["k"])
+    rows = t.read(spark, v).collect()
+    nan_rows = [r for r in rows if r.k != r.k]  # NaN != NaN in Python
+    assert len(nan_rows) == 1, f"NaN row duplicated or lost: {rows}"
+    assert nan_rows[0].v == 999
+    vals = {r.v for r in rows}
+    assert vals == {10, 20, 999, 70}

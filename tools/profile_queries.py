@@ -21,7 +21,11 @@ sys.path.insert(0, "/root/repo")
 from bigdata_homed_spark.plans import QUERIES
 from bigdata_homed_spark.session import get_spark
 
-PLAN_DIR = "/root/repo/plans/r10"
+PLAN_DIR = os.environ.get(
+    "SPARK_GRAFT_PLAN_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "plans", "r11"),
+)
 
 
 def formatted_plan(df) -> str:
