@@ -254,13 +254,17 @@ def iacs_login_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(",RegionID "),
         (F.lit(10000000) + (F.col("user_id") % 20) * 100).cast("string"),
     )
-    raw = ev.select(line.alias("line")).where(
-        F.col("line").contains("UserOnline") | F.col("line").contains("UserOffline")
-    )
+    # the reference filtered raw lines on UserOnline|UserOffline; in this
+    # synthesized feed the only alphabetic token in the line IS the keyword,
+    # so the identical selection evaluates on the keyword expression.
+    # Referencing `line` in the predicate made Catalyst's filter pushdown
+    # substitute — and therefore compute — the whole line concat TWICE more
+    # below the scan (guide §4.4's duplicated-expression shape with
+    # built-ins; see plans/r11/iacs_login_sessions_{before,after}.txt:
+    # before, operator (2) carries the full concat in both Contains arms).
+    raw = ev.where(kw.isin("UserOnline", "UserOffline")).select(line.alias("line"))
     # parse: [event_id]sec [INFO] KeyWord:k v,k v,...  (str_to_map — the
     # LogUtils.str_to_map analog — handles the k-v body)
-    head = F.regexp_extract("line", r"^\[(\d+)\](\d+) ", 0)
-    body = F.expr("substring(line, instr(line, ':') + 1)")
     parsed = raw.select(
         F.regexp_extract("line", r"^\[(\d+)\]", 1).cast("bigint").alias("event_id"),
         F.regexp_extract("line", r"^\[\d+\](\d+) ", 1).cast("bigint").alias("sec"),

@@ -1118,11 +1118,14 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
     sym = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint()  # materialize once: the loop re-reads it every round
+    ).localCheckpoint(eager=False)  # materialized once, by the labels job below
     labels = (
         sym.select(F.col("d1").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
+        # eager: this one action materializes BOTH checkpoints (labels, and
+        # sym behind it) — one driver job where the old eager/eager pair
+        # paid two, with the expensive LSH-pair subtree still run once
         .localCheckpoint()
     )
     for _ in range(32):  # diameter bound; tiny graphs converge in 2-3 rounds
@@ -1140,7 +1143,12 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("int")
                 .alias("chg"),
             )
-            .localCheckpoint()
+            # LAZY checkpoint: the convergence count below is the round's
+            # first action anyway, so the checkpoint materializes inside it
+            # — one driver job per round instead of two (the merge_latest
+            # persist-fold, guide §5: job count, not bytes, bounds the
+            # per-round cost of a fixed-point loop locally)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("chg")).first()[0]
         labels = new_labels.drop("chg")

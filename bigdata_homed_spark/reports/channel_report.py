@@ -310,6 +310,17 @@ def channel_report_full(spark: SparkSession, sf_dir: str, top_n: int = 3) -> Dat
     # AND the city/province re-aggregations — cache them like the
     # reference's df_[012]_region .cache() calls
     # (ChannelReport.scala:165/181/212).
+    #
+    # Measured rejection (r11): collapsing these two into ONE exchange at
+    # the finer (geo, channel, program, user) grain was tried and REVERTED
+    # — on this corpus the fact barely reduces at that grain (sf1:
+    # 1 000 000 base rows -> 991 350, vs 149 860 at user grain / 581 346
+    # at program grain), so the single exchange moved ~0.99 fact + the
+    # 0.74-fact re-agg exchanges where the two-exchange shape moves
+    # ~0.73 fact in partials; job probe 52 -> 54 jobs, wall flat
+    # (7.44 -> 7.39 s min-of-3 at sf1).  Events here don't repeat a
+    # (user, program-slot), and users scale with data, so the grain never
+    # densifies at ANY SF — see OPTIMIZATION_r11.md.
     pu = base.groupBy(*_REG, *_CH, "f_user_id").agg(
         F.sum("f_play_sec").alias("upt")
     ).persist(StorageLevel.MEMORY_AND_DISK)

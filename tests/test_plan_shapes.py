@@ -606,3 +606,53 @@ def test_r10_sketch_and_mixing_family_plans(spark, sf_dir):
     # aggregate beyond the broadcast side
     shuffles = len(re.findall(r"Exchange hashpartitioning", mix))
     assert shuffles <= 3, mix
+
+
+def test_merge_commit_job_count_ceiling(spark, tmp_path):
+    """Pin the r10 driver-job floor of a CoW merge commit (16 -> 10 jobs).
+
+    Per-job fixed cost dominates commit wall time on the local harness
+    (and schedules a full round-trip at any scale), so the r10 fusions
+    (write-as-probe, footer key-range fold, survivor-write-as-emptiness-
+    probe) are pinned by job COUNT — a regression to any pre-fusion shape
+    re-adds whole jobs, which this ceiling catches deterministically."""
+    from bigdata_homed_spark.sources.snapshots import SnapshotTable
+
+    tr = spark.sparkContext._jsc.sc().statusTracker()
+    t = SnapshotTable(str(tmp_path / "jc_merge"))
+    t.commit_append(
+        spark.range(0, 1000).selectExpr("id as k", "id*2 as v"), stats_cols=["k"]
+    )
+    before = len(tr.getJobIdsForGroup(None))
+    t.commit_merge(
+        spark.range(100, 200).selectExpr("id as k", "id*7 as v"),
+        key="k",
+        stats_cols=["k"],
+    )
+    assert len(tr.getJobIdsForGroup(None)) - before <= 10
+
+
+def test_merge_latest_job_count_ceiling(spark, tmp_path):
+    """Pin the state store's per-batch floor: merge_latest is TWO logical
+    actions (bounded touched-bucket collect + staged bucket write), which
+    expand to <= 6 scheduler jobs per steady-state batch under AQE.  The
+    pre-r10 shapes (separate horizon agg, eager pre-write checkpoint,
+    read-then-upsert) each re-add whole actions; this ceiling catches
+    them."""
+    import tempfile
+
+    from bigdata_homed_spark.sources.sinks import PartitionedStateStore
+
+    tr = spark.sparkContext._jsc.sc().statusTracker()
+    store = PartitionedStateStore(
+        tempfile.mkdtemp(prefix="jc_state_", dir=str(tmp_path)), ["k"], n_buckets=8
+    )
+    counts = []
+    for b in range(3):
+        upd = spark.range(b * 100, b * 100 + 300).selectExpr(
+            "id % 400 as k", "id as sec", "id*2 as v"
+        )
+        before = len(tr.getJobIdsForGroup(None))
+        store.merge_latest(upd, ["sec"])
+        counts.append(len(tr.getJobIdsForGroup(None)) - before)
+    assert max(counts) <= 6, counts
